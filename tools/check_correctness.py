@@ -1,0 +1,113 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB at the
+given scale factor, compares row count, sorted column names, and an
+order-insensitive value comparison. Exact comparison after in-query
+rounding — stricter than any hash the driver could use.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from predictor_spark.session import get_spark  # noqa: E402
+from predictor_spark.sources.tables import TABLES  # noqa: E402
+
+
+def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NULL"
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return str(v)
+
+    out = pdf.apply(lambda col: col.map(norm_cell))
+    rows = sorted(tuple(r) for r in out.itertuples(index=False, name=None))
+    return pd.DataFrame(rows, columns=list(out.columns))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"row count {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            a, b = normalize_pdf(sdf), normalize_pdf(odf)
+            if not a.equals(b):
+                diff_mask = (a != b).any(axis=1)
+                n_diff = int(diff_mask.sum())
+                problems.append(f"{n_diff}/{len(a)} rows differ")
+                ex = diff_mask[diff_mask].index[:3]
+                for i in ex:
+                    problems.append(f"  spark : {a.loc[i].to_dict()}")
+                    problems.append(f"  oracle: {b.loc[i].to_dict()}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("      " + p)
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
