@@ -197,11 +197,11 @@ def rolling_ema(
         ema_t = sum_{i=0..t} a^i * x_{t-i} / sum_{i=0..t} a^i,  a = 1-2/(n+1)
     Both sums telescope: S_t = x_t + a*S_{t-1}, which is not a built-in
     window agg, but because a^i decays geometrically we truncate at
-    ``6*n`` lags (a^(6n) < 1e-5 of weight) and evaluate with
+    ``12*n`` lags (dropped weight a^(12n) < 1e-10) and evaluate with
     ``collect_list`` + ``aggregate`` — stays JVM-side, no Python UDF.
     """
     a = 1.0 - 2.0 / (n + 1.0)
-    w = _w(series_col, ts_col).rowsBetween(-(6 * n - 1), 0)
+    w = _w(series_col, ts_col).rowsBetween(-(12 * n - 1), 0)
     vals = F.collect_list(F.col(col)).over(w)  # oldest..newest (window order)
     # aggregate over reversed list: weight newest with a^0
     rev = F.reverse(vals)
