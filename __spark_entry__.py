@@ -27,13 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_persistence_metrics"](spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from predictor_spark.plans.catalog import QUERIES
+def _load_catalog():
+    # importing the catalog modules populates the QUERIES/ORACLE registries
+    import predictor_spark.plans.catalog as catalog
+    import predictor_spark.plans.catalog_text  # noqa: F401
 
-    return dict(QUERIES)
+    for mod in ("catalog_streaming", "catalog_multimodal", "catalog_forecast"):
+        try:
+            __import__(f"predictor_spark.plans.{mod}")
+        except ImportError:
+            pass
+    return catalog
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_load_catalog().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from predictor_spark.plans.catalog import ORACLE
-
-    return dict(ORACLE)
+    return dict(_load_catalog().ORACLE)

@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north
+star: language-ID, quality scoring, token counting, fingerprinting).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM codegen,
+no Python UDFs): regexp splits, array filters, md5. Every operator is a
+pure projection or a single groupBy — scan-bound at 100 TB.
+
+Portable-hash convention: where an operator needs a numeric hash that a
+DuckDB oracle must reproduce, we use the first 7 hex chars of md5 (28-bit
+int, overflow-safe in downstream modular arithmetic). The scale path can
+swap in xxhash64 (single JVM op, no md5 string cost) via hash_fn='xxhash'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: whitespace tokenization shared by every operator (and mirrored in oracles)
+TOKEN_RE = r"\s+"
+
+#: tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language-ID (reference has no lang-ID; this is the LLM-pipeline extension)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "une"),
+    "es": ("el", "los", "las", "una", "es"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+#: deterministic tie-break priority (first wins ties)
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(F.col(text_col)), TOKEN_RE)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting — n_tokens, n_chars, avg token length."""
+    toks = tokens_col(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_chars_calc", F.length(text_col).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(toks),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring — length/punctuation/stopword ratios composed into a
+    [0,1]-ish score. Heuristics follow the common LLM-data-cleaning recipe
+    (Gopher-style rules): too-short docs, punctuation-free docs and
+    stopword-free docs are penalized."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))).cast("double")
+    df = (
+        df.withColumn("punct_ratio", punct / n_chars)
+        .withColumn("stopword_ratio", stop_hits / n_tok)
+        .withColumn("mean_word_len", (n_chars - (n_tok - 1)) / n_tok)
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wl = F.col("mean_word_len")
+    wordlen_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(F.col("stopword_ratio") > 0.0, 1.0).otherwise(0.0)
+    return df.withColumn(
+        "quality_score",
+        (len_ok + wordlen_ok + stop_ok + F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) / 4.0,
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Language-ID — stopword-marker voting with a deterministic priority
+    tie-break. Pure array expressions; at 100 TB this is a projection."""
+    toks = tokens_col(text_col)
+
+    def _marker_hits(markers):
+        # single-arg lambda: a (t, m) signature would make PySpark pass the
+        # array index as the second argument
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    df = df.withColumn("__toks", toks)
+    best: Column = F.lit(LANG_PRIORITY[-1])
+    # fold right-to-left so earlier languages win ties via >= comparison
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    # re-derive tokens inside score columns (scores reference toks directly)
+    return df.withColumn(out_col, best).drop("__toks")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprinting — md5 of the whitespace-normalized,
+    lower-cased text. Identical normalization is mirrored in the DuckDB
+    oracle, so the fingerprint is engine-portable."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """n-token shingles (distinct) as an array<string> column."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def portable_hash(col: Column, bits: int = 28) -> Column:
+    """28-bit integer hash from an md5 prefix — reproducible in any engine
+    with md5 + hex parse (overflow-safe for (a*h+b) % p in int64)."""
+    hexchars = bits // 4
+    return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("bigint")

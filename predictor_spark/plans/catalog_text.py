@@ -1,0 +1,309 @@
+"""Catalog part 2 — text analysis, dedup, similarity search (the
+LLM-data-pipeline operator family; BASELINE.json north star).
+
+Oracle strategy: these algorithms are deterministic by construction
+(md5-prefix portable hashes, fixed permutation families, sin-derived
+hyperplanes), so the DuckDB oracle re-implements the SAME algorithm and
+must match bit-for-bit — including the recall misses of the approximate
+variants. ngram_jaccard is the semantic ground truth; minhash_lsh is
+checked as an algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from predictor_spark.operators import dedup, similarity, text
+from predictor_spark.plans.catalog import query, _t
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokens, char counts, mean token length.
+    Pure projection (scan-bound at any scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_token_stats(docs)
+    return out.select("doc_id", "n_tokens", "n_chars_calc",
+                      F.round("avg_token_len", 6).alias("avg_token_len"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(quality_score, 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter({_TOKS}, t -> lower(t) IN
+                   ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                   / len({_TOKS}) AS stopword_ratio,
+               (CAST(length(text) AS DOUBLE) - (len({_TOKS}) - 1)) / len({_TOKS}) AS mean_word_len,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok
+        FROM documents
+    ), LATERAL (
+        SELECT ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END)
+              + least(punct_ratio * 10.0, 1.0)) / 4.0 AS quality_score
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring — Gopher-style length/punctuation/stopword gates
+    composed into one score. Projection-only."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS}, t -> lower(t) IN "
+              f"({', '.join(repr(m) for m in text.LANG_MARKERS[lang])})))"
+        for lang in text.LANG_PRIORITY
+    }
+    cases = []
+    for lang in text.LANG_PRIORITY[:-1]:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in text.LANG_PRIORITY if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{text.LANG_PRIORITY[-1]}' END"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    SELECT doc_id, lang, {case_sql} AS lang_pred
+    FROM (SELECT doc_id, lang, {inner} FROM documents)
+    """
+
+
+@query("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID — stopword-marker voting with deterministic priority
+    tie-break, emitted next to the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — md5 over whitespace-normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy on content, keep min id. One shuffle on
+    a 16-byte key regardless of document size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+_SHINGLES_CTE = r"""
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) - 1),
+                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+            FROM toks
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.1 — the dedup ground truth.
+    Quadratic in near-dup cluster size; at 100 TB use as the verify stage
+    after LSH pruning (dedup_minhash_lsh)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.1) -> str:
+    params = dedup._perm_params(num_perm)
+    mh_exprs = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.MOD}) AS mh_{k}" for k, (a, b) in enumerate(params)
+    )
+    rpb = num_perm // bands
+    band_keys = []
+    for bi in range(bands):
+        key = " || '_' || ".join(f"CAST(mh_{bi * rpb + r} AS VARCHAR)" for r in range(rpb))
+        band_keys.append(f"SELECT doc_id, {bi} AS band, {key} AS bkey FROM sig")
+    banded = " UNION ALL ".join(band_keys)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (SELECT doc_id, {mh_exprs} FROM hashed GROUP BY doc_id),
+    banded AS ({banded}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, round(j.j, 6) AS jaccard
+    FROM cands c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.j >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) candidate pairs verified by exact
+    Jaccard >= 0.1 — the linear-cost 100 TB dedup path. Deterministic
+    permutation family -> the oracle replays the algorithm exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.1)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        )
+    ),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM toks),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN CAST(floor(h / power(2, b.bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT unnest(range(0, 24)) AS bit) b
+    ),
+    agg AS (SELECT doc_id, bit, sum(vote) AS s FROM votes GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) * CAST(power(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 24-bit signatures (token-level). Constant-size per doc;
+    near-dup = small Hamming distance, bucketable like MinHash bands."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=24)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = ("list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, round({_COS}, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+        FROM q, c WHERE query_id != neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10).
+    Broadcast queries x streamed corpus; rank over rounded score."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_knn_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    def sig(side: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            plane = f"list_transform(range(0, {dim}), d -> sin({1000.0 * (p + 1)} + d))"
+            bits.append(f"(CASE WHEN list_dot_product({side}, {plane}) > 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    qs AS (SELECT query_id, qv, {sig('qv')} AS sig FROM q),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    cs AS (SELECT neighbor_id, cv, {sig('cv')} AS sig FROM c)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, round({_COS}, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+        FROM qs JOIN cs USING (sig) WHERE query_id != neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("knn_cosine_lsh", oracle=_lsh_knn_oracle())
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-5 — sub-linear candidate set,
+    deterministic sin-derived planes (oracle replays the approximation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                      k=5, n_planes=6, dim=64)
