@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schema, Arrow batching, mapInPandas
+signature, partition sizing — is real and tested; the actual codec calls
+are stubbed (the decode libraries are not in this container) behind
+``decode_stub`` / ``NotImplementedError`` with a deterministic fake, per
+the build brief.
+
+Scale notes:
+- binary payloads ride in the same parquet row groups; column pruning
+  means metadata-only queries never read the blobs.
+- decode fan-out is mapInPandas over Arrow batches;
+  spark.sql.execution.arrow.maxRecordsPerBatch bounds peak memory
+  (payload_size * batch) per python worker.
+- repartition by size-bucket before decode when payload sizes are skewed,
+  so one worker doesn't get all the 4K videos.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: 16^7 — divisor turning a 7-hex-char md5 prefix into [0, 1)
+_HEX7 = float(1 << 28)
+
+DECODE_AVAILABLE = False  # real codecs (PIL / torchaudio / av) not in image
+try:  # pragma: no cover - decode libs absent in this container
+    import PIL.Image  # noqa: F401
+
+    DECODE_AVAILABLE = True
+except ImportError:
+    pass
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", mime: str = "application/octet-stream") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata struct.
+
+    (In real ingestion the payload comes from the source — e.g. image
+    bytes; here we derive one from text so the plumbing is exercisable on
+    the synthetic corpus.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        ),
+    )
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extract from binary payloads via mapInPandas (Arrow batches).
+
+    With real codecs this would decode + embed; without them it emits a
+    DETERMINISTIC fake embedding derived from the payload md5 (so the
+    pipeline shape, schema, and batching are real and oracle-checkable).
+    Raises NotImplementedError only if caller demands real decode.
+    """
+    schema = f"{id_col} bigint, n_bytes bigint, f0 double, f1 double, f2 double, f3 double"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if DECODE_AVAILABLE:  # pragma: no cover
+                raise NotImplementedError("real codec path not wired in this build")
+            digests = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
+            out = pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            })
+            for k in range(4):
+                out[f"f{k}"] = [
+                    round(int(d[7 * k: 7 * k + 7], 16) / _HEX7, 6) for d in digests
+                ]
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(extract, schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled offset of the
+    payload (video frame-sample analog). Pure relational explode — the
+    per-frame decode itself would be a second mapInPandas stage."""
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.octet_length("payload") / F.lit(every_n_bytes))
+    ).cast("int")
+    return (
+        df.select(id_col, "payload", F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"))
+        .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+        .select(id_col, "frame_idx", "byte_offset")
+    )

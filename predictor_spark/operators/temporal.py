@@ -279,8 +279,10 @@ def overlap_add(
     t-(w-1)+p), shuffle-group by reconstructed tick, average. One shuffle,
     fully parallel.
 
-    ``df`` must carry a per-row ``__rn`` ordinal or a regular tick spacing;
-    we use row_number over the series so irregular timestamps still work.
+    ``df`` is expected to come from ``window_tensorize`` (complete windows
+    only, the first w-1 series rows trimmed), so the row_number here is
+    offset by w-1 from the original series position: original tick of
+    element p in the window at post-trim row r is simply r + p (1-based).
     """
     base = _w(series_col, ts_col)
     out = df.withColumn("__rn", F.row_number().over(base))
@@ -290,7 +292,7 @@ def overlap_add(
         F.posexplode(F.col(window_col)).alias("__pos", "__val"),
         F.size(F.col(window_col)).alias("__w"),
     )
-    out = out.withColumn("__tick", F.col("__rn") - (F.col("__w") - 1) + F.col("__pos"))
+    out = out.withColumn("__tick", F.col("__rn") + F.col("__pos"))
     keys = ([series_col] if series_col else []) + ["__tick"]
     return (
         out.groupBy(*keys)

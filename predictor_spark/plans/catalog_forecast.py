@@ -1,0 +1,294 @@
+"""Catalog part 5 — model training/eval, window tensors, decomposition,
+as-of joins, pivots, MC uncertainty, metric-label parsing.
+
+These complete the reference's §2.3-§2.8 operator surface on the synthetic
+tables: W1/W17 window tensor round-trip, W7-style decomposition, A4/A5
+uncertainty metrics, S10 metric-label regex, J4 as-of alignment, plus the
+trained-model slice (per-series AR(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.operators import temporal
+from predictor_spark.operators.metrics import mc_uncertainty
+from predictor_spark.plans.ar_model import ar1_fit_predict
+from predictor_spark.plans.catalog import query, _t
+
+_CUTOFF = "2024-01-22 00:00:00"
+
+
+@query(
+    "ar1_train_eval",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, event_type, value,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+        FROM events
+    ), trimmed AS (SELECT * FROM base WHERE target IS NOT NULL),
+    coeffs AS (
+        SELECT user_id, regr_slope(target, value) AS slope,
+               regr_intercept(target, value) AS intercept
+        FROM trimmed WHERE ts < TIMESTAMP '{_CUTOFF}'
+        GROUP BY user_id
+    )
+    SELECT event_type, count(*) AS n,
+           round(avg(abs(intercept + slope * value - target)), 6) AS mae,
+           round(avg(abs(value - target)), 6) AS naive_mae
+    FROM trimmed t JOIN coeffs c USING (user_id)
+    WHERE t.ts >= TIMESTAMP '{_CUTOFF}' AND c.slope IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ar1_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training: least-squares AR(1) per user series fit
+    on the train slice (one aggregate pass, N series = N models), scored on
+    held-out rows vs the persistence baseline. The engine's M2 slice."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ar1_fit_predict(ev, train_end=_CUTOFF, horizon=1)
+    p, t, b = F.col("pred"), F.col("target_h1"), F.col("baseline")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.abs(p - t)), 6).alias("mae"),
+        F.round(F.avg(F.abs(b - t)), 6).alias("naive_mae"),
+    )
+
+
+@query(
+    "w1_window_tensor",
+    oracle="""
+    SELECT event_id, w AS window FROM (
+        SELECT event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ) WHERE rn >= 4
+    """,
+)
+def w1_window_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — inclusive sliding-window tensorization (window_size=4, single
+    feature): array column, complete windows only; baseline = last elem.
+    The array stays lazy — only materialized at the sink/model boundary."""
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
+    # single-feature tensor -> flatten inner arrays for a clean array<double>
+    return out.select("event_id", F.transform("window", lambda r: F.element_at(r, 1)).alias("window"))
+
+
+@query(
+    "w17_overlap_add",
+    oracle="""
+    WITH wins AS (
+        SELECT user_id, rn, w, len(w) AS wl FROM (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+                   list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
+            FROM events
+        ) WHERE rn >= 3
+    ),
+    ex AS (
+        SELECT user_id, rn - (wl - 1) + pos AS tick, w[pos + 1] AS val
+        FROM wins, LATERAL (SELECT unnest(range(0, wl)) AS pos)
+    )
+    SELECT user_id, CAST(tick AS BIGINT) AS tick,
+           round(avg(val), 6) AS value, count(*) AS coverage
+    FROM ex GROUP BY user_id, tick
+    """,
+)
+def w17_overlap_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — un-windowing by overlap-add (reconstruction.py:4-45): explode
+    windows to (tick, value), average diagonals. Inverse of W1; coverage
+    counts expose the window overlap structure."""
+    ev = _t(spark, sf_dir, "events")
+    wins = temporal.window_tensorize(ev, ["value"], 3, series_col="user_id", inclusive=True)
+    wins = wins.withColumn("w1d", F.transform("window", lambda r: F.element_at(r, 1)))
+    out = temporal.overlap_add(wins, "w1d", series_col="user_id")
+    return out.select(
+        "user_id", F.col("tick").cast("bigint").alias("tick"),
+        F.round("value", 6).alias("value"), "coverage",
+    )
+
+
+@query(
+    "stl_decompose_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, sum(value) AS v
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT hour, v,
+               avg(v) OVER (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+               row_number() OVER (ORDER BY hour) AS rn,
+               count(*) OVER () AS n
+        FROM hourly
+    ),
+    full_tr AS (SELECT * FROM tr WHERE rn >= 13 AND rn <= n - 12),
+    seas AS (
+        SELECT hour(hour) AS phase, avg(v - trend) AS seasonal
+        FROM full_tr GROUP BY 1
+    )
+    SELECT f.hour, round(f.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(f.v - f.trend - s.seasonal, 6) AS resid
+    FROM full_tr f JOIN seas s ON hour(f.hour) = s.phase
+    """,
+)
+def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7-style seasonal decomposition of the hourly event-value series:
+    trend = centered 25-tick moving average, seasonal = hour-of-day phase
+    mean of the detrended series, resid = remainder. Window + two small
+    aggs; the statsmodels-STL variant lives in operators/stl.py (same
+    output contract, pandas-UDF path)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(F.sum("value").alias("v"))
+    w = Window.orderBy("hour")
+    tr = (
+        hourly.withColumn("trend", F.avg("v").over(w.rowsBetween(-12, 12)))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    full_tr = tr.filter((F.col("rn") >= 13) & (F.col("rn") <= F.col("n") - 12))
+    seas = full_tr.groupBy(F.hour("hour").alias("phase")).agg(
+        F.avg(F.col("v") - F.col("trend")).alias("seasonal")
+    )
+    return (
+        full_tr.join(F.broadcast(seas), F.hour(full_tr.hour) == seas.phase)
+        .select(
+            "hour",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+        )
+    )
+
+
+@query(
+    "asof_last_signup",
+    oracle="""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+    FROM events
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — as-of alignment: each event joined to the user's most recent
+    signup at-or-before it. Expressed as last_value(... IGNORE NULLS) —
+    no join at all, one window pass (the as-of-join-as-window idiom; for
+    two-table as-of, union the tables first then apply the same window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        F.last(F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True)
+        .over(w).alias("last_signup_ts"),
+    )
+
+
+@query(
+    "pivot_user_event_totals",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 6)    AS click,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 6)     AS view,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase,
+           round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 6)   AS signup,
+           round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 6)    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — per-user value totals by event_type as columns. Spark's
+    pivot with an explicit value list compiles to the same single-pass
+    conditional aggregation as the oracle (no second shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.sum("value"))
+    return out.select(
+        "user_id", *[F.round(F.coalesce(F.col(k), F.lit(0.0)), 6).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "mc_uncertainty_metrics",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               value + sin(event_id + 1) AS s0, value + sin(event_id + 2) AS s1,
+               value + sin(event_id + 3) AS s2, value + sin(event_id + 4) AS s3
+        FROM events
+    ), mom AS (
+        SELECT event_type, value,
+               (s0 + s1 + s2 + s3) / 4.0 AS m,
+               sqrt(((s0 - (s0+s1+s2+s3)/4.0)^2 + (s1 - (s0+s1+s2+s3)/4.0)^2
+                   + (s2 - (s0+s1+s2+s3)/4.0)^2 + (s3 - (s0+s1+s2+s3)/4.0)^2) / 3.0) AS sd
+        FROM s
+    )
+    SELECT event_type,
+           round(avg(abs(sd)), 6) AS uncertainty,
+           round(avg(m) / (avg(abs(sd)) + 1e-9), 6) AS snr
+    FROM mom GROUP BY event_type
+    """,
+)
+def mc_uncertainty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/A7 — Monte-Carlo moments across stochastic forward passes
+    (here: 4 deterministic pseudo-samples so the oracle can replay), then
+    mean-|uncertainty| and SNR per group (stl_metrics.py:74-75,85-86).
+    Row-wise array aggregates replace the reference's Welford streaming
+    (bayesian.py:70-130) — samples are bounded columns, not passes."""
+    ev = _t(spark, sf_dir, "events")
+    sampled = ev.withColumns({
+        f"s{k}": F.col("value") + F.sin(F.col("event_id") + F.lit(k + 1)) for k in range(4)
+    })
+    mom = mc_uncertainty(sampled, [f"s{k}" for k in range(4)])
+    u, m = F.col("pred_std"), F.col("pred_mean")
+    return mom.groupBy("event_type").agg(
+        F.round(F.avg(F.abs(u)), 6).alias("uncertainty"),
+        F.round(F.avg(m) / (F.avg(F.abs(u)) + F.lit(1e-9)), 6).alias("snr"),
+    )
+
+
+@query(
+    "metric_label_parse",
+    oracle=r"""
+    WITH labels AS (
+        SELECT 'Test ' || metric || ' H' || h AS label, v FROM (
+            SELECT 'MAE' AS metric, 1 AS h, avg(value) AS v FROM events GROUP BY ALL
+            UNION ALL
+            SELECT 'Naive MAE', 3, avg(value) FROM events GROUP BY ALL
+            UNION ALL
+            SELECT 'R2', 6, avg(value) FROM events GROUP BY ALL
+        )
+    )
+    SELECT regexp_extract(label, '^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$', 1) AS split,
+           regexp_extract(label, '^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$', 2) AS metric,
+           CAST(regexp_extract(label, '^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$', 3) AS INTEGER) AS horizon,
+           round(v, 6) AS value
+    FROM labels
+    """,
+)
+def metric_label_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — the OLAP ETL's metric-label regex
+    (olap/etl_migrate_v2.py:35: ^(Train|Validation|Test)\\s+(.+?)\\s+H(\\d+)$)
+    as regexp_extract over engine-generated long-format labels."""
+    ev = _t(spark, sf_dir, "events")
+    rows = []
+    for metric, h in (("MAE", 1), ("Naive MAE", 3), ("R2", 6)):
+        rows.append(
+            ev.agg(F.avg("value").alias("v")).select(
+                F.concat(F.lit(f"Test {metric} H{h}")).alias("label"), "v"
+            )
+        )
+    labels = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    pat = r"^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$"
+    return labels.select(
+        F.regexp_extract("label", pat, 1).alias("split"),
+        F.regexp_extract("label", pat, 2).alias("metric"),
+        F.regexp_extract("label", pat, 3).cast("int").alias("horizon"),
+        F.round("v", 6).alias("value"),
+    )

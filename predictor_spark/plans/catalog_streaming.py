@@ -1,0 +1,55 @@
+"""Catalog part 3 — Structured Streaming queries with batch SQL oracles.
+
+The streaming queries run synchronously (processAllAvailable on a memory
+sink) and return batch DataFrames, so the driver's correctness gate treats
+them like any other query. Spark's tumbling window(ts, '1 hour') start ==
+date_trunc('hour', ts), which makes the batch oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from predictor_spark.plans.catalog import query
+from predictor_spark.streaming.windows import sessionized_stream_counts, tumbling_event_counts
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling 1h event-time windows per event_type
+    (watermarked stateful agg driven to completion on the parquet source)."""
+    return tumbling_event_counts(spark, sf_dir, window_len="1 hour", watermark="2 hours")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, session_id, count(*) AS n FROM (
+            SELECT user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window(30 min gap) per user — checked
+    against the batch lag/cumsum sessionization oracle (same semantics:
+    sessions close when the gap exceeds 30 min)."""
+    return sessionized_stream_counts(spark, sf_dir, gap="30 minutes")

@@ -118,11 +118,11 @@ def test_overlap_add_reconstructs_series(spark):
     df = df.withColumn("w1d", __import__("pyspark.sql.functions", fromlist=["F"]).transform(
         "window", lambda r: r[0]))
     rec = temporal.overlap_add(df, "w1d", series_col="user_id").orderBy("tick").toPandas()
-    # ticks 1..4 (windows cover rows 0..5 of the trimmed frame); every
-    # reconstructed value equals the original at that tick
-    orig = {i + 1: v for i, v in enumerate(vals)}
+    # tick is the 1-based ORIGINAL series position; reconstruction covers
+    # every original row and returns its value exactly
+    assert rec["tick"].tolist() == list(range(1, len(vals) + 1))
     for _, row in rec.iterrows():
-        assert row["value"] == pytest.approx(orig[row["tick"] + 2])
+        assert row["value"] == pytest.approx(vals[int(row["tick"]) - 1])
 
 
 def test_rolling_ema_matches_pandas(spark):
