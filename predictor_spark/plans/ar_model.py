@@ -29,9 +29,11 @@ def ar1_fit_predict(
     series_col: str = "user_id",
     train_end: str = "2024-01-22 00:00:00",
     horizon: int = 1,
+    eval_on: str = "test",
 ) -> DataFrame:
-    """Fit y[t+h] = a + b*y[t] per series on train rows; emit test rows
-    with predictions. Returns (series, ts, value, target, pred, baseline)."""
+    """Fit y[t+h] = a + b*y[t] per series on train rows; emit scored rows
+    for ``eval_on`` ('test' = held-out ts >= cutoff, 'train' = in-sample).
+    Returns (series, ts, value, target, pred, baseline)."""
     base = lead_targets(df, value_col, [horizon], ts_col=ts_col, series_col=series_col, trim=True)
     target = f"target_h{horizon}"
     cutoff = F.lit(train_end).cast("timestamp")
@@ -40,9 +42,9 @@ def ar1_fit_predict(
         F.regr_slope(F.col(target), F.col(value_col)).alias("slope"),
         F.regr_intercept(F.col(target), F.col(value_col)).alias("intercept"),
     )
-    test = base.filter(F.col(ts_col) >= cutoff)
+    scored = train if eval_on == "train" else base.filter(F.col(ts_col) >= cutoff)
     return (
-        test.join(F.broadcast(coeffs), series_col)
+        scored.join(F.broadcast(coeffs), series_col)
         .filter(F.col("slope").isNotNull())
         .withColumn("pred", F.col("intercept") + F.col("slope") * F.col(value_col))
         .withColumn("baseline", F.col(value_col))

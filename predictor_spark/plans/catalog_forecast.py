@@ -292,3 +292,71 @@ def metric_label_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("label", pat, 3).cast("int").alias("horizon"),
         F.round("v", 6).alias("value"),
     )
+
+
+@query(
+    "w14_exact_log_return",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN ts < TIMESTAMP '{_CUTOFF}' THEN 'train' ELSE 'test' END AS split
+        FROM events
+    ), feat AS (
+        SELECT event_id, split,
+               coalesce(ln(1 + greatest(value, 0))
+                        - lag(ln(1 + greatest(value, 0))) OVER (PARTITION BY user_id ORDER BY ts),
+                        ln(1 + greatest(value, 0))) AS lr
+        FROM base
+    ), stats AS (
+        SELECT avg(lr) AS m,
+               CASE WHEN abs(stddev_samp(lr)) < 1e-8 THEN 1.0 ELSE stddev_samp(lr) END AS s
+        FROM feat WHERE split = 'train'
+    )
+    SELECT event_id, round((lr - m) / s, 6) AS log_return
+    FROM feat, stats
+    """,
+)
+def w14_exact_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — the "exact STL method" feature (phase2_6_preprocessor.py:
+    318-359): log1p(max(0,x)) -> first diff (pandas prepend semantics) ->
+    z-score fit on the TRAIN slice only."""
+    from predictor_spark.operators.transforms import exact_stl_log_return_feature
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "split",
+        F.when(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"), "train").otherwise("test"),
+    )
+    out = exact_stl_log_return_feature(ev, "value", series_col="user_id")
+    return out.select("event_id", F.round("log_return", 6).alias("log_return"))
+
+
+@query("w15_fft_features")  # no SQL oracle: FFT is not ANSI-SQL-expressible
+def w15_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — causal FFT magnitudes of the diffed trailing window
+    (phase2_6_preprocessor.py:200-294) via applyInPandas per series.
+    Driver records a rows-only check; the numpy differential test lives in
+    tests/test_transforms_spectral_stl.py."""
+    from predictor_spark.operators.spectral import fft_window_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = fft_window_features(ev, window_size=16, n_components=4)
+    return out.select(
+        "user_id", "ts", *[F.round(f"fft_{k}", 6).alias(f"fft_{k}") for k in range(4)]
+    )
+
+
+@query("stl_per_series")  # no SQL oracle: iterative decomposition per series
+def stl_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — per-series STL-style decomposition via applyInPandas
+    (statsmodels when present, classical fallback otherwise). The W8
+    recomposition identity (value == trend+seasonal+resid) is asserted in
+    tests; the windows-only SQL variant with a full oracle is
+    stl_decompose_hourly."""
+    from predictor_spark.operators.stl import stl_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    out = stl_decompose(ev, period=24)
+    return out.select(
+        "user_id", "ts",
+        *[F.round(c, 6).alias(c) for c in ("value", "trend", "seasonal", "resid")],
+    )

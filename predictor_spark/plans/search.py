@@ -1,0 +1,144 @@
+"""Hyperparameter search fan-out — the M4 slice (SURVEY §2.11 / §3.2).
+
+The reference's GA/NEAT optimizers evaluate candidates in subprocesses
+(optimizer_plugins/default_optimizer.py:439-571: one process per candidate
+for crash/memory isolation, fitness parsed back from JSON). The Spark
+analog keeps the driver-side generational loop (inherently sequential
+across generations) but evaluates each GENERATION's candidates as
+concurrent Spark jobs via a thread pool — executor task isolation replaces
+subprocess isolation, and a crashed candidate maps to inf fitness exactly
+like the reference.
+
+Fitness mirrors candidate_worker.py:344-359:
+    0.4*(train_mae - train_naive) + 0.6*(val_mae - val_naive)
+    + penalty: +delta if train_delta > 0, +2*delta if val_delta > 0
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def candidate_fitness(train_mae: float, train_naive: float,
+                      val_mae: float, val_naive: float) -> float:
+    """GA fitness A12 (candidate_worker.py:344-359)."""
+    train_delta = train_mae - train_naive
+    val_delta = val_mae - val_naive
+    fitness = 0.4 * train_delta + 0.6 * val_delta
+    if train_delta > 0:
+        fitness += train_delta
+    if val_delta > 0:
+        fitness += 2 * val_delta
+    return fitness
+
+
+@dataclass
+class SearchResult:
+    best_params: dict
+    best_fitness: float
+    history: list[dict] = field(default_factory=list)
+
+
+def evaluate_candidates(
+    candidates: Sequence[dict],
+    evaluate: Callable[[dict], float],
+    max_parallel: int = 8,
+) -> list[float]:
+    """Evaluate one generation concurrently. Each callable launches its own
+    Spark jobs (Spark schedules them FIFO across the shared executors —
+    the cluster-level analog of the reference's subprocess pool). A raised
+    exception -> inf fitness (default_optimizer.py:560-574 crash rule)."""
+    def safe(params: dict) -> float:
+        try:
+            return float(evaluate(params))
+        except Exception:  # noqa: BLE001 - crash isolation, like the reference
+            return math.inf
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        return list(pool.map(safe, candidates))
+
+
+def grid_search(
+    grid: Sequence[dict],
+    evaluate: Callable[[dict], float],
+    max_parallel: int = 8,
+    patience: int | None = None,
+) -> SearchResult:
+    """Deterministic grid/staged search with optional early stopping on
+    no-improvement patience (default_optimizer.py:595-715 champion
+    tracking)."""
+    best_p: dict = {}
+    best_f = math.inf
+    history: list[dict] = []
+    stale = 0
+    batch = max(1, max_parallel)
+    for i in range(0, len(grid), batch):
+        gen = list(grid[i:i + batch])
+        fits = evaluate_candidates(gen, evaluate, max_parallel)
+        for params, fit in zip(gen, fits):
+            history.append({"params": params, "fitness": fit})
+            if fit < best_f:
+                best_f, best_p, stale = fit, params, 0
+            else:
+                stale += 1
+        if patience is not None and stale >= patience:
+            break
+    return SearchResult(best_p, best_f, history)
+
+
+def ar_lag_search(
+    spark: SparkSession,
+    df: DataFrame,
+    lags: Sequence[int] = (1, 2, 3, 6),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    val_end: str = "2024-01-27 00:00:00",
+    max_parallel: int = 4,
+) -> SearchResult:
+    """Concrete search: choose the AR horizon-lag minimizing the reference
+    fitness on train/val slices. Each candidate = one AR(1) fit+score
+    program (two aggregate passes); candidates run as parallel Spark jobs."""
+    from predictor_spark.plans.ar_model import ar1_fit_predict
+
+    df = df.select(series_col, ts_col, value_col).cache()
+    df.count()  # materialize once; every candidate reuses the cached input
+
+    def evaluate(params: dict) -> float:
+        h = int(params["lag"])
+        scored = ar1_fit_predict(df, value_col=value_col, ts_col=ts_col,
+                                 series_col=series_col, train_end=train_end, horizon=h)
+        scored = scored.withColumn(
+            "slice",
+            F.when(F.col(ts_col) < F.lit(val_end).cast("timestamp"), "val").otherwise("holdout"),
+        )
+        t, p, b = F.col(f"target_h{h}"), F.col("pred"), F.col("baseline")
+        row = {
+            r["slice"]: r
+            for r in scored.groupBy("slice").agg(
+                F.avg(F.abs(p - t)).alias("mae"), F.avg(F.abs(b - t)).alias("naive"),
+            ).collect()
+        }
+        val = row.get("val")
+        if val is None:
+            return math.inf
+        # train metrics: same coefficients scored in-sample
+        train_scored = ar1_fit_predict(
+            df, value_col=value_col, ts_col=ts_col, series_col=series_col,
+            train_end=train_end, horizon=h, eval_on="train",
+        )
+        tr = train_scored.agg(
+            F.avg(F.abs(F.col("pred") - F.col(f"target_h{h}"))).alias("mae"),
+            F.avg(F.abs(F.col("baseline") - F.col(f"target_h{h}"))).alias("naive"),
+        ).collect()[0]
+        tr_mae = tr["mae"] if tr["mae"] is not None else math.inf
+        tr_naive = tr["naive"] if tr["naive"] is not None else 0.0
+        return candidate_fitness(tr_mae, tr_naive, val["mae"], val["naive"])
+
+    return grid_search([{"lag": int(k)} for k in lags], evaluate, max_parallel=max_parallel)

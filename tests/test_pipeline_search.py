@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from predictor_spark.plans.pipeline import run_forecast_pipeline
+from predictor_spark.plans.search import ar_lag_search, candidate_fitness, grid_search
+from predictor_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_persistence_end_to_end(spark):
+    ev = load_table(spark, SF, "events")
+    out = run_forecast_pipeline(
+        spark, ev,
+        {"target_column": "value", "series_column": "user_id",
+         "predicted_horizons": [1, 3], "train_end": "2024-01-22 00:00:00"},
+    )
+    results = out["results"].toPandas().set_index("Metric")
+    # persistence: MAE == Naive MAE for every split/horizon label
+    for label in results.index:
+        if "MAE" in label and "Naive" not in label:
+            naive = label.replace("MAE", "Naive MAE")
+            assert results.loc[label, "Average"] == pytest.approx(results.loc[naive, "Average"])
+    assert {"Train MAE H1", "Test MAE H3"} <= set(results.index)
+
+
+def test_pipeline_ar1_beats_persistence(spark):
+    ev = load_table(spark, SF, "events")
+    cfg = {"target_column": "value", "series_column": "user_id",
+           "predicted_horizons": [1], "predictor": "ar1",
+           "train_end": "2024-01-22 00:00:00"}
+    out = run_forecast_pipeline(spark, ev, cfg)
+    res = out["results"].toPandas().set_index("Metric")
+    assert res.loc["Test MAE H1", "Average"] < res.loc["Test Naive MAE H1", "Average"]
+
+
+def test_pipeline_ar1_requires_cutoff(spark):
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="train_end"):
+        run_forecast_pipeline(spark, ev, {"predictor": "ar1", "series_column": "user_id"})
+
+
+def test_candidate_fitness_reference_formula():
+    # beats naive on both splits: plain weighted deltas, negative
+    assert candidate_fitness(0.9, 1.0, 0.8, 1.0) == pytest.approx(0.4 * -0.1 + 0.6 * -0.2)
+    # worse than naive on val: + 2x val penalty
+    f = candidate_fitness(0.9, 1.0, 1.2, 1.0)
+    assert f == pytest.approx(0.4 * -0.1 + 0.6 * 0.2 + 2 * 0.2)
+
+
+def test_grid_search_crash_isolation():
+    def evaluate(params):
+        if params["x"] == 2:
+            raise RuntimeError("candidate crashed")
+        return params["x"] ** 2
+
+    res = grid_search([{"x": x} for x in (-3, 2, 1)], evaluate, max_parallel=3)
+    assert res.best_params == {"x": 1}
+    crashed = [h for h in res.history if h["params"]["x"] == 2][0]
+    assert math.isinf(crashed["fitness"])  # crash -> inf, like the reference
+
+
+def test_ar_lag_search_runs(spark):
+    ev = load_table(spark, SF, "events")
+    res = ar_lag_search(spark, ev, lags=(1, 3), max_parallel=2)
+    assert res.best_params["lag"] in (1, 3)
+    assert len(res.history) == 2
+    assert all(math.isfinite(h["fitness"]) for h in res.history)

@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from predictor_spark.sources import csv_compat, sinks
+from predictor_spark.sources.olap import StarSchemaWarehouse
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text(
+        "DATE_TIME,CLOSE,VOL\n"
+        "2024-01-01 00:00:00,1.5,10\n"
+        "2024-01-01 01:00:00,not_a_number,20\n"
+        "2024-01-01 02:00:00,1.7,\n"
+    )
+    return tmp_path
+
+
+def test_load_csv_compat_coercions(spark, csv_dir):
+    df = csv_compat.load_csv(spark, str(csv_dir / "d.csv"), headers=True)
+    pdf = df.orderBy("DATE_TIME").toPandas()
+    assert list(pdf.columns) == ["DATE_TIME", "CLOSE", "VOL"]
+    # NaN -> 0 compat (data_handler.py:62-64)
+    assert pdf["CLOSE"].tolist() == pytest.approx([1.5, 0.0, 1.7])
+    assert pdf["VOL"].tolist() == pytest.approx([10.0, 20.0, 0.0])
+    assert str(pdf["DATE_TIME"].dtype).startswith("datetime64")
+
+
+def test_load_csv_headerless_and_limit(spark, tmp_path):
+    p = tmp_path / "h.csv"
+    p.write_text("1,2\n3,4\n5,6\n")
+    df = csv_compat.load_csv(spark, str(p), headers=False, max_rows=2)
+    assert df.columns == ["col_0", "col_1"]
+    assert df.count() == 2
+
+
+def test_split_family_and_auto_recovery(spark, csv_dir):
+    # JSON auto-recovery: passing a config JSON where a CSV belongs pulls
+    # the embedded path out (helpers.py:23-57)
+    cfg_path = csv_dir / "oops.json"
+    cfg_path.write_text(json.dumps({"x_train_file": str(csv_dir / "d.csv")}))
+    dfs = csv_compat.load_split_family(
+        spark,
+        {"x_train_file": str(cfg_path), "x_test_file": str(csv_dir / "d.csv"), "max_steps_train": 2},
+    )
+    assert set(dfs) == {"x_train_df", "x_test_df"}
+    assert dfs["x_train_df"].count() == 2  # max_steps cap
+    stacked = csv_compat.stack_splits(dfs)
+    assert stacked.select("split").distinct().count() == 2
+
+
+def test_split_family_rejects_bad_extension(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported extension"):
+        csv_compat.load_split_family(spark, {"x_train_file": str(tmp_path / "x.parquet")})
+
+
+def test_predictions_and_uncertainty_frames(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0, 1.1, 1.2, 0.1, 1.05, 1.15, 0.2)],
+        "DATE_TIME string, test_CLOSE double, target_h1 double, pred_h1 double, unc_h1 double, "
+        "target_h3 double, pred_h3 double, unc_h3 double",
+    )
+    preds = sinks.predictions_frame(df, [1, 3])
+    assert preds.columns == ["DATE_TIME", "test_CLOSE", "Target_H1", "Prediction_H1", "Target_H3", "Prediction_H3"]
+    unc = sinks.uncertainties_frame(df, [1, 3])
+    assert unc.columns == ["DATE_TIME", "Uncertainty_H1", "Uncertainty_H3"]
+
+
+def test_results_frame_labels(spark):
+    rows = [("train", "MAE", 1, 0.5, 0), ("train", "MAE", 1, 0.7, 1), ("test", "Naive MAE", 3, 0.9, 0)]
+    df = spark.createDataFrame(rows, "split string, metric string, horizon int, value double, iteration int")
+    out = sinks.results_frame(df).orderBy("Metric").toPandas()
+    assert out["Metric"].tolist() == ["Test Naive MAE H3", "Train MAE H1"]
+    row = out[out["Metric"] == "Train MAE H1"].iloc[0]
+    assert row["Average"] == pytest.approx(0.6)
+    assert row["Min"] == pytest.approx(0.5)
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = str(tmp_path / "out_csv")
+    sinks.write_csv(df, out, single_file=True, order_by="id")
+    back = spark.read.csv(out, header=True)
+    assert back.count() == 2
+    assert len([f for f in os.listdir(out) if f.endswith(".csv")]) == 1
+
+
+def test_star_schema_upsert_idempotent(spark, tmp_path):
+    wh = StarSchemaWarehouse(spark, str(tmp_path / "wh"))
+    results = spark.createDataFrame(
+        [("Train MAE H1", 0.5, 0.1, 0.4, 0.6), ("Test R2 H3", 0.9, 0.0, 0.9, 0.9)],
+        "Metric string, Average double, `Std Dev` double, Min double, Max double",
+    )
+    wh.load_results(results, "proj", "phase1", "exp1")
+    wh.load_results(results, "proj", "phase1", "exp1")  # idempotent re-run
+    facts = wh.query("SELECT * FROM fact_performance")
+    assert facts.count() == 2  # no duplicates after double load
+    parsed = facts.filter("split = 'Train'").collect()[0]
+    assert parsed["metric"] == "MAE" and parsed["horizon"] == 1
+    # updated values win (MERGE semantics)
+    results2 = spark.createDataFrame(
+        [("Train MAE H1", 0.42, 0.1, 0.4, 0.6)],
+        "Metric string, Average double, `Std Dev` double, Min double, Max double",
+    )
+    wh.load_results(results2, "proj", "phase1", "exp1")
+    v = wh.query("SELECT avg_value FROM fact_performance WHERE split='Train'").collect()[0][0]
+    assert v == pytest.approx(0.42)
+    assert wh.query("SELECT count(*) AS n FROM dim_experiment").collect()[0]["n"] == 1

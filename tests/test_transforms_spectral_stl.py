@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from predictor_spark.operators import spectral, stl, transforms
+
+
+def _series_df(spark, values, user=1):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(user, t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_infer_roles():
+    roles = transforms.infer_roles(
+        ["CLOSE", "ema_24", "hod", "hod_sin", "CUSTOM"], target_col=None, excluded=["CUSTOM"]
+    )
+    assert roles == {
+        "CLOSE": "log_returns", "ema_24": "first_diff", "hod": "cyclic",
+        "hod_sin": "preserve", "CUSTOM": "preserve",
+    }
+
+
+def test_anti_naive_lock_in_place(spark):
+    df = _series_df(spark, [1.0, 2.0, 4.0]).withColumn("trend_x", F.col("value") * 2)
+    roles = {"value": "log_returns", "trend_x": "first_diff"}
+    out = transforms.anti_naive_lock(df, roles, series_col="user_id").orderBy("ts").toPandas()
+    assert out["value"].tolist() == pytest.approx([0.0, np.log(2.0), np.log(2.0)])
+    assert out["trend_x"].tolist() == pytest.approx([0.0, 2.0, 4.0])
+
+
+def test_exact_stl_log_return_feature(spark):
+    df = _series_df(spark, [1.0, 2.0, 3.0, 4.0]).withColumn(
+        "split", F.when(F.col("value") <= 3.0, "train").otherwise("test")
+    )
+    out = transforms.exact_stl_log_return_feature(
+        df, "value", series_col="user_id"
+    ).orderBy("ts").toPandas()
+    # raw feature: [log1p(1), log1p(2)-log1p(1), ...] then z-scored on train
+    lp = np.log1p([1.0, 2.0, 3.0, 4.0])
+    raw = np.concatenate([[lp[0]], np.diff(lp)])
+    tr = raw[:3]
+    z = (raw - tr.mean()) / tr.std(ddof=1)
+    assert out["log_return"].tolist() == pytest.approx(z.tolist())
+
+
+def test_fft_features_match_numpy(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 1, 60)
+    w, nc = 16, 4
+    out = (
+        spectral.fft_window_features(_series_df(spark, vals), window_size=w, n_components=nc)
+        .orderBy("ts").toPandas()
+    )
+    assert len(out) == 60 - w
+    # oracle for the first emitted tick t=w: window vals[0:w]
+    d = np.diff(vals[:w])
+    mags = np.abs(np.fft.rfft(d))[:nc]
+    mags = mags / mags.sum()
+    got = out.iloc[0][[f"fft_{k}" for k in range(nc)]].to_numpy(dtype=float)
+    np.testing.assert_allclose(got, mags, rtol=1e-10)
+
+
+def test_stl_decompose_identity_and_seasonality(spark):
+    # synthetic: trend + strong period-8 seasonality
+    n, period = 120, 8
+    t = np.arange(n)
+    vals = 0.05 * t + 3.0 * np.sin(2 * np.pi * t / period)
+    out = (
+        stl.stl_decompose(_series_df(spark, vals), period=period)
+        .orderBy("ts").toPandas()
+    )
+    # W8 identity: value == trend + seasonal + resid (exact by construction)
+    recomposed = out["trend"] + out["seasonal"] + out["resid"]
+    np.testing.assert_allclose(recomposed, out["value"], rtol=1e-12)
+    # seasonal captures most of the oscillation away from the edges
+    mid = out.iloc[period:-period]
+    assert mid["seasonal"].std() > 1.5
+    assert mid["resid"].abs().mean() < 0.8
+
+
+def test_stl_recompose_uncertainty(spark):
+    df = spark.createDataFrame([(3.0, 4.0)], "u1 double, u2 double")
+    out = stl.recompose_uncertainty(df, ["u1", "u2"]).collect()[0]
+    assert out["uncertainty"] == pytest.approx(5.0)
+
+
+def test_fft_short_series_empty(spark):
+    out = spectral.fft_window_features(_series_df(spark, [1.0, 2.0]), window_size=16)
+    assert out.count() == 0
