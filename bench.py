@@ -20,16 +20,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # forecast core (the reference's own query shapes)
     "flagship_persistence_metrics",
+    "ar1_train_eval",
+    "w9_log_returns",
+    "w5_lead_targets",
+    "w20_rolling_stats",
+    "w15_fft_features",
+    # relational core
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_nation_revenue",
     "topk_parts_per_brand",
-    "w9_log_returns",
-    "w5_lead_targets",
-    "w20_rolling_stats",
     "sessionize_counts",
     "json_props_extract",
+    # LLM-data-pipeline extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "text_quality_score",
 ]
 
 

@@ -144,7 +144,13 @@ def minhash_lsh_pairs(
     the ALGORITHM, while ngram_jaccard_pairs checks the semantics)."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    hashed = sh.withColumn("h", portable_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh_{k}")
+        for k, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
 
     band_structs = F.array(*[
         F.struct(
@@ -163,11 +169,28 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # exact-Jaccard verify on CANDIDATES ONLY (the whole point of LSH:
+    # never touch non-candidate pairs). cands ⋈ shingles(a) ⋈ shingles(b)
+    # costs |candidate pairs| x shingles-per-doc, not |docs|^2.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

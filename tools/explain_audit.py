@@ -1,0 +1,96 @@
+"""Plan audit — verifies the physical plans have the shape we designed for
+100 TB: filters/projections pushed into the parquet scan, dims broadcast,
+window families sharing one WindowExec, codegen coverage.
+
+Usage: python tools/explain_audit.py [query ...]
+Prints one summary line per query + any violations of the expectations
+table below. Not a correctness gate — a design-review tool.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from predictor_spark.session import get_spark  # noqa: E402
+
+#: per-query expectations: substrings that MUST appear / MUST NOT appear
+EXPECT: dict[str, dict[str, list[str]]] = {
+    "q1_pricing_summary": {
+        "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
+                 "partial_"],  # map-side partial aggregation
+        "not": [],
+    },
+    "q3_top_orders": {
+        "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "not": ["CartesianProduct"],
+    },
+    "q5_region_nation_revenue": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "w5_lead_targets": {
+        # all horizon leads must share ONE window exec (one sort pass)
+        "must": [],
+        "not": [],
+        "max_window_execs": 1,
+    },
+    "flagship_persistence_metrics": {
+        "must": ["partial_"],
+        "not": [],
+        "max_window_execs": 1,
+    },
+    "w9_log_returns": {"must": [], "not": [], "max_window_execs": 1},
+    "topk_parts_per_brand": {"must": ["BroadcastHashJoin"], "not": []},
+    "knn_cosine_bruteforce": {"must": ["BroadcastNestedLoopJoin"], "not": []},
+}
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("explain_audit")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf_dir = "/root/testdata/sf0.01"
+    failures = 0
+    for name, exp in EXPECT.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        probs = []
+        for s in exp.get("must", []):
+            if s not in plan:
+                probs.append(f"missing: {s}")
+        for s in exp.get("not", []):
+            if s in plan:
+                probs.append(f"forbidden: {s}")
+        if "max_window_execs" in exp:
+            n = len(re.findall(r"\bWindow\b", plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]))
+            # formatted mode lists each operator once in the tree section
+            n = plan.count("Window [")
+            if n > exp["max_window_execs"]:
+                probs.append(f"{n} WindowExec nodes (max {exp['max_window_execs']})")
+        # scan width: ReadSchema column count for parquet scans
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        widths = [len(s.split(",")) if s else 0 for s in scans]
+        # under AQE the pre-execution plan hides codegen stage markers;
+        # report AQE + exchange count instead (shuffle budget per query)
+        n_exchange = plan.count("Exchange")
+        aqe = "AdaptiveSparkPlan" in plan
+        status = "FAIL" if probs else "OK  "
+        if probs:
+            failures += 1
+        print(f"{status} {name}: scans={widths} exchanges={n_exchange} aqe={aqe}")
+        for p in probs:
+            print(f"      {p}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
