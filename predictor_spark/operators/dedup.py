@@ -58,8 +58,14 @@ def exact_dedup(
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct n-gram shingles."""
-    return df.select(
+    """(id, shingle) exploded distinct n-gram shingles.
+
+    Repartitions by id first: a small parquet file arrives as ONE input
+    split, which would serialize the CPU-heavy tokenize+explode on a
+    single core; the cheap pre-shuffle (doc ids + text only) spreads it
+    across the cluster and co-locates each doc's shingles for the
+    downstream per-doc aggregates."""
+    return df.select(id_col, text_col).repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
 
@@ -145,6 +151,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
     sh = shingle_sets(df, id_col, text_col, n).cache()
+    # materialize the cache NOW: four downstream branches (signatures,
+    # sizes, both verify sides) otherwise race to compute it concurrently
+    # inside one job and each re-runs the tokenize+explode
+    sh.count()
     hashed = sh.withColumn("h", portable_hash(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh_{k}")
@@ -208,7 +218,9 @@ def simhash(
     explode cheap; production uses xxhash64 + 64 bits via bitwise aggs."""
     from predictor_spark.operators.text import tokens_col
 
-    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    toks = df.select(id_col, text_col).repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
+    )
     toks = toks.withColumn("h", portable_hash(F.col("tok")))
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     bitsdf = toks.select(id_col, "h", bit_idx)

@@ -79,6 +79,9 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
             yield out
 
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
     return df.select(id_col, "payload").mapInPandas(extract, schema)
 
 

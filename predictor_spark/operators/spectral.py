@@ -59,4 +59,18 @@ def fft_window_features(
             out[f"fft_{k}"] = mags[:, k]
         return out
 
-    return df.select(series_col, ts_col, value_col).groupBy(series_col).applyInPandas(per_series, schema)
+    # explicit repartition by the series key: groupBy alone lets AQE
+    # coalesce the tiny shuffle to ~1 partition, serializing ALL the
+    # Python FFT work in one worker. The explicit hash partitioning is
+    # reused by applyInPandas (same key, no second exchange) and pins the
+    # parallelism to the worker count.
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(series_col, ts_col, value_col)
+        .repartition(n_parts, series_col)
+        .groupBy(series_col)
+        .applyInPandas(per_series, schema)
+    )

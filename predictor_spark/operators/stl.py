@@ -81,7 +81,19 @@ def stl_decompose(
         out["trend"], out["seasonal"], out["resid"] = t, s, r
         return out
 
-    return df.select(series_col, ts_col, value_col).groupBy(series_col).applyInPandas(per_series, schema)
+    # explicit repartition by series: prevents AQE from coalescing the
+    # shuffle to 1 partition and serializing the Python work (see
+    # spectral.py); the hash partitioning is reused by applyInPandas.
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(series_col, ts_col, value_col)
+        .repartition(n_parts, series_col)
+        .groupBy(series_col)
+        .applyInPandas(per_series, schema)
+    )
 
 
 def stl_recompose(df: DataFrame, out_col: str = "recomposed") -> DataFrame:
