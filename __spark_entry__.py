@@ -33,7 +33,7 @@ def _load_catalog():
     import predictor_spark.plans.catalog_text  # noqa: F401
 
     for mod in ("catalog_streaming", "catalog_multimodal", "catalog_forecast",
-                "catalog_analytics", "catalog_mllib"):
+                "catalog_analytics", "catalog_mllib", "catalog_parity"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

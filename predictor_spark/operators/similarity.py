@@ -92,6 +92,100 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
     return F.concat(*bits)
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    n_planes: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (BASELINE.json dedup
+    family): all unordered pairs (a < b) with cosine >= ``threshold``,
+    candidate-blocked by hyperplane-LSH signature so the corpus is never
+    fully cross-joined.
+
+    Scale: the self-join shuffles the corpus ONCE by signature bucket;
+    pair generation and the exact-cosine filter run per bucket. With
+    ``n_planes`` planes the candidate set shrinks ~2^n_planes-fold at the
+    cost of recall on far-apart near-dups (raise n_planes for tighter
+    thresholds — higher cosine => higher same-bucket probability). Output:
+    (vec_id_a, vec_id_b, cosine).
+    """
+    c = emb.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
+    c = c.withColumn("sig", hyperplane_signature(F.col("v"), n_planes, dim)).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    a = c.select(F.col("vid").alias("vec_id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "sig")
+    b = c.select(F.col("vid").alias("vec_id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: a small deterministic coarse quantizer
+    (the ``n_centroids`` lowest-id corpus vectors stand in for k-means
+    centroids — engine-reproducible without RNG) partitions the corpus into
+    inverted lists; each query probes only its nearest centroid's list and
+    reranks exactly within it.
+
+    Scale: centroids broadcast to both sides, so list assignment is
+    map-side; the only shuffle is the corpus hash-partitioned by centroid
+    id (its natural storage layout for repeated querying). Probing 1 of C
+    lists scans ~1/C of the corpus per query. Recall < 1 near list
+    boundaries, as with any IVF(nprobe=1).
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), as_double_vec(vec_col).alias("cent_v")
+    ).withColumn("cent_n", _norm(F.col("cent_v")))
+
+    def assign(side: DataFrame, vid: str, v: str, n: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents))
+        cos = _dot(F.col(v), F.col("cent_v")) / (F.col(n) * F.col("cent_n"))
+        scored = scored.withColumn("__acos", F.round(cos, 6))
+        w = Window.partitionBy(vid).orderBy(F.col("__acos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("__r", "__acos", "cent_v", "cent_n")
+        )
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv"))
+    q = assign(q.withColumn("qn", _norm(F.col("qv"))), "query_id", "qv", "qn")
+    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv"))
+    c = assign(c.withColumn("cn", _norm(F.col("cv"))), "neighbor_id", "cv", "cn")
+
+    pairs = c.join(F.broadcast(q), "cent_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = pairs.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cent_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

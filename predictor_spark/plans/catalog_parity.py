@@ -1,0 +1,523 @@
+"""Catalog part 7 — remaining SURVEY §2 parity rows and similarity-scale
+paths: W3 single-step windows, W12 anti-naive-lock dispatch, W16 alignment
+trim, W7/W8 STL lead-targets + recomposition, N2-N4 normalization family,
+A12 GA fitness, S10 star-schema upsert semantics, embedding near-dup and
+IVF ANN (BASELINE.json north-star ops).
+
+Same conventions as catalog.py: identical aliases both sides, in-query
+rounding, integer/string keys, scale notes per docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.operators import normalize as norm, similarity, temporal
+from predictor_spark.operators.transforms import anti_naive_lock, infer_roles
+from predictor_spark.plans.catalog import query, _t
+
+_CUTOFF = "2024-01-22 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# W3 — univariate single-step window (data_processor.py:44-76)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w3_single_step_window",
+    oracle="""
+    SELECT event_id, w AS window, target FROM (
+        SELECT event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w,
+               lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS target,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ) WHERE rn >= 4 AND target IS NOT NULL
+    """,
+)
+def w3_single_step_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — univariate window data[i:i+w] with single-step target
+    data[i+w+h-1], date = last input step (app/data_processor.py:44-76;
+    duplicate default_preprocessor.py:66-95). Composes W1 tensorization
+    with one lead: both share the per-series window spec, so Catalyst
+    plans ONE sort + WindowExec for tensor, lead and row-number together —
+    the per-row Python loop of the reference becomes a single pass.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
+    out = out.withColumn("target", F.lead("value", 2).over(w)).filter(F.col("target").isNotNull())
+    return out.select(
+        "event_id",
+        F.transform("window", lambda r: F.element_at(r, 1)).alias("window"),
+        "target",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W12 — anti-naive-lock per-column dispatch (anti_naive_lock.py:53-130)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w12_anti_naive_lock",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               value            AS close,
+               value + 10.0     AS price_x,
+               value            AS trend_x,
+               CAST(hour(ts) AS DOUBLE) AS hod
+        FROM events
+    )
+    SELECT event_id,
+           round(close, 6) AS close,
+           round(CASE WHEN lag(price_x) OVER w > 0 AND price_x > 0
+                      THEN ln(price_x / lag(price_x) OVER w) ELSE 0.0 END, 6) AS price_x,
+           round(coalesce(trend_x - lag(trend_x) OVER w, 0.0), 6) AS trend_x,
+           round(sin(2 * pi() * hod / 24.0), 6) AS hod_sin,
+           round(cos(2 * pi() * hod / 24.0), 6) AS hod_cos
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def w12_anti_naive_lock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — the anti-naive-lock dispatcher: per-column transform chosen by
+    name category (anti_naive_lock.py:53-130) — target preserved, price-like
+    -> guarded log-returns, trend-like -> first difference, cyclic -> sin/cos.
+    All windowed transforms share one spec -> one sort, one WindowExec;
+    the cyclic encodes are pure map-side codegen."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("close"),
+        (F.col("value") + F.lit(10.0)).alias("price_x"),
+        F.col("value").alias("trend_x"),
+        F.hour("ts").cast("double").alias("hod"),
+    )
+    roles = infer_roles(["close", "price_x", "trend_x", "hod"], target_col="close")
+    out = anti_naive_lock(base, roles, series_col="user_id")
+    return out.select(
+        "event_id",
+        F.round("close", 6).alias("close"),
+        F.round("price_x", 6).alias("price_x"),
+        F.round("trend_x", 6).alias("trend_x"),
+        F.round("hod_sin", 6).alias("hod_sin"),
+        F.round("hod_cos", 6).alias("hod_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W16 — alignment / trim as key-joins (stl_io.py:29-36; SURVEY §7 J1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w16_align_trim",
+    oracle="""
+    WITH preds AS (
+        SELECT event_id, user_id, ts, value AS pred FROM events WHERE event_id % 7 != 0
+    ),
+    tgts AS (
+        SELECT event_id, lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+        FROM events QUALIFY target IS NOT NULL
+    )
+    SELECT count(*) AS n_aligned,
+           round(avg(abs(pred - target)), 6) AS mae
+    FROM preds JOIN tgts USING (event_id)
+    """,
+)
+def w16_align_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16/J1 — the reference aligns predictions/targets/dates positionally
+    by truncating to min length (stl_metrics.py:50-63, stl_io.py:29-36);
+    the engine makes alignment EXPLICIT: an inner equi-join on the row key,
+    robust to either side having dropped rows. Here preds are missing every
+    7th row and targets lose each series tail — the join intersects both.
+    Scale: an equi-join on a unique integer key; sort-merge or (small side)
+    broadcast, no positional assumption to break on repartition."""
+    ev = _t(spark, sf_dir, "events")
+    preds = ev.filter(F.col("event_id") % 7 != 0).select("event_id", F.col("value").alias("pred"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tgts = (
+        ev.withColumn("target", F.lead("value", 1).over(w))
+        .filter(F.col("target").isNotNull())
+        .select("event_id", "target")
+    )
+    j = preds.join(tgts, "event_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_aligned"),
+        F.round(F.avg(F.abs(F.col("pred") - F.col("target"))), 6).alias("mae"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7/W8 — STL lead-targets + recomposition (stl_target.py:37-98,
+# stl_decomposition_pipeline.py:202-219)
+# ---------------------------------------------------------------------------
+
+_DECOMP_CTE = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, sum(value) AS v
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT hour, v,
+               avg(v) OVER (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+               row_number() OVER (ORDER BY hour) AS rn,
+               count(*) OVER () AS n
+        FROM hourly
+    ),
+    full_tr AS (SELECT * FROM tr WHERE rn >= 13 AND rn <= n - 12),
+    seas AS (
+        SELECT hour(hour) AS phase, avg(v - trend) AS seasonal
+        FROM full_tr GROUP BY 1
+    ),
+    comp AS (
+        -- components rounded to 6dp FIRST: the engine side leads the shared
+        -- (already-rounded) decomposition output, so the oracle must too
+        SELECT f.hour, round(f.trend, 6) AS trend, round(s.seasonal, 6) AS seasonal,
+               round(f.v - f.trend - s.seasonal, 6) AS resid
+        FROM full_tr f JOIN seas s ON hour(f.hour) = s.phase
+    )
+"""
+
+
+@query(
+    "w7_stl_lead_targets",
+    oracle=_DECOMP_CTE + """
+    SELECT hour,
+           round(t1, 6) AS trend_h1, round(s1, 6) AS seasonal_h1, round(r1, 6) AS resid_h1,
+           round(t1 + s1 + r1, 6) AS total_h1,
+           round(sqrt((0.05*t1)^2 + (0.05*s1)^2 + (0.05*r1)^2), 6) AS unc_h1
+    FROM (
+        SELECT hour,
+               lead(trend, 1)    OVER w AS t1,
+               lead(seasonal, 1) OVER w AS s1,
+               lead(resid, 1)    OVER w AS r1
+        FROM comp WINDOW w AS (ORDER BY hour)
+    ) WHERE t1 IS NOT NULL
+    """,
+)
+def w7_stl_lead_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 + W8 — per-horizon lead of each decomposition component
+    (stl_target.py:54-78) and the recomposition contract: prediction =
+    trend + seasonal + resid, uncertainty = sqrt(sum u_c^2)
+    (stl_decomposition_pipeline.py:202-219; per-component u_c stands in as
+    5% of the component so the oracle can replay it). The three component
+    leads share one window spec — one WindowExec, no extra shuffle beyond
+    the decomposition's own."""
+    from predictor_spark.plans.catalog_forecast import stl_decompose_hourly
+
+    comp = stl_decompose_hourly(spark, sf_dir)  # hour, trend, seasonal, resid (rounded 6dp)
+    # re-derive unrounded components would re-run the pipeline; the shared
+    # decomposition is already 6dp on both sides, so leads stay consistent
+    w = Window.orderBy("hour")
+    led = comp.select(
+        "hour",
+        F.lead("trend", 1).over(w).alias("t1"),
+        F.lead("seasonal", 1).over(w).alias("s1"),
+        F.lead("resid", 1).over(w).alias("r1"),
+    ).filter(F.col("t1").isNotNull())
+    u = lambda c: (F.lit(0.05) * F.col(c)) ** 2  # noqa: E731
+    return led.select(
+        "hour",
+        F.round("t1", 6).alias("trend_h1"),
+        F.round("s1", 6).alias("seasonal_h1"),
+        F.round("r1", 6).alias("resid_h1"),
+        F.round(F.col("t1") + F.col("s1") + F.col("r1"), 6).alias("total_h1"),
+        F.round(F.sqrt(u("t1") + u("s1") + u("r1")), 6).alias("unc_h1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2/N3/N4 — min-max round-trip, double-denorm guard, delta scaling
+# ---------------------------------------------------------------------------
+
+@query(
+    "n2_minmax_roundtrip",
+    oracle=f"""
+    WITH st AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events
+        WHERE ts < TIMESTAMP '{_CUTOFF}'
+    )
+    SELECT event_id,
+           round((value - mn) / (mx - mn), 6) AS norm,
+           round(((value - mn) / (mx - mn)) * (mx - mn) + mn, 6) AS denorm
+    FROM events, st
+    """,
+)
+def n2_minmax_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — min-max normalize + denormalize round trip, stats fit on the
+    TRAIN slice only (stl_norm.py:86-101; fit-on-train anti_naive_lock.py:
+    222-238). Stats are a 2-number broadcast literal — the normalize itself
+    is pure map-side codegen, scan-bound at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    stats = norm.fit_minmax(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), ["value"])
+    normed = norm.normalize(ev.select("event_id", "value"), stats).withColumnRenamed("value", "norm")
+    both = norm.denormalize(normed.withColumn("denorm", F.col("norm")), {"denorm": stats["value"]})
+    return both.select(
+        "event_id", F.round("norm", 6).alias("norm"), F.round("denorm", 6).alias("denorm")
+    )
+
+
+@query(
+    "n3_denorm_guard",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 4) AS mean_v,
+           round(stddev_samp(value), 4) AS std_v,
+           (abs(avg(value)) > 1.0 OR stddev_samp(value) > 10.0
+            OR stddev_samp(value) < 0.1) AS looks_denormalized
+    FROM events GROUP BY event_type
+    """,
+)
+def n3_denorm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — the double-denormalization guard: data "looks real" (skip
+    denorm) when its profile is far from N(0,1) (stl_norm.py:46-63). The
+    engine exposes the statistics and the decision declaratively per group
+    — one aggregation pass — instead of the reference's collect-and-branch;
+    production favors the explicit ``assume_normalized`` flag (SURVEY §7)."""
+    ev = _t(spark, sf_dir, "events")
+    m, s = F.avg("value"), F.stddev_samp("value")
+    return ev.groupBy("event_type").agg(
+        F.round(m, 4).alias("mean_v"),
+        F.round(s, 4).alias("std_v"),
+        ((F.abs(m) > 1.0) | (s > 10.0) | (s < 0.1)).alias("looks_denormalized"),
+    )
+
+
+@query(
+    "n4_delta_scaling",
+    oracle=f"""
+    WITH st AS (
+        SELECT CASE WHEN abs(stddev_samp(value)) < 1e-8 THEN 1.0
+                    ELSE stddev_samp(value) END AS s
+        FROM events WHERE ts < TIMESTAMP '{_CUTOFF}'
+    )
+    SELECT event_id,
+           round((lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) - value)
+                 * s * 0.5, 6) AS scaled_delta
+    FROM events, st
+    QUALIFY lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+    """,
+)
+def n4_delta_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 + N5 — delta/uncertainty columns scale by std WITHOUT the mean
+    offset (stl_norm.py:119-170), then the use_returns multiplicative
+    factor (default_pipeline.py:141-146; here 1/target_scaling_factor=0.5).
+    Composition of denormalize_delta and scale; both pure column math over
+    one window lead."""
+    ev = _t(spark, sf_dir, "events")
+    stats = norm.fit_zscore(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), ["value"])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    deltas = (
+        ev.withColumn("scaled_delta", F.lead("value", 1).over(w) - F.col("value"))
+        .filter(F.col("scaled_delta").isNotNull())
+    )
+    out = norm.denormalize_delta(deltas, {"scaled_delta": stats["value"]}, ["scaled_delta"])
+    out = norm.scale(out, ["scaled_delta"], 0.5)
+    return out.select("event_id", F.round("scaled_delta", 6).alias("scaled_delta"))
+
+
+# ---------------------------------------------------------------------------
+# A12 — GA candidate fitness (candidate_worker.py:344-359)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a12_ga_fitness",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{_CUTOFF}' THEN 'train' ELSE 'val' END AS split,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pred,
+               value AS naive_pred,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+        FROM events QUALIFY target IS NOT NULL
+    ),
+    m AS (
+        SELECT avg(CASE WHEN split = 'train' THEN abs(pred - target) END)       AS train_mae,
+               avg(CASE WHEN split = 'train' THEN abs(naive_pred - target) END) AS train_naive,
+               avg(CASE WHEN split = 'val' THEN abs(pred - target) END)         AS val_mae,
+               avg(CASE WHEN split = 'val' THEN abs(naive_pred - target) END)   AS val_naive
+        FROM scored
+    )
+    SELECT round(train_mae, 6) AS train_mae, round(train_naive, 6) AS train_naive,
+           round(val_mae, 6) AS val_mae, round(val_naive, 6) AS val_naive,
+           round(0.4 * (train_mae - train_naive) + 0.6 * (val_mae - val_naive)
+                 + CASE WHEN train_mae > train_naive THEN train_mae - train_naive ELSE 0 END
+                 + CASE WHEN val_mae > val_naive THEN 2 * (val_mae - val_naive) ELSE 0 END,
+                 6) AS fitness
+    FROM m
+    """,
+)
+def a12_ga_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — the GA fitness scalar: 0.4*train_delta + 0.6*val_delta with
+    asymmetric worse-than-naive penalties (+delta train, +2*delta val)
+    (candidate_worker.py:344-359). Candidate model = trailing-3 moving
+    average vs the persistence baseline; one window pass + one conditional
+    aggregation — the per-candidate cost that M4's fan-out parallelizes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    scored = (
+        ev.withColumn("split", F.when(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"),
+                                      "train").otherwise("val"))
+        .withColumn("pred", F.avg("value").over(w.rowsBetween(-2, 0)))
+        .withColumn("target", F.lead("value", 1).over(w))
+        .filter(F.col("target").isNotNull())
+    )
+    def mae(split: str, pred_col: str):
+        return F.avg(F.when(F.col("split") == split, F.abs(F.col(pred_col) - F.col("target"))))
+    m = scored.agg(
+        mae("train", "pred").alias("train_mae"),
+        mae("train", "value").alias("train_naive"),
+        mae("val", "pred").alias("val_mae"),
+        mae("val", "value").alias("val_naive"),
+    )
+    td = F.col("train_mae") - F.col("train_naive")
+    vd = F.col("val_mae") - F.col("val_naive")
+    fitness = (
+        F.lit(0.4) * td + F.lit(0.6) * vd
+        + F.when(td > 0, td).otherwise(F.lit(0.0))
+        + F.when(vd > 0, F.lit(2.0) * vd).otherwise(F.lit(0.0))
+    )
+    return m.select(
+        *[F.round(c, 6).alias(c) for c in ("train_mae", "train_naive", "val_mae", "val_naive")],
+        F.round(fitness, 6).alias("fitness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — star-schema upsert (latest-wins MERGE semantics,
+# etl_migrate_v2.py:274-298,489-511)
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_fact_upsert",
+    oracle=f"""
+    WITH batch1 AS (
+        SELECT 'Test' AS split, m.metric, h.horizon, 1 AS batch_id,
+               round(avg(value) * h.horizon, 6) AS avg_value
+        FROM events, (VALUES ('MAE'), ('Naive MAE')) m(metric),
+                     (VALUES (1), (3)) h(horizon)
+        WHERE ts < TIMESTAMP '{_CUTOFF}'
+        GROUP BY m.metric, h.horizon
+    ),
+    batch2 AS (
+        SELECT 'Test' AS split, m.metric, h.horizon, 2 AS batch_id,
+               round(avg(value) * h.horizon, 6) AS avg_value
+        FROM events, (VALUES ('MAE'), ('Naive MAE')) m(metric),
+                     (VALUES (3), (6)) h(horizon)
+        GROUP BY m.metric, h.horizon
+    )
+    SELECT split, metric, horizon, batch_id, avg_value
+    FROM (SELECT * FROM batch1 UNION ALL SELECT * FROM batch2)
+    QUALIFY row_number() OVER (PARTITION BY split, metric, horizon
+                               ORDER BY batch_id DESC) = 1
+    """,
+)
+def olap_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — fact_performance upsert keyed on (split, metric, horizon) with
+    ON CONFLICT DO UPDATE semantics (etl_migrate_v2.py:489-511): two metric
+    batches overlap on horizon 3 — batch 2 wins there, batch 1's horizon 1
+    survives. Declarative MERGE-as-window (latest batch per natural key);
+    the file-backed warehouse path with the same semantics is
+    sources/olap.py StarSchemaWarehouse.upsert (anti-join + append).
+    Scale: the dedup window shuffles only fact rows (|keys| scale), and a
+    real deployment swaps in Delta MERGE INTO keyed identically."""
+    ev = _t(spark, sf_dir, "events")
+
+    def batch(df: DataFrame, batch_id: int, horizons: list[int]) -> DataFrame:
+        avg_v = df.agg(F.avg("value").alias("v"))
+        rows = None
+        for metric in ("MAE", "Naive MAE"):
+            for h in horizons:
+                r = avg_v.select(
+                    F.lit("Test").alias("split"), F.lit(metric).alias("metric"),
+                    F.lit(h).alias("horizon"), F.lit(batch_id).alias("batch_id"),
+                    F.round(F.col("v") * h, 6).alias("avg_value"),
+                )
+                rows = r if rows is None else rows.unionAll(r)
+        return rows
+
+    b1 = batch(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), 1, [1, 3])
+    b2 = batch(ev, 2, [3, 6])
+    allb = b1.unionAll(b2)
+    w = Window.partitionBy("split", "metric", "horizon").orderBy(F.col("batch_id").desc())
+    return (
+        allb.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("split", "metric", "horizon", "batch_id", "avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + IVF ANN (BASELINE.json dedup / similarity-search)
+# ---------------------------------------------------------------------------
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def _sig_sql(side: str, n_planes: int = 2, dim: int = 64) -> str:
+    bits = []
+    for p in range(n_planes):
+        plane = f"list_transform(range(0, {dim}), d -> sin({1000.0 * (p + 1)} + d))"
+        bits.append(f"(CASE WHEN list_dot_product({side}, {plane}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cs AS (SELECT vec_id, v, {_sig_sql('v')} AS sig FROM c)
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+        FROM cs a JOIN cs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-signature-blocked self
+    join (operators/similarity.py cosine_near_dup_pairs). The corpus is
+    shuffled ONCE by bucket; no full cross join ever materializes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.42, n_planes=2, dim=64)
+
+
+def _ivf_oracle(n_centroids: int = 8, k: int = 5) -> str:
+    cos_cent = _COS.format(a="s.v", b="ct.v")
+    cos_pair = _COS.format(a="qa.v", b="ca.v")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v FROM c WHERE vec_id < {n_centroids}),
+    assign AS (
+        SELECT s.vec_id, ct.cent_id,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY round({cos_cent}, 6) DESC, ct.cent_id) AS r
+        FROM c s, cents ct
+    ),
+    a1 AS (SELECT vec_id, cent_id FROM assign WHERE r = 1),
+    qa AS (SELECT c.vec_id AS query_id, a1.cent_id, c.v
+           FROM c JOIN a1 USING (vec_id) WHERE c.vec_id < 10),
+    ca AS (SELECT c.vec_id AS neighbor_id, a1.cent_id, c.v
+           FROM c JOIN a1 USING (vec_id))
+    SELECT query_id, cent_id, neighbor_id, cosine, rank FROM (
+        SELECT qa.query_id, qa.cent_id, ca.neighbor_id,
+               round({cos_pair}, 6) AS cosine,
+               row_number() OVER (PARTITION BY qa.query_id
+                                  ORDER BY round({cos_pair}, 6) DESC, ca.neighbor_id) AS rank
+        FROM qa JOIN ca USING (cent_id)
+        WHERE ca.neighbor_id != qa.query_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("knn_cosine_ivf", oracle=_ivf_oracle())
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=1) approximate cosine top-5 for queries vec_id < 10:
+    deterministic coarse centroids (lowest 8 ids), map-side list
+    assignment via broadcast centroids, exact rerank inside the probed
+    list (operators/similarity.py ivf_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
