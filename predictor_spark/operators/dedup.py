@@ -106,6 +106,46 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh: array<string>) — per-doc distinct shingle ARRAY. Docs whose
+    text yields no shingle (fewer than n tokens) are dropped, matching the
+    explode-based formulation. Array-native on purpose: shingling stays
+    inside the projection (whole-stage codegen), so signature computation
+    needs NO shuffle at all — the explode+groupBy alternative shuffles
+    |docs| x |shingles| rows just to reduce them straight back to |docs|.
+
+    The one shuffle we DO keep: repartition the raw (id, text) rows by id
+    first. A small parquet file arrives as one input split, which would
+    serialize the md5-per-shingle work on a single core; the pre-shuffle
+    carries only raw text and pins parallelism to the cluster width."""
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(id_col, text_col)
+        .repartition(sc.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), shingles_col(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def _sig_array(sh_col, num_perm: int):
+    """array<bigint> MinHash signature of a shingle-array column.
+
+    The shingle hashes are LET-BOUND: ``F.array(hashes)`` evaluates the
+    md5 transform once, and the outer lambda receives the materialized
+    array as a variable, so all ``num_perm`` permutation mins share one
+    hash pass (16 sibling columns would each re-derive it — expression
+    trees have no implicit sharing across projection columns)."""
+    hashes = F.transform(sh_col, lambda s: portable_hash(s))
+
+    def mins(hs):
+        return F.array(*[
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD)))
+            for a, b in _perm_params(num_perm)
+        ])
+
+    return F.element_at(F.transform(F.array(hashes), mins), 1)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -115,17 +155,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig_k = min over shingles of (a_k*h + b_k) % MOD.
 
-    One explode + one groupBy with num_perm min() aggregates — linear in
-    corpus size, partial-aggregated map-side. h is the portable 28-bit
-    md5-prefix hash (swap portable_hash -> xxhash64 & a wider MOD for the
-    pure-scale path)."""
-    sh = shingle_sets(df, id_col, text_col, n)
-    sh = sh.withColumn("h", portable_hash(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh_{k}")
-        for k, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    Fully map-side: shingle -> 28-bit portable hash -> per-permutation
+    array_min, all array expressions inside one projection — zero shuffle,
+    scan-bound at 100 TB. (min over the distinct-shingle array equals min
+    over the exploded set.) Swap portable_hash -> xxhash64 & a wider MOD
+    for the pure-scale path."""
+    doc = _doc_shingles(df, id_col, text_col, n)
+    sig = doc.select(F.col(id_col), _sig_array(F.col("sh"), num_perm).alias("sig"))
+    # two-step projection on purpose: CollapseProject keeps the non-cheap
+    # sig expression un-inlined, so it evaluates once for all mh_k columns
+    return sig.select(
+        F.col(id_col), *[F.element_at("sig", k + 1).alias(f"mh_{k}") for k in range(num_perm)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -150,22 +191,17 @@ def minhash_lsh_pairs(
     the ALGORITHM, while ngram_jaccard_pairs checks the semantics)."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
-    sh = shingle_sets(df, id_col, text_col, n).cache()
-    # materialize the cache NOW: four downstream branches (signatures,
-    # sizes, both verify sides) otherwise race to compute it concurrently
-    # inside one job and each re-runs the tokenize+explode
-    sh.count()
-    hashed = sh.withColumn("h", portable_hash(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh_{k}")
-        for k, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    # per-doc shingle arrays, computed ONCE and cached (three consumers:
+    # signatures + both verify sides); .count() materializes the cache
+    # before the branches fan out so none of them re-tokenizes
+    doc = _doc_shingles(df, id_col, text_col, n).cache()
+    doc.count()
+    sig = doc.select(F.col(id_col), _sig_array(F.col("sh"), num_perm).alias("sig"))
 
     band_structs = F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bkey"),
+            F.concat_ws("_", *[F.element_at("sig", bi * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bkey"),
         )
         for bi in range(bands)
     ])
@@ -180,25 +216,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verify on CANDIDATES ONLY (the whole point of LSH:
-    # never touch non-candidate pairs). cands ⋈ shingles(a) ⋈ shingles(b)
-    # costs |candidate pairs| x shingles-per-doc, not |docs|^2.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
+    # never touch non-candidate pairs). Each candidate pair pulls the two
+    # docs' distinct-shingle ARRAYS and intersects them in-row
+    # (array_intersect is hash-based, O(|A|+|B|)) — no shingle-level
+    # shuffle; the joins hash-partition |cands| + |docs| rows only.
+    a_doc = doc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_doc = doc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cands.join(a_doc, "id_a").join(b_doc, "id_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    n_union = (F.size("sh_a") + F.size("sh_b")).cast("double") - n_inter
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-        )
+        j.withColumn("jaccard", n_inter / n_union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -213,29 +241,36 @@ def simhash(
     """SimHash signature per document (token-level, unweighted).
 
     bit_j(doc) = 1 iff sum over tokens of (+1 if bit j of hash(token) else
-    -1) > 0. Implemented as explode(tokens) x explode(bit positions) ->
-    groupBy — pure relational, portable hashes. 24 bits keeps the bit
-    explode cheap; production uses xxhash64 + 64 bits via bitwise aggs."""
+    -1) > 0. Fully map-side: token hashes once per doc, then one
+    aggregate() fold per bit over the hash array — zero shuffle (the
+    explode x bit-position alternative shuffles |docs| x |tokens| x bits
+    rows). Bit test = floor(h / 2^bit) % 2, portable to any SQL engine and
+    exact for 28-bit h in double arithmetic. 24 bits keeps the expression
+    tree modest; production uses xxhash64 + 64 bits via bitwise aggs."""
     from predictor_spark.operators.text import tokens_col
 
-    toks = df.select(id_col, text_col).repartition(F.col(id_col)).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
-    )
-    toks = toks.withColumn("h", portable_hash(F.col("tok")))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    bitsdf = toks.select(id_col, "h", bit_idx)
-    # bit test via floor(h / 2^bit) % 2 — portable to any SQL engine and
-    # exact for 28-bit h in double arithmetic
-    bit_set = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit").cast("double"))) % 2) == 1
-    bitsdf = bitsdf.withColumn("vote", F.when(bit_set, 1).otherwise(-1))
-    return (
-        bitsdf.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("bigint"))
-            .cast("bigint")
-            .alias("simhash")
+    # pre-shuffle raw text by id: spreads the md5-per-token + 24-bit fold
+    # work across the cluster instead of one input split (see _doc_shingles)
+    sc = df.sparkSession.sparkContext
+    doc = (
+        df.select(id_col, text_col)
+        .repartition(sc.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.array_distinct(tokens_col(text_col)), lambda t: portable_hash(t)
+            ).alias("__hs"),
         )
     )
+
+    def bit_sum(j: int):
+        vote = lambda h: F.when(  # noqa: E731
+            (F.floor(h / F.lit(float(2 ** j))) % 2) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+        return F.aggregate(F.col("__hs"), F.lit(0), lambda acc, h: acc + vote(h))
+
+    sim = None
+    for j in range(bits):
+        term = F.when(bit_sum(j) > 0, F.lit(int(2 ** j)).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return doc.select(F.col(id_col), sim.alias("simhash"))
