@@ -260,6 +260,35 @@ def n2_minmax_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n1_zscore_roundtrip",
+    oracle=f"""
+    WITH st AS (
+        SELECT avg(value) AS m,
+               CASE WHEN abs(stddev_samp(value)) < 1e-8 THEN 1.0
+                    ELSE stddev_samp(value) END AS s
+        FROM events WHERE ts < TIMESTAMP '{_CUTOFF}'
+    )
+    SELECT event_id,
+           round((value - m) / s, 6) AS norm,
+           round(((value - m) / s) * s + m, 6) AS denorm
+    FROM events, st
+    """,
+)
+def n1_zscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — z-score normalize + denormalize (x*std + mean) round trip with
+    stats fit on the TRAIN slice only (helpers.py:103-132, fit-on-train
+    anti_naive_lock.py:222-238; std<1e-8 -> 1 guard). Stats broadcast as
+    literals -> pure map-side projection, scan-bound at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    stats = norm.fit_zscore(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), ["value"])
+    normed = norm.normalize(ev.select("event_id", "value"), stats).withColumnRenamed("value", "norm")
+    both = norm.denormalize(normed.withColumn("denorm", F.col("norm")), {"denorm": stats["value"]})
+    return both.select(
+        "event_id", F.round("norm", 6).alias("norm"), F.round("denorm", 6).alias("denorm")
+    )
+
+
+@query(
     "n3_denorm_guard",
     oracle="""
     SELECT event_type,
