@@ -45,6 +45,19 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "w9_log_returns": {"must": [], "not": [], "max_window_execs": 1},
     "topk_parts_per_brand": {"must": ["BroadcastHashJoin"], "not": []},
     "knn_cosine_bruteforce": {"must": ["BroadcastNestedLoopJoin"], "not": []},
+    # parity batch: windowed families must stay single-WindowExec; the
+    # similarity paths must never degenerate to an unblocked cross join
+    "w3_single_step_window": {"must": [], "not": [], "max_window_execs": 1},
+    "w12_anti_naive_lock": {"must": [], "not": [], "max_window_execs": 1},
+    "a12_ga_fitness": {"must": ["partial_"], "not": [], "max_window_execs": 1},
+    "n1_zscore_roundtrip": {"must": [], "not": ["Window ["]},  # stats are literals
+    "knn_cosine_ivf": {
+        # centroid assignment + query-side probe both broadcast
+        "must": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "dedup_embedding_cosine": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    "dedup_minhash_lsh": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
