@@ -479,6 +479,84 @@ def olap_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe aggregation + correlated subquery (scale / SQL-surface rows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS total,
+           count(value) AS n,
+           round(sum(value) / count(value), 6) AS avg_v,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py): 5 hot
+    event_type keys spread over (key, salt) buckets in phase 1, partials
+    recombined by key in phase 2 — the phase-2 shuffle carries
+    |keys| x buckets rows, never data rows. Result is bit-identical to
+    the direct groupBy (this oracle IS the direct groupBy). Salt derives
+    from event_id so both engines are deterministic."""
+    from predictor_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total": ("sum", "value"),
+            "n": ("count", "value"),
+            "avg_v": ("avg", "value"),
+            "min_v": ("min", "value"),
+            "max_v": ("max", "value"),
+        },
+        buckets=32,
+        salt_col=F.col("event_id"),
+    )
+    return out.select(
+        "event_type",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+@query(
+    "corr_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def corr_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL surface:
+    orders priced >1.5x their customer's average. Catalyst decorrelates
+    the subquery into an aggregate + join (no per-row re-execution);
+    at scale both sides shuffle once on o_custkey and the aggregate side
+    is |customers| rows. Exercises spark.sql() + view registration, not
+    just the DataFrame API."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup + IVF ANN (BASELINE.json dedup / similarity-search)
 # ---------------------------------------------------------------------------
 

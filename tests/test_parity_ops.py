@@ -68,6 +68,66 @@ def test_minmax_roundtrip_identity(spark):
     assert sorted(r["x"] for r in back) == [2.0, 5.0, 11.0]
 
 
+def test_salted_agg_equals_direct_groupby(spark):
+    from predictor_spark.operators.skew import salted_agg
+
+    rows = [(i, "k%d" % (i % 3), float(i) * 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, k string, v double")
+    got = {
+        r["k"]: r
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "a": ("avg", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")},
+            buckets=7, salt_col=F.col("id"),
+        ).collect()
+    }
+    want = {
+        r["k"]: r
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"), F.avg("v").alias("a"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("s", "n", "a", "mn", "mx"):
+            assert got[k][c] == pytest.approx(want[k][c])
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from predictor_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id int, k string, v double")
+    with pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(df, ["k"], {"d": ("approx_count_distinct", "v")})
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located joins via bucketing: two tables bucketed+sorted on the
+    join key sort-merge-join with NO Exchange — the 100 TB fact-fact
+    strategy the relational docstrings point to."""
+    left = spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double")
+    right = spark.createDataFrame([(i, i * 2) for i in range(100)], "k int, w int")
+    for name, df in (("bl", left), ("br", right)):
+        (df.write.mode("overwrite").option("path", str(tmp_path / name))
+         .bucketBy(4, "k").sortBy("k").saveAsTable(name))
+    # force the sort-merge path (tiny test tables would broadcast, which
+    # hides the bucketing; at fact-fact scale broadcast is off the table)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bl").join(spark.table("br"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bl", "br"):
+            spark.sql(f"DROP TABLE {t}")
+
+
 def test_upsert_latest_wins(spark, tmp_path):
     from predictor_spark.sources.olap import StarSchemaWarehouse
 
