@@ -74,3 +74,104 @@ def fft_window_features(
         .groupBy(series_col)
         .applyInPandas(per_series, schema)
     )
+
+
+def fft_window_features_chunked(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_size: int = 16,
+    n_components: int = 4,
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """W15 for ONE series too large for a single task: range-chunk with
+    w-row halos (the recipe the per-series docstring points to).
+
+    How it scales:
+    1. range-partition + sort by ts (the one unavoidable shuffle);
+    2. global row numbers WITHOUT a single-partition window: per-partition
+       counts (a |partitions|-row collect) become broadcast offsets added
+       to the partition-local row_number — no data moves;
+    3. every row belongs to chunk c = rn // chunk_size; the last
+       ``window_size`` rows of each chunk are DUPLICATED to chunk c+1 as
+       halo (explode of a 1- or 2-element array — the only data growth,
+       w/chunk_size fractional);
+    4. one applyInPandas per chunk runs the identical vectorized FFT;
+       halo rows provide history and emit nothing.
+
+    Exactly equal to fft_window_features on the same rows (differential
+    test in tests/test_transforms_spectral_stl.py): local window position
+    p >= w iff the global exclusive window exists, because interior
+    chunks carry exactly w halo rows.
+    """
+    from pyspark.sql import Window
+
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    spark = df.sparkSession
+    ensure_workers_can_import(spark)
+    w, nc, cs = window_size, n_components, chunk_size
+    if cs <= w:
+        raise ValueError(f"chunk_size {cs} must exceed window_size {w}")
+    n_parts = spark.sparkContext.defaultParallelism
+
+    part = (
+        df.select(ts_col, value_col)
+        .repartitionByRange(n_parts, F.col(ts_col))
+        .sortWithinPartitions(ts_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = dict(
+        part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+        .toPandas().itertuples(index=False, name=None)
+    )
+    offsets, acc = {}, 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(offsets.get(p, 0)) for p in range(n_parts)]), F.col("__pid") + 1
+    )
+    w_pid = Window.partitionBy("__pid").orderBy(ts_col)
+    rn = F.row_number().over(w_pid) - 1 + off_expr  # 0-based global position
+
+    # materialize __rn first: window expressions cannot be nested inside
+    # the explode projection
+    numbered = part.withColumn("__rn", rn)
+    own = F.floor(F.col("__rn") / cs)
+    in_halo_tail = (F.col("__rn") % cs) >= (cs - w)
+    chunks = F.when(in_halo_tail, F.array(own, own + 1)).otherwise(F.array(own))
+    exploded = numbered.select(
+        ts_col, value_col, "__rn", F.explode(chunks).alias("__chunk")
+    )
+
+    out_fields = ", ".join(f"fft_{k} double" for k in range(nc))
+    schema = f"{ts_col} timestamp, {out_fields}"
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn").reset_index(drop=True)
+        chunk = int(pdf["__chunk"].iloc[0])
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(vals)
+        if n <= w:
+            return pd.DataFrame(columns=[ts_col] + [f"fft_{k}" for k in range(nc)])
+        sw = np.lib.stride_tricks.sliding_window_view(vals, w)[:-1]
+        d = np.diff(sw, axis=1)
+        mags = np.abs(np.fft.rfft(d, axis=1))[:, :nc]
+        denom = mags.sum(axis=1, keepdims=True)
+        denom[denom == 0.0] = 1.0
+        mags = mags / denom
+        # row at local index p has its window iff p >= w; emit only rows
+        # OWNED by this chunk (halo rows belong to the previous chunk)
+        owned = pdf["__rn"].to_numpy() // cs == chunk
+        keep = np.zeros(n, dtype=bool)
+        keep[w:] = True
+        keep &= owned
+        out = pd.DataFrame({ts_col: pdf[ts_col].to_numpy()[keep]})
+        sel = mags[np.flatnonzero(keep) - w]  # mags[i] pairs with local row w+i
+        for k in range(nc):
+            out[f"fft_{k}"] = sel[:, k]
+        return out
+
+    return exploded.groupBy("__chunk").applyInPandas(per_chunk, schema)

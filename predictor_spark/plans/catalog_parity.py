@@ -478,6 +478,22 @@ def olap_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("w15_fft_chunked")  # no SQL oracle (FFT); differential-tested vs per-series path
+def w15_fft_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 on a single giant series via range-chunking with w-row halos
+    (operators/spectral.py fft_window_features_chunked): global positions
+    from broadcast per-partition offsets (no single-partition window),
+    halo duplication bounded at w/chunk_size, identical FFT per chunk.
+    Exact-equality differential test: test_fft_chunked_equals_per_series."""
+    from predictor_spark.operators.spectral import fft_window_features_chunked
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    out = fft_window_features_chunked(ev, window_size=16, n_components=4, chunk_size=256)
+    return out.select(
+        "ts", *[F.round(f"fft_{k}", 6).alias(f"fft_{k}") for k in range(4)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe aggregation + correlated subquery (scale / SQL-surface rows)
 # ---------------------------------------------------------------------------

@@ -93,3 +93,30 @@ def test_stl_recompose_uncertainty(spark):
 def test_fft_short_series_empty(spark):
     out = spectral.fft_window_features(_series_df(spark, [1.0, 2.0]), window_size=16)
     assert out.count() == 0
+
+
+def test_fft_chunked_equals_per_series(spark):
+    """Halo-chunked single-series W15 must reproduce the per-series path
+    exactly — chunk boundaries (incl. a short final chunk) are invisible."""
+    rng = np.random.RandomState(7)
+    vals = np.cumsum(rng.randn(250))
+    df = _series_df(spark, vals)
+    base = (
+        spectral.fft_window_features(df, window_size=16, n_components=4)
+        .orderBy("ts").toPandas()
+    )
+    chunked = (
+        spectral.fft_window_features_chunked(df, window_size=16, n_components=4, chunk_size=64)
+        .orderBy("ts").toPandas()
+    )
+    assert len(chunked) == len(base) == 250 - 16
+    np.testing.assert_allclose(
+        chunked[[f"fft_{k}" for k in range(4)]].to_numpy(),
+        base[[f"fft_{k}" for k in range(4)]].to_numpy(),
+        rtol=1e-12,
+    )
+
+
+def test_fft_chunked_rejects_small_chunks(spark):
+    with pytest.raises(ValueError, match="must exceed"):
+        spectral.fft_window_features_chunked(_series_df(spark, [1.0]), chunk_size=8, window_size=16)
