@@ -478,6 +478,33 @@ def olap_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_stateful_running_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(list_reduce(list(value ORDER BY ts),
+                             (acc, x) -> 0.8 * acc + 0.2 * x), 6) AS ema
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState): per-user
+    (count, total, EMA) state carried across 4 chronological micro-batches
+    (streaming/stateful.py). The oracle replays the same left-to-right
+    EMA fold with list_reduce — order-sensitive state proven equal to the
+    batch computation, which is the streaming correctness contract."""
+    from predictor_spark.streaming.stateful import stateful_running_stats
+
+    out = stateful_running_stats(spark, sf_dir, alpha=0.2, n_chunks=4)
+    return out.select(
+        "user_id", "n",
+        F.round("total", 2).alias("total"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
 @query("w15_fft_chunked")  # no SQL oracle (FFT); differential-tested vs per-series path
 def w15_fft_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 on a single giant series via range-chunking with w-row halos
