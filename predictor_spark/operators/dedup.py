@@ -119,11 +119,16 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     serialize the md5-per-shingle work on a single core; the pre-shuffle
     carries only raw text and pins parallelism to the cluster width."""
     sc = df.sparkSession.sparkContext
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     return (
         df.select(id_col, text_col)
         .repartition(sc.defaultParallelism, F.col(id_col))
+        # pre-filter on the CHEAP token count, not size(shingles): a filter
+        # over the shingle array would re-evaluate the whole md5-bound
+        # shingle expression once for the predicate and again for the
+        # projection (no CSE across interpreted higher-order exprs)
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col), shingles_col(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
 
 

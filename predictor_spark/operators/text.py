@@ -33,6 +33,18 @@ LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+def let(expr: Column, body) -> Column:
+    """Let-bind ``expr`` so ``body`` receives it as a materialized lambda
+    variable: ``element_at(transform(array(expr), body), 1)``.
+
+    Catalyst expression trees have no implicit sharing — every reference
+    to a Column object re-evaluates its whole subtree (and higher-order
+    lambdas are interpreted, so there is no codegen CSE to save you). A
+    body that indexes into an array N times would re-run the producing
+    expression N times; let-binding evaluates it once per row."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def tokens_col(text_col: str = "text") -> Column:
     """Whitespace tokens of trimmed text."""
     return F.split(F.trim(F.col(text_col)), TOKEN_RE)
@@ -111,13 +123,23 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
-    """n-token shingles (distinct) as an array<string> column."""
-    toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-    )
-    return F.array_distinct(F.transform(idx, shingle))
+    """n-token shingles (distinct) as an array<string> column.
+
+    The token array is let-bound: each of the n element_at accesses per
+    shingle would otherwise re-run the regex split per access (3n regex
+    passes per row instead of 1)."""
+    def body(toks):
+        # guard: sequence(0, negative) would descend ([0,-1]) and index 0
+        # into the array (error) for docs shorter than n tokens — emit []
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        shingle = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        )
+        return F.array_distinct(F.transform(idx, shingle))
+
+    return let(tokens_col(text_col), body)
 
 
 def portable_hash(col: Column, bits: int = 28) -> Column:
