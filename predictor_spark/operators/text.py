@@ -147,3 +147,70 @@ def portable_hash(col: Column, bits: int = 28) -> Column:
     with md5 + hex parse (overflow-safe for (a*h+b) % p in int64)."""
     hexchars = bits // 4
     return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("bigint")
+
+
+#: BPE-ish pretokenizer regex (GPT-2-style, lookahead-free so Java regex
+#: and RE2 agree): contraction suffixes, optional-space letter runs,
+#: optional-space digit runs, optional-space punctuation runs. Both
+#: engines use leftmost-first alternation, so matches are identical.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-style token counting — the LLM-pipeline cost estimator.
+
+    Whitespace token counts (with_token_stats) under-count for BPE-style
+    tokenizers; this runs a GPT-2-shaped pretokenizer regex (JVM-side,
+    regexp_extract_all) and emits count + distinct count per document."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    return df.withColumn(
+        "n_bpe_tokens", F.size(toks).cast("bigint")
+    ).withColumn(
+        "n_distinct_bpe", F.size(F.array_distinct(toks)).cast("bigint")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hashes, per-window
+    minima — the MOSS local fingerprinting scheme of Schleimer, Wilkerson
+    & Aiken, SIGMOD'03).
+
+    Per doc: hash every k-char gram (portable md5-prefix stands in for
+    Rabin-Karp — same selection semantics, engine-portable), slide a
+    w-hash window, keep each window's minimum, emit the distinct minima
+    as (id, fp) rows. Guarantees a shared fingerprint for any common
+    substring of length >= k + w - 1, with density ~2/(w+1).
+
+    Pure projection + explode: scan-bound at 100 TB, no shuffle needed —
+    but a SMALL input (one parquet split) would serialize the md5-per-gram
+    work on one core, so we pre-spread the raw (id, text) rows across the
+    cluster first (same rationale as dedup._doc_shingles). Both array
+    passes are let-bound so the gram hashes are computed once."""
+    df = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    grams = let(
+        F.col(text_col),
+        lambda t: F.transform(
+            F.when(F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - k + 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: portable_hash(F.substr(t, i, F.lit(k))),
+        ),
+    )
+    mins = let(
+        grams,
+        lambda hs: F.array_distinct(
+            F.transform(
+                F.when(F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - w + 1))
+                .otherwise(F.array().cast("array<int>")),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(mins).alias("fp"))

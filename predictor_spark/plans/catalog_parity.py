@@ -505,6 +505,44 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "range_join_event_windows",
+    oracle="""
+    SELECT a.event_id AS anchor_id,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events a JOIN events e
+      ON epoch_us(e.ts) >= epoch_us(a.ts)
+     AND epoch_us(e.ts) < epoch_us(a.ts) + 3600000000
+    WHERE a.value > 150
+    GROUP BY a.event_id
+    """,
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, binned (operators/rangejoin.py):
+    every high-value anchor event opens a [ts, ts+1h) window; count and
+    sum all events inside each window. A naive plan is a
+    BroadcastNestedLoopJoin (O(|anchors| x |events|)); binning makes it a
+    hash join on the hour-bucket with ~2x interval replication — the
+    shape that survives 100 TB. Oracle: plain inequality join (DuckDB
+    IEJoin)."""
+    from predictor_spark.operators.rangejoin import bin_range_join
+
+    hour_us = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(F.unix_micros("ts").alias("x"), "value")
+    anchors = ev.filter(F.col("value") > 150).select(
+        F.col("event_id").alias("anchor_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + hour_us).alias("hi"),
+    )
+    joined = bin_range_join(points, anchors, "x", "lo", "hi", bin_width=hour_us)
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @query("w15_fft_chunked")  # no SQL oracle (FFT); differential-tested vs per-series path
 def w15_fft_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 on a single giant series via range-chunking with w-row halos

@@ -123,6 +123,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+               AS BIGINT) AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting — GPT-2-shaped pretokenizer regex
+    (lookahead-free so Java regex and DuckDB's RE2 match identically).
+    Pure projection; the LLM training-cost estimator at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_bpe_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "n_distinct_bpe"
+    )
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 8 + 2),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)) AS hs
+        FROM documents WHERE length(text) >= 8
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(hs) - 4 + 2),
+                   j -> list_min(list_transform(range(j, j + 4), x -> hs[x])))) AS fp
+        FROM h WHERE len(hs) >= 4
+    )
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): k=8 char grams,
+    window w=4, per-window minima, distinct. Local fingerprinting —
+    any shared substring >= k+w-1 chars yields a shared fingerprint, at
+    ~2/(w+1) density. Projection+explode, scan-bound."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4).distinct()
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

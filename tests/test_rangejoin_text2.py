@@ -1,0 +1,61 @@
+"""Binned range join, BPE tokenizer, winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from predictor_spark.operators.rangejoin import bin_range_join
+from predictor_spark.operators.text import winnow_fingerprints, with_bpe_token_stats
+
+
+def test_bin_range_join_matches_nested_loop(spark):
+    pts = spark.createDataFrame([Row(x=i, pid=i) for i in range(0, 200, 3)])
+    iv = spark.createDataFrame(
+        [Row(lo=lo, hi=lo + span, iid=n)
+         for n, (lo, span) in enumerate([(0, 10), (5, 40), (17, 1), (100, 95), (150, 7)])]
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in bin_range_join(pts, iv, "x", "lo", "hi", bin_width=16).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi")))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_bin_range_join_with_keys(spark):
+    pts = spark.createDataFrame([Row(k="a", x=5), Row(k="b", x=5)])
+    iv = spark.createDataFrame([Row(k="a", lo=0, hi=10, iid=1)])
+    rows = bin_range_join(pts, iv, "x", "lo", "hi", 8, keys=["k"]).collect()
+    assert [(r["k"], r["x"]) for r in rows] == [("a", 5)]
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: a common substring of length >= k + w - 1
+    # (= 11 for k=8, w=4) produces at least one shared fingerprint
+    common = "zqxjkvbwp_marker_substring"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="left padding " + common + " more stuff here"),
+        Row(doc_id=2, text="completely different prefix " + common),
+        Row(doc_id=3, text="no overlap with the others at all, none"),
+    ])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, w=4).distinct().collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    # short doc (< k chars) emits nothing rather than erroring
+    short = spark.createDataFrame([Row(doc_id=9, text="tiny")])
+    assert winnow_fingerprints(short, "doc_id", "text", 8, 4).count() == 0
+
+
+def test_bpe_token_stats(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="It's 42 degrees, isn't it?")])
+    row = with_bpe_token_stats(df).collect()[0]
+    # It|'s| 42| degrees|,| isn|'t| it|?
+    assert row["n_bpe_tokens"] == 9
+    assert row["n_distinct_bpe"] == 9
