@@ -16,7 +16,9 @@ Fitness mirrors candidate_worker.py:344-359:
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from collections.abc import Callable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -63,22 +65,77 @@ def evaluate_candidates(
         return list(pool.map(safe, candidates))
 
 
+def _params_key(params: dict) -> str:
+    """Canonical identity of a candidate for resume de-duplication."""
+    return json.dumps(params, sort_keys=True, default=str)
+
+
+def save_search_checkpoint(path: str, history: list[dict],
+                           best_params: dict, best_fitness: float) -> None:
+    """Write the search state as JSON after each generation (reference:
+    resume_operations.py save_resume_checkpoint — generation counter,
+    population with fitness, optimizer_state best-so-far). Written
+    atomically (tmp + rename) so a crash mid-write never corrupts the
+    resumable state. Driver-side by design: checkpoints are tiny metadata,
+    not data-plane state."""
+    state = {
+        "generation": len(history),
+        "history": history,
+        "optimizer_state": {
+            "best_params": best_params,
+            "best_fitness": None if math.isinf(best_fitness) else best_fitness,
+        },
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_search_checkpoint(path: str) -> dict | None:
+    """Load a checkpoint if present (reference: load_resume_checkpoint).
+    Returns None when absent/unreadable — the search then starts fresh,
+    matching the reference's fall-through behavior."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def grid_search(
     grid: Sequence[dict],
     evaluate: Callable[[dict], float],
     max_parallel: int = 8,
     patience: int | None = None,
+    checkpoint_path: str | None = None,
 ) -> SearchResult:
     """Deterministic grid/staged search with optional early stopping on
     no-improvement patience (default_optimizer.py:595-715 champion
-    tracking)."""
+    tracking) and optional checkpoint/resume: with ``checkpoint_path``,
+    state is saved after every generation and already-evaluated candidates
+    (matched on canonical params JSON) are skipped on restart — the
+    reference's optimization_resume.json contract."""
     best_p: dict = {}
     best_f = math.inf
     history: list[dict] = []
+    done: dict[str, float] = {}
+    if checkpoint_path:
+        state = load_search_checkpoint(checkpoint_path)
+        if state:
+            history = list(state["history"])
+            for h in history:
+                done[_params_key(h["params"])] = h["fitness"]
+            opt = state.get("optimizer_state") or {}
+            if opt.get("best_fitness") is not None:
+                best_f = opt["best_fitness"]
+                best_p = opt.get("best_params") or {}
     stale = 0
     batch = max(1, max_parallel)
     for i in range(0, len(grid), batch):
-        gen = list(grid[i:i + batch])
+        gen = [p for p in grid[i:i + batch] if _params_key(p) not in done]
+        if not gen:
+            continue
         fits = evaluate_candidates(gen, evaluate, max_parallel)
         for params, fit in zip(gen, fits):
             history.append({"params": params, "fitness": fit})
@@ -86,6 +143,8 @@ def grid_search(
                 best_f, best_p, stale = fit, params, 0
             else:
                 stale += 1
+        if checkpoint_path:
+            save_search_checkpoint(checkpoint_path, history, best_p, best_f)
         if patience is not None and stale >= patience:
             break
     return SearchResult(best_p, best_f, history)

@@ -69,3 +69,38 @@ def test_ar_lag_search_runs(spark):
     assert res.best_params["lag"] in (1, 3)
     assert len(res.history) == 2
     assert all(math.isfinite(h["fitness"]) for h in res.history)
+
+
+def test_grid_search_checkpoint_resume(tmp_path):
+    from predictor_spark.plans.search import grid_search, load_search_checkpoint
+
+    grid = [{"x": i} for i in range(8)]
+    calls: list[int] = []
+
+    def flaky(params):
+        calls.append(params["x"])
+        if params["x"] == 5 and len(calls) <= 6:
+            raise RuntimeError("simulated crash mid-search")
+        return abs(params["x"] - 6)
+
+    ckpt = str(tmp_path / "resume.json")
+    # first run: candidate 5 crashes -> inf fitness recorded, state saved
+    r1 = grid_search(grid, flaky, max_parallel=2, checkpoint_path=ckpt)
+    state = load_search_checkpoint(ckpt)
+    assert state is not None and state["generation"] == 8
+    n_first = len(calls)
+    # resume: nothing left to do — no candidate re-evaluated
+    r2 = grid_search(grid, flaky, max_parallel=2, checkpoint_path=ckpt)
+    assert len(calls) == n_first
+    assert r2.best_params == r1.best_params == {"x": 6}
+    assert r2.best_fitness == 0
+
+    # partial checkpoint: drop the last 3 evals, resume re-runs ONLY those
+    import json
+    state["history"] = state["history"][:5]
+    with open(ckpt, "w") as f:
+        json.dump(state, f)
+    calls.clear()
+    r3 = grid_search(grid, flaky, max_parallel=2, checkpoint_path=ckpt)
+    assert sorted(calls) == [5, 6, 7]
+    assert r3.best_params == {"x": 6}
