@@ -49,3 +49,58 @@ def ar1_fit_predict(
         .withColumn("pred", F.col("intercept") + F.col("slope") * F.col(value_col))
         .withColumn("baseline", F.col(value_col))
     )
+
+
+def ar2_yule_walker(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+) -> DataFrame:
+    """Per-series AR(2) via Yule-Walker, one shuffle for ALL series.
+
+    Sample autocovariances c_k = sum(x_t * x_{t-k}) / n over the demeaned
+    train slice (n = train row count), then the 2x2 Yule-Walker system by
+    Cramer's rule:
+
+        phi1 = r1 * (1 - r2) / (1 - r1^2)
+        phi2 = (r2 - r1^2)  / (1 - r1^2)        with r_k = c_k / c_0.
+
+    Everything is window lags + one groupBy aggregate — closed-form
+    "training" that needs no iteration, so 10^8 series cost one shuffle
+    (the reference's per-series Keras loop is the sequential analog,
+    predictor_plugins/common/base.py:260-322). Degenerate series
+    (constant, or fewer than 3 train rows) are dropped rather than
+    emitting NaN coefficients."""
+    from pyspark.sql import Window
+
+    cutoff = F.lit(train_end).cast("timestamp")
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    train = df.filter(F.col(ts_col) < cutoff).select(
+        series_col, ts_col, F.col(value_col).alias("y")
+    )
+    # demean with a single partition-wide window avg (no second pass/join)
+    wall = Window.partitionBy(series_col)
+    x = (
+        train.withColumn("m", F.avg("y").over(wall))
+        .withColumn("x", F.col("y") - F.col("m"))
+        .withColumn("x1", F.lag("x", 1).over(w))
+        .withColumn("x2", F.lag("x", 2).over(w))
+    )
+    agg = x.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("m").alias("mean"),
+        F.sum(F.col("x") * F.col("x")).alias("s0"),
+        F.sum(F.col("x") * F.col("x1")).alias("s1"),
+        F.sum(F.col("x") * F.col("x2")).alias("s2"),
+    )
+    r1 = F.col("s1") / F.col("s0")
+    r2 = F.col("s2") / F.col("s0")
+    det = 1 - r1 * r1
+    return (
+        agg.filter((F.col("n") >= 3) & (F.col("s0") > 0))
+        .withColumn("phi1", r1 * (1 - r2) / det)
+        .withColumn("phi2", (r2 - r1 * r1) / det)
+        .select(series_col, "n", "mean", "phi1", "phi2")
+    )

@@ -506,6 +506,49 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "ar2_yule_walker_coeffs",
+    oracle="""
+    WITH x0 AS (
+        SELECT user_id, ts,
+               value - avg(value) OVER (PARTITION BY user_id) AS x,
+               avg(value) OVER (PARTITION BY user_id) AS m
+        FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+    ),
+    x1 AS (
+        SELECT user_id, m, x,
+               lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts) AS xl1,
+               lag(x, 2) OVER (PARTITION BY user_id ORDER BY ts) AS xl2
+        FROM x0
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n, any_value(m) AS mean,
+               sum(x*x) AS s0, sum(x*xl1) AS s1, sum(x*xl2) AS s2
+        FROM x1 GROUP BY user_id
+    )
+    SELECT user_id, n, round(mean, 6) AS mean,
+           round((s1/s0) * (1 - s2/s0) / (1 - (s1/s0)*(s1/s0)), 6) AS phi1,
+           round((s2/s0 - (s1/s0)*(s1/s0)) / (1 - (s1/s0)*(s1/s0)), 6) AS phi2
+    FROM agg WHERE n >= 3 AND s0 > 0
+    """,
+)
+def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series AR(2) training via Yule-Walker (plans/ar_model.py):
+    closed-form coefficients from lagged autocovariances — N series =
+    N models in one window pass + one groupBy shuffle. The distributed
+    analog of the reference's per-series model fit."""
+    from predictor_spark.plans.ar_model import ar2_yule_walker
+
+    ev = _t(spark, sf_dir, "events")
+    out = ar2_yule_walker(ev)
+    return out.select(
+        "user_id", "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+    )
+
+
+@query(
     "range_join_event_windows",
     oracle="""
     SELECT a.event_id AS anchor_id,

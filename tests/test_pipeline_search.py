@@ -104,3 +104,26 @@ def test_grid_search_checkpoint_resume(tmp_path):
     r3 = grid_search(grid, flaky, max_parallel=2, checkpoint_path=ckpt)
     assert sorted(calls) == [5, 6, 7]
     assert r3.best_params == {"x": 6}
+
+
+def test_ar2_yule_walker_recovers_coefficients(spark):
+    import numpy as np
+    from predictor_spark.plans.ar_model import ar2_yule_walker
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for uid, (p1, p2) in enumerate([(0.6, -0.3), (0.2, 0.5)]):
+        x = [0.0, 0.0]
+        for _ in range(4000):
+            x.append(p1 * x[-1] + p2 * x[-2] + rng.normal())
+        base = np.datetime64("2024-01-01T00:00:00")
+        rows += [
+            {"user_id": uid, "ts": (base + np.timedelta64(i, "m")).item(),
+             "value": float(v)}
+            for i, v in enumerate(x[2:])
+        ]
+    df = spark.createDataFrame(rows)
+    got = {r["user_id"]: r for r in ar2_yule_walker(df, train_end="2024-01-22 00:00:00").collect()}
+    for uid, (p1, p2) in enumerate([(0.6, -0.3), (0.2, 0.5)]):
+        assert abs(got[uid]["phi1"] - p1) < 0.05, (uid, got[uid]["phi1"])
+        assert abs(got[uid]["phi2"] - p2) < 0.05, (uid, got[uid]["phi2"])
