@@ -537,8 +537,12 @@ def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     N models in one window pass + one groupBy shuffle. The distributed
     analog of the reference's per-series model fit."""
     from predictor_spark.plans.ar_model import ar2_yule_walker
+    from predictor_spark.sources.tables import load_events_range
 
-    ev = _t(spark, sf_dir, "events")
+    # range pre-filter on the RAW nanos column so it pushes into the scan
+    # (the operator's own cutoff filter is then a no-op); see
+    # sources/tables.py:load_events_range
+    ev = load_events_range(spark, sf_dir, hi=_CUTOFF)
     out = ar2_yule_walker(ev)
     return out.select(
         "user_id", "n",

@@ -40,6 +40,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """Events table with a time-range predicate that reaches the parquet
+    scan. The nanos->micros floor conversion is a projection, so a filter
+    on the converted ``ts`` cannot push down (the scan reads every row
+    group). But floor(ns/1000) < C  <=>  ns < C*1000, so the equivalent
+    predicate on the RAW nanos column pushes into the scan and prunes row
+    groups on their int64 min/max stats — the difference between scanning
+    a day and scanning 100 TB. Bounds are ``lo <= ts < hi`` (UTC)."""
+    from datetime import datetime, timezone
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_nanos = dict(df.dtypes).get("ts") == "bigint"
+
+    def ns(bound: str) -> int:
+        dt = datetime.fromisoformat(bound).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000) * 1000
+
+    if raw_nanos:
+        if lo is not None:
+            df = df.filter(F.col("ts") >= ns(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < ns(hi))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:  # pragma: no cover - generator wrote plain timestamps
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

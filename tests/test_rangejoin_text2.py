@@ -59,3 +59,19 @@ def test_bpe_token_stats(spark):
     # It|'s| 42| degrees|,| isn|'t| it|?
     assert row["n_bpe_tokens"] == 9
     assert row["n_distinct_bpe"] == 9
+
+
+def test_load_events_range_pushdown_equals_postfilter(spark):
+    from tests.conftest import SF_DIR
+    from predictor_spark.sources.tables import load_events_range, load_table
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    fast = load_events_range(spark, SF_DIR, lo=lo, hi=hi)
+    slow = load_table(spark, SF_DIR, "events").filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    )
+    assert fast.count() == slow.count() > 0
+    # the raw-nanos predicate must reach the parquet scan
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan

@@ -58,6 +58,18 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
     "dedup_embedding_cosine": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "dedup_minhash_lsh": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # binned range join: MUST be a hash join on the bin key, never the
+    # nested-loop plan Spark picks for raw interval predicates
+    "range_join_event_windows": {
+        "must": ["HashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "ar2_yule_walker_coeffs": {
+        "must": ["partial_", "PushedFilters: [IsNotNull(ts), LessThan(ts"],
+        "not": [],
+    },
+    "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct", "Window ["]},
+    "text_token_bpe": {"must": [], "not": ["Exchange"]},  # pure projection
 }
 
 
