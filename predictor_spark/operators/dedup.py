@@ -279,3 +279,55 @@ def simhash(
         term = F.when(bit_sum(j) > 0, F.lit(int(2 ** j)).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step of near-dup pipelines (pairs -> clusters -> one canonical doc).
+
+    Min-label propagation: every vertex starts labeled with its own id;
+    each round a vertex takes the min of its label and its neighbors'
+    labels, until a fixpoint. Rounds needed = cluster diameter, which for
+    near-dup graphs is tiny (dups of a doc are dups of each other), so
+    this converges in 2-4 rounds; pathological chain graphs are bounded
+    by ``max_iter``. Each round is one join + one aggregate on the edge
+    list; labels are localCheckpoint'ed to truncate lineage so the plan
+    doesn't grow with iterations (the classic iterative-DataFrame trap).
+    For graphs with whale-sized clusters, swap in the alternating
+    large/small-star variant — same driver loop, same interfaces."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.repartition("u").localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor minimum, NULL for isolated vertices (none here: every
+        # vertex came from an edge)
+        nbr = (
+            sym.join(labels, sym["v"] == labels["vertex"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["vertex"] == nbr["u"], "left")
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new.filter(F.col("changed")).count()
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("vertex"), F.col("label").alias("component"))

@@ -269,6 +269,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.1)
 
 
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """
+
+
+@query("dedup_clusters", oracle=_cluster_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash+LSH pair
+    graph (operators/dedup.py connected_components — iterative min-label
+    propagation, localCheckpoint per round). cluster_id = min doc_id of
+    the component, the canonical survivor in keep-one dedup. Oracle:
+    recursive-CTE transitive closure over the same pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    n=3, num_perm=16, bands=4, threshold=0.1)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("vertex").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))
+
+
 @query(
     "dedup_simhash",
     oracle="""

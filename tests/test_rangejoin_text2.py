@@ -75,3 +75,17 @@ def test_load_events_range_pushdown_equals_postfilter(spark):
     # the raw-nanos predicate must reach the parquet scan
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from predictor_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), triangle 10-11-12,
+    # isolated pair 20-21
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]]
+    )
+    got = {r["vertex"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
