@@ -506,6 +506,44 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "streaming_foreachbatch_inference",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, value,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+        FROM events
+    ),
+    coeffs AS (
+        SELECT user_id, regr_slope(target, value) AS slope,
+               regr_intercept(target, value) AS intercept
+        FROM base WHERE target IS NOT NULL AND ts < TIMESTAMP '{_CUTOFF}'
+        GROUP BY user_id HAVING regr_slope(target, value) IS NOT NULL
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(avg(c.intercept + c.slope * e.value), 6) AS avg_pred,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN coeffs c USING (user_id)
+    WHERE e.ts >= TIMESTAMP '{_CUTOFF}'
+    GROUP BY e.event_type
+    """,
+)
+def streaming_foreachbatch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference (streaming/inference.py): AR(1) coefficients
+    fit in batch, held-out events replayed chronologically and scored
+    inside foreachBatch via a broadcast join per micro-batch. The oracle
+    is the equivalent batch scoring — streaming == batch is the serving
+    correctness contract."""
+    from predictor_spark.streaming.inference import stream_score_ar1
+
+    scored = stream_score_ar1(spark, sf_dir, train_end=_CUTOFF)
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pred"), 6).alias("avg_pred"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
     "ar2_yule_walker_coeffs",
     oracle="""
     WITH x0 AS (

@@ -30,18 +30,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _chunked_stream_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+def _chunked_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    cols: tuple[str, ...] = ("ts", "user_id", "value"),
+) -> str:
     """Split the events table into ``n_chunks`` time-range parquet files in
     a /tmp dir, modification times increasing with time range, so the
     FileStreamSource replays history chronologically one file per trigger."""
     from predictor_spark.sources.tables import load_table
 
-    key = hashlib.md5(f"{sf_dir}/events/{n_chunks}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}/events/{n_chunks}/{','.join(cols)}".encode()).hexdigest()[:12]
     d = f"/tmp/predictor_spark_stream_chunks/{key}"
     if os.path.isdir(d) and len(glob.glob(f"{d}/chunk_*.parquet")) == n_chunks:
         return d
     os.makedirs(d, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    ev = load_table(spark, sf_dir, "events").select(*cols)
     # time cut points via percentile on epoch micros (driver receives
     # n_chunks-1 numbers; at 100 TB swap in approxQuantile the same way)
     row = ev.select(

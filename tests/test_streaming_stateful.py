@@ -57,3 +57,33 @@ def test_stream_chunk_dir_covers_all_rows(spark):
     n_stream = spark.read.parquet(src).count()
     n_batch = load_table(spark, SF_DIR, "events").count()
     assert n_stream == n_batch
+
+
+def test_foreachbatch_inference_matches_batch_scoring(spark):
+    from predictor_spark.sources.tables import load_table
+    from predictor_spark.streaming.inference import stream_score_ar1
+
+    cutoff = "2024-01-22 00:00:00"
+    scored = stream_score_ar1(spark, SF_DIR, train_end=cutoff, n_chunks=3)
+    # batch reference: same coefficients, same rows
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+    base = ev.select(
+        "user_id", "ts", "value",
+        F.lead("value", 1).over(Window.partitionBy("user_id").orderBy("ts")).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    coeffs = (
+        base.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.regr_slope("t", "value").alias("slope"),
+             F.regr_intercept("t", "value").alias("intercept"))
+        .filter(F.col("slope").isNotNull())
+    )
+    batch = (
+        ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .join(coeffs, "user_id")
+        .withColumn("pred", F.col("intercept") + F.col("slope") * F.col("value"))
+    )
+    got = {(r["user_id"], r["ts"]): r["pred"] for r in scored.collect()}
+    want = {(r["user_id"], r["ts"]): r["pred"] for r in batch.collect()}
+    assert got == want and len(got) > 0
