@@ -214,3 +214,55 @@ def winnow_fingerprints(
         ),
     )
     return df.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
+#: PII patterns, portable across Java regex and RE2 (no lookarounds):
+#: order matters — emails before bare digit-runs so the local part survives
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """PII redaction — email/SSN/IPv4/phone patterns replaced by typed
+    placeholder tokens, plus a per-row redaction count. Sequential
+    JVM-side regexp passes (order: emails first so '@host' digits aren't
+    half-eaten by the phone rule); pure projection at any scale."""
+    n = F.lit(0)
+    red = F.col(text_col)
+    for pat, tok in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, tok)
+    return df.withColumn(out_col, red).withColumn("n_redactions", n.cast("bigint"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition scoring (Gopher-style): duplicate-token fraction and
+    most-common-token frequency ratio. Shuffle-free: per-row array fold
+    over the let-bound token array (O(distinct x tokens) per doc), instead
+    of an explode + two groupBy shuffles of |docs| x |tokens| rows."""
+    stats = let(tokens_col(text_col), lambda toks: F.struct(
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("d"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).alias("topn"),
+    ))
+    return (
+        df.withColumn("__s", stats)
+        .withColumn(
+            "dup_token_fraction",
+            F.lit(1.0) - F.col("__s.d").cast("double") / F.col("__s.n"),
+        )
+        .withColumn(
+            "top_token_ratio", F.col("__s.topn").cast("double") / F.col("__s.n")
+        )
+        .drop("__s")
+    )

@@ -269,6 +269,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.1)
 
 
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                 / len({_TOKS}), 6) AS dup_token_fraction,
+           round(CAST(list_max(list_transform(list_distinct({_TOKS}),
+                 t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS top_token_ratio
+    FROM documents
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher rules): duplicate-token fraction +
+    most-common-token ratio, per-row array folds — no explode shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_repetition_stats(docs).select(
+        "doc_id",
+        F.round("dup_token_fraction", 6).alias("dup_token_fraction"),
+        F.round("top_token_ratio", 6).alias("top_token_ratio"),
+    )
+
+
+def _pii_oracle() -> str:
+    """The oracle injects deterministic synthetic PII (the corpus has
+    none) so the redaction regexes are genuinely exercised."""
+    sql = ("text || ' reach me: user' || doc_id || '@mail-' || doc_id "
+           "|| '.example.com or 555-12-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+           "|| ' ip 10.0.' || (doc_id % 256) || '.7'")
+    red = sql
+    exprs = []
+    for pat, tok in text.PII_PATTERNS:
+        dpat = pat.replace("'", "''")
+        exprs.append(f"len(regexp_extract_all({red}, '{dpat}'))")
+        # replacement strings: [..] are literal in RE2 replacements
+        red = f"regexp_replace({red}, '{dpat}', '{tok}', 'g')"
+    n = " + ".join(exprs)
+    return f"""
+    SELECT doc_id, {red} AS redacted, CAST({n} AS BIGINT) AS n_redactions
+    FROM documents
+    """
+
+
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — typed placeholder substitution for email/SSN/IP/
+    phone, with per-row counts. The query appends deterministic synthetic
+    PII to each doc (corpus has none) so the oracle actually checks the
+    regex semantics across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me: user"), F.col("doc_id"),
+            F.lit("@mail-"), F.col("doc_id"), F.lit(".example.com or 555-12-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+        ),
+    )
+    return text.redact_pii(with_pii).select("doc_id", "redacted", "n_redactions")
+
+
 def _cluster_oracle() -> str:
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

@@ -89,3 +89,30 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r["vertex"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pii_redaction_patterns(spark):
+    from predictor_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([Row(doc_id=1, text=(
+        "mail alice.smith+x@corp.example.org, ssn 123-45-6789, "
+        "ip 192.168.0.12, call +1 (555) 123-4567 now"
+    ))])
+    row = redact_pii(df).collect()[0]
+    assert "[EMAIL]" in row["redacted"] and "alice" not in row["redacted"]
+    assert "[SSN]" in row["redacted"] and "123-45-6789" not in row["redacted"]
+    assert "[IP]" in row["redacted"] and "192.168" not in row["redacted"]
+    assert "[PHONE]" in row["redacted"] and "4567" not in row["redacted"]
+    assert row["n_redactions"] == 4
+
+
+def test_repetition_stats(spark):
+    from predictor_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a a a a"),          # 1 distinct of 4
+        Row(doc_id=2, text="w x y z"),          # all distinct
+    ])
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert got[1]["dup_token_fraction"] == 0.75 and got[1]["top_token_ratio"] == 1.0
+    assert got[2]["dup_token_fraction"] == 0.0 and got[2]["top_token_ratio"] == 0.25
