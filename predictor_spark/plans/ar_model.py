@@ -104,3 +104,67 @@ def ar2_yule_walker(
         .withColumn("phi2", (r2 - r1 * r1) / det)
         .select(series_col, "n", "mean", "phi1", "phi2")
     )
+
+
+def ar_order_select(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+) -> DataFrame:
+    """Per-series AR order selection (p in 1..3) by AIC — the engine's
+    analog of the reference's ARIMA-GA (app/arima_optimizer.py:12-22,
+    DEAP minimizing AIC over (p,d,q)): instead of a driver-side GA, the
+    Levinson-Durbin recursion is closed-form column algebra over lagged
+    autocovariances, so ALL series select their order in one window pass
+    + one aggregate — no iteration, no candidate fan-out needed for pure
+    AR. (The GA fan-out in plans/search.py remains the path for models
+    without closed forms.)
+
+    Levinson-Durbin on normalized autocorrelations r_k = s_k/s0:
+        k1 = r1                E1 = 1 - k1^2
+        k2 = (r2-k1*r1)/E1     E2 = E1*(1-k2^2)   a21 = k1*(1-k2)
+        k3 = (r3-a21*r2-k2*r1)/E2                 E3 = E2*(1-k3^2)
+    sigma2_p = (s0/n)*E_p, AIC_p = n*ln(sigma2_p) + 2p. best_p = argmin
+    over the ROUNDED AICs (4 dp), ties to the smaller p — both rounding
+    and tie-break mirrored in the oracle."""
+    from pyspark.sql import Window
+
+    cutoff = F.lit(train_end).cast("timestamp")
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    wall = Window.partitionBy(series_col)
+    x = (
+        df.filter(F.col(ts_col) < cutoff)
+        .select(series_col, ts_col, F.col(value_col).alias("y"))
+        .withColumn("x", F.col("y") - F.avg("y").over(wall))
+    )
+    for k in (1, 2, 3):
+        x = x.withColumn(f"x{k}", F.lag("x", k).over(w))
+    agg = x.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("x") * F.col(c)).alias(s)
+          for c, s in [("x", "s0"), ("x1", "s1"), ("x2", "s2"), ("x3", "s3")]],
+    ).filter((F.col("n") >= 8) & (F.col("s0") > 0))
+    r1, r2, r3 = [F.col(f"s{k}") / F.col("s0") for k in (1, 2, 3)]
+    k1 = r1
+    e1 = 1 - k1 * k1
+    k2 = (r2 - k1 * r1) / e1
+    e2 = e1 * (1 - k2 * k2)
+    a21 = k1 * (1 - k2)
+    k3 = (r3 - a21 * r2 - k2 * r1) / e2
+    e3 = e2 * (1 - k3 * k3)
+    n = F.col("n").cast("double")
+    sig = F.col("s0") / n
+    aics = {p: F.round(n * F.log(sig * e) + 2 * p, 4)
+            for p, e in [(1, e1), (2, e2), (3, e3)]}
+    best = (
+        F.when((aics[1] <= aics[2]) & (aics[1] <= aics[3]), 1)
+        .when(aics[2] <= aics[3], 2)
+        .otherwise(3)
+    )
+    return agg.select(
+        series_col, "n",
+        aics[1].alias("aic1"), aics[2].alias("aic2"), aics[3].alias("aic3"),
+        best.alias("best_p"),
+    )

@@ -591,6 +591,67 @@ def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ar_order_select_aic",
+    oracle="""
+    WITH x0 AS (
+        SELECT user_id, ts,
+               value - avg(value) OVER (PARTITION BY user_id) AS x
+        FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+    ),
+    xl AS (
+        SELECT user_id, x,
+               lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts) AS x1,
+               lag(x, 2) OVER (PARTITION BY user_id ORDER BY ts) AS x2,
+               lag(x, 3) OVER (PARTITION BY user_id ORDER BY ts) AS x3
+        FROM x0
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n,
+               sum(x*x) AS s0, sum(x*x1) AS s1, sum(x*x2) AS s2, sum(x*x3) AS s3
+        FROM xl GROUP BY user_id HAVING count(*) >= 8 AND sum(x*x) > 0
+    ),
+    lev AS (
+        SELECT user_id, n, s0,
+               s1/s0 AS r1, s2/s0 AS r2, s3/s0 AS r3
+        FROM agg
+    ),
+    e AS (
+        SELECT user_id, n, s0, r1, r2, r3,
+               1 - r1*r1 AS e1,
+               (r2 - r1*r1) / (1 - r1*r1) AS k2
+        FROM lev
+    ),
+    e2t AS (
+        SELECT *, e1 * (1 - k2*k2) AS e2, r1 * (1 - k2) AS a21 FROM e
+    ),
+    e3t AS (
+        SELECT *, (r3 - a21*r2 - k2*r1) / e2 AS k3 FROM e2t
+    ),
+    aic AS (
+        SELECT user_id, n,
+               round(n * ln((s0/n) * e1) + 2, 4) AS aic1,
+               round(n * ln((s0/n) * e2) + 4, 4) AS aic2,
+               round(n * ln((s0/n) * e2 * (1 - k3*k3)) + 6, 4) AS aic3
+        FROM e3t
+    )
+    SELECT user_id, n, aic1, aic2, aic3,
+           CASE WHEN aic1 <= aic2 AND aic1 <= aic3 THEN 1
+                WHEN aic2 <= aic3 THEN 2 ELSE 3 END AS best_p
+    FROM aic
+    """,
+)
+def ar_order_select_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(p) order selection by AIC via closed-form Levinson-Durbin
+    (plans/ar_model.py ar_order_select) — the distributed analog of the
+    reference's ARIMA-GA AIC minimization, with zero candidate fan-out."""
+    from predictor_spark.plans.ar_model import ar_order_select
+    from predictor_spark.sources.tables import load_events_range
+
+    ev = load_events_range(spark, sf_dir, hi=_CUTOFF)
+    return ar_order_select(ev)
+
+
+@query(
     "range_join_event_windows",
     oracle="""
     SELECT a.event_id AS anchor_id,

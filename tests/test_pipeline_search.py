@@ -127,3 +127,27 @@ def test_ar2_yule_walker_recovers_coefficients(spark):
     for uid, (p1, p2) in enumerate([(0.6, -0.3), (0.2, 0.5)]):
         assert abs(got[uid]["phi1"] - p1) < 0.05, (uid, got[uid]["phi1"])
         assert abs(got[uid]["phi2"] - p2) < 0.05, (uid, got[uid]["phi2"])
+
+
+def test_ar_order_select_prefers_true_order(spark):
+    import numpy as np
+    from predictor_spark.plans.ar_model import ar_order_select
+
+    rng = np.random.default_rng(11)
+    rows = []
+    specs = {0: (0.0, 0.0), 1: (0.7, 0.0), 2: (0.3, 0.45)}  # white, AR(1), AR(2)
+    for uid, (p1, p2) in specs.items():
+        x = [0.0, 0.0]
+        for _ in range(3000):
+            x.append(p1 * x[-1] + p2 * x[-2] + rng.normal())
+        base = np.datetime64("2024-01-01T00:00:00")
+        rows += [
+            {"user_id": uid, "ts": (base + np.timedelta64(i, "m")).item(), "value": float(v)}
+            for i, v in enumerate(x[2:])
+        ]
+    df = spark.createDataFrame(rows)
+    got = {r["user_id"]: r["best_p"] for r in ar_order_select(df).collect()}
+    assert got[1] == 1, got
+    assert got[2] == 2, got
+    # white noise: no lag helps, the 2p penalty picks the smallest order
+    assert got[0] == 1, got
