@@ -689,6 +689,25 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("prophet_like_train_eval")  # no SQL oracle (lstsq); differential-tested vs numpy
+def prophet_like_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prophet-style per-series model (operators/prophet_like.py):
+    piecewise-linear trend + daily Fourier seasonality by OLS, fit on
+    train, scored on held-out rows vs persistence. Deterministic linear
+    algebra — the pytest replays the identical numpy core driver-side
+    and requires bit-equality; here the held-out MAE per series is the
+    rows-only surface."""
+    from predictor_spark.operators.prophet_like import prophet_like_fit_predict
+
+    ev = _t(spark, sf_dir, "events")
+    scored = prophet_like_fit_predict(ev, train_end=_CUTOFF)
+    test = scored.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    return test.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("yhat"))), 6).alias("mae"),
+    )
+
+
 @query("w15_fft_chunked")  # no SQL oracle (FFT); differential-tested vs per-series path
 def w15_fft_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 on a single giant series via range-chunking with w-row halos

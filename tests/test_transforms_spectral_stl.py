@@ -120,3 +120,37 @@ def test_fft_chunked_equals_per_series(spark):
 def test_fft_chunked_rejects_small_chunks(spark):
     with pytest.raises(ValueError, match="must exceed"):
         spectral.fft_window_features_chunked(_series_df(spark, [1.0]), chunk_size=8, window_size=16)
+
+
+def test_prophet_like_matches_numpy_and_recovers_structure(spark):
+    import numpy as np
+    import pandas as pd
+    from predictor_spark.operators.prophet_like import (
+        fit_predict_series, prophet_like_fit_predict)
+    from predictor_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    # 1) cluster output == driver-side numpy replay, bit for bit
+    ev = load_table(spark, SF_DIR, "events")
+    got = prophet_like_fit_predict(ev).toPandas()
+    got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    cutoff = np.datetime64("2024-01-22T00:00:00", "us")
+    want = (
+        pdf.groupby("user_id", group_keys=False)
+        .apply(lambda g: fit_predict_series(g, "value", "ts", cutoff, 3, 2))
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    assert np.array_equal(got["yhat"].to_numpy(), want["yhat"].to_numpy())
+
+    # 2) recovers a known trend + daily cycle far better than persistence
+    base = np.datetime64("2024-01-01T00:00:00")
+    ts = np.array([base + np.timedelta64(15 * i, "m") for i in range(2500)])
+    sec = ts.astype("datetime64[us]").astype("int64") / 1e6
+    y = 0.001 * (sec - sec[0]) / 900 + 5 * np.sin(2 * np.pi * (sec % 86400) / 86400)
+    df = spark.createDataFrame(pd.DataFrame({
+        "user_id": 1, "ts": ts.astype("datetime64[us]"), "value": y}))
+    out = prophet_like_fit_predict(df, train_end="2024-01-20 00:00:00").toPandas()
+    test = out[out["ts"] >= pd.Timestamp("2024-01-20")]
+    mae = float(np.abs(test["value"] - test["yhat"]).mean())
+    assert mae < 0.1, mae
