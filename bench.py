@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
     "text_quality_score",
+    "text_winnow_fingerprint",
+    # scale-path custom operators
+    "range_join_event_windows",
+    "ar_order_select_aic",
 ]
 
 

@@ -103,12 +103,32 @@ def load_search_checkpoint(path: str) -> dict | None:
         return None
 
 
+def append_meta_log(path: str, entries: list[dict]) -> None:
+    """Append one CSV row per evaluated candidate (reference:
+    modules/meta_logger.py:57-176 — every candidate logged with params +
+    fitness for post-hoc analysis). Header written once; params are
+    flattened into sorted columns, fitness last."""
+    import csv
+
+    if not entries:
+        return
+    keys = sorted({k for e in entries for k in e["params"]})
+    new_file = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new_file:
+            w.writerow([*keys, "fitness"])
+        for e in entries:
+            w.writerow([*[e["params"].get(k, "") for k in keys], e["fitness"]])
+
+
 def grid_search(
     grid: Sequence[dict],
     evaluate: Callable[[dict], float],
     max_parallel: int = 8,
     patience: int | None = None,
     checkpoint_path: str | None = None,
+    meta_log_path: str | None = None,
 ) -> SearchResult:
     """Deterministic grid/staged search with optional early stopping on
     no-improvement patience (default_optimizer.py:595-715 champion
@@ -137,12 +157,17 @@ def grid_search(
         if not gen:
             continue
         fits = evaluate_candidates(gen, evaluate, max_parallel)
+        gen_entries = []
         for params, fit in zip(gen, fits):
-            history.append({"params": params, "fitness": fit})
+            entry = {"params": params, "fitness": fit}
+            history.append(entry)
+            gen_entries.append(entry)
             if fit < best_f:
                 best_f, best_p, stale = fit, params, 0
             else:
                 stale += 1
+        if meta_log_path:
+            append_meta_log(meta_log_path, gen_entries)
         if checkpoint_path:
             save_search_checkpoint(checkpoint_path, history, best_p, best_f)
         if patience is not None and stale >= patience:

@@ -151,3 +151,17 @@ def test_ar_order_select_prefers_true_order(spark):
     assert got[2] == 2, got
     # white noise: no lag helps, the 2p penalty picks the smallest order
     assert got[0] == 1, got
+
+
+def test_meta_log_appends_candidates(tmp_path):
+    import csv
+    from predictor_spark.plans.search import grid_search
+
+    path = str(tmp_path / "meta.csv")
+    grid_search([{"x": i} for i in range(5)], lambda p: p["x"] * 1.0,
+                max_parallel=2, meta_log_path=path)
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["x", "fitness"]
+    assert len(rows) == 6
+    assert {r[0] for r in rows[1:]} == {"0", "1", "2", "3", "4"}
