@@ -591,6 +591,36 @@ def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, day, hour)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): one pass produces hour, day, event-type, and grand totals via
+    GROUP BY ROLLUP — grouping sets expand map-side, so the shuffle still
+    carries only |groups| rows. At 100 TB this replaces four separate
+    scans with one."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "ar_order_select_aic",
     oracle="""
     WITH x0 AS (
