@@ -421,6 +421,47 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query(
+    "kmeans_one_step",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 4),
+    a AS (
+        SELECT e.vec_id, c.cid,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                      * (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS d
+        FROM embeddings e, c
+    ),
+    best AS (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM a
+    )
+    SELECT cid AS cluster, count(*) AS n, round(sum(d), 2) AS inertia
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step (operators/kmeans.py): nearest of the 4
+    lowest-id centroid vectors by squared L2, per-cluster counts +
+    inertia. Assignment is a broadcast-literal array argmin (map-side);
+    the oracle replays it with rounded-distance tie-breaks. The full
+    iterative kmeans_fit is differential-tested against numpy Lloyd's."""
+    from predictor_spark.operators import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"]) for r in emb.orderBy("vec_id").limit(4)
+        .select(similarity.as_double_vec("embedding").alias("v")).collect()
+    ]
+    assigned = kmeans.assign_clusters(emb, cents, round_dp=6)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("dist"), 2).alias("inertia"),
+    )
+
+
 def _lsh_knn_oracle(n_planes: int = 6, dim: int = 64) -> str:
     def sig(side: str) -> str:
         bits = []

@@ -116,3 +116,28 @@ def test_repetition_stats(spark):
     got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
     assert got[1]["dup_token_fraction"] == 0.75 and got[1]["top_token_ratio"] == 1.0
     assert got[2]["dup_token_fraction"] == 0.0 and got[2]["top_token_ratio"] == 0.25
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    import numpy as np
+    from tests.conftest import SF_DIR
+    from predictor_spark.operators.kmeans import kmeans_fit
+    from predictor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k, iters = 3, 4
+    cents, assigned = kmeans_fit(emb, k=k, n_iter=iters)
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(k):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(axis=0)
+    assert np.allclose(np.array(cents), C, atol=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    want = dict(zip(pdf["vec_id"].tolist(), lab.tolist()))
+    assert got == want
