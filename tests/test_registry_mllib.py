@@ -42,3 +42,39 @@ def test_mllib_multifeature_runs(spark):
     mae = scored.agg(F.avg(F.abs(F.col("pred") - F.col("target_h1")))).collect()[0][0]
     naive = scored.agg(F.avg(F.abs(F.col("value") - F.col("target_h1")))).collect()[0][0]
     assert mae < naive  # trained model beats persistence
+
+
+def test_sql_functions_match_expression_forms(spark):
+    from predictor_spark.functions.sqlfuncs import register_sql_functions
+    from predictor_spark.operators.text import portable_hash, with_quality_score
+    from predictor_spark.operators.temporal import symmetric_log1p
+    from predictor_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    names = register_sql_functions(spark)
+    assert names == ["ps_log_return", "ps_portable_hash",
+                     "ps_quality_score", "ps_sym_log1p"]
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.createOrReplaceTempView("__docs")
+
+    # portable hash parity
+    sql = spark.sql("SELECT doc_id, ps_portable_hash(text) AS h FROM __docs")
+    expr = docs.select("doc_id", portable_hash(F.col("text")).alias("h"))
+    assert {tuple(r) for r in sql.collect()} == {tuple(r) for r in expr.collect()}
+
+    # quality-score parity (rounded: float vs Column arithmetic)
+    sql = spark.sql(
+        "SELECT doc_id, round(ps_quality_score(text), 9) AS q FROM __docs")
+    expr = with_quality_score(docs).select(
+        "doc_id", F.round("quality_score", 9).alias("q"))
+    assert {tuple(r) for r in sql.collect()} == {tuple(r) for r in expr.collect()}
+
+    # log-return guard parity on crafted values
+    vals = spark.createDataFrame(
+        [(1.0, 2.0), (0.0, 2.0), (3.0, 0.0), (-1.0, 2.0)], "cur double, prev double")
+    vals.createOrReplaceTempView("__vals")
+    rows = spark.sql(
+        "SELECT round(ps_log_return(cur, prev), 9) AS r FROM __vals").collect()
+    import math
+    assert [r["r"] for r in rows] == [round(math.log(0.5), 9), 0.0, 0.0, 0.0]
