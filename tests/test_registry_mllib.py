@@ -78,3 +78,23 @@ def test_sql_functions_match_expression_forms(spark):
         "SELECT round(ps_log_return(cur, prev), 9) AS r FROM __vals").collect()
     import math
     assert [r["r"] for r in rows] == [round(math.log(0.5), 9), 0.0, 0.0, 0.0]
+
+
+def test_chunk_plan_udtf(spark):
+    from predictor_spark.functions.udtfs import register_udtfs
+
+    assert register_udtfs(spark) == ["ps_chunk_plan"]
+    rows = spark.sql("SELECT * FROM ps_chunk_plan(100, 30, 5)").collect()
+    # chunks cover [0,100) exactly once in their cores, halos clamp at edges
+    assert [(r["chunk_id"], r["start"], r["end"], r["core_start"], r["core_end"])
+            for r in rows] == [
+        (0, 0, 35, 0, 30), (1, 25, 65, 30, 60),
+        (2, 55, 95, 60, 90), (3, 85, 100, 90, 100),
+    ]
+    # lateral use: plan chunks for per-series lengths
+    spark.createDataFrame([(1, 70), (2, 10)], "sid int, n int") \
+        .createOrReplaceTempView("__lens")
+    lat = spark.sql(
+        "SELECT sid, chunk_id, core_start, core_end "
+        "FROM __lens, LATERAL ps_chunk_plan(n, 40, 4)").collect()
+    assert {(r["sid"], r["chunk_id"]) for r in lat} == {(1, 0), (1, 1), (2, 0)}
