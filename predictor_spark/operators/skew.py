@@ -65,3 +65,39 @@ def salted_agg(
 
     partial = work.groupBy(*keys, "__salt").agg(*phase1)
     return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    buckets: int = 8,
+    how: str = "inner",
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the LEFT (large, skewed) side gets
+    a salt in [0, buckets); the RIGHT side is replicated once per salt
+    value; the join runs on (keys..., salt), spreading each hot key over
+    ``buckets`` reducers.
+
+    Use when one join key carries a disproportionate share of the left
+    rows AND the right side is too big to broadcast outright (else just
+    broadcast) — the classic whale-key fact⋈fact fix when AQE skew-join
+    splitting isn't available (e.g. the join feeds a co-partitioned
+    downstream op that disables AQE splitting). Replication costs
+    |right| x buckets rows, so pick buckets ~ hot-key multiplicity, not
+    cluster width. Result is row-identical to the plain join (pytest).
+
+    ``how`` supports inner/left (semantics preserved per left row);
+    right/full would need salt on the other side — not provided."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salt = (salt_col if salt_col is not None else F.monotonically_increasing_id()) % buckets
+    lhs = left.withColumn("__salt", salt.cast("int"))
+    # explode cannot be nested inside another expression (cast) — keep it
+    # top-level and cast the int-typed sequence bounds instead
+    rhs = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(buckets - 1).cast("int"))),
+    )
+    return lhs.join(rhs, [*on, "__salt"], how).drop("__salt")

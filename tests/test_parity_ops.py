@@ -136,3 +136,30 @@ def test_upsert_latest_wins(spark, tmp_path):
     wh.upsert("t", spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), ["k"])
     got = {(r["k"], r["v"]) for r in spark.read.parquet(str(tmp_path / "t")).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from predictor_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # skewed left: key 'hot' carries 90% of rows; right has multiplicity 2
+    left = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", i) for i in range(1000)], "k string, lv int")
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k10", 3), ("k20", 4), ("absent", 5)],
+        "k string, rv int")
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, ["k"], buckets=4, how=how)
+            .select("k", "lv", "rv").collect()
+        )
+        want = sorted(
+            tuple(r) for r in left.join(right, ["k"], how)
+            .select("k", "lv", "rv").collect()
+        )
+        assert got == want, how
+
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
