@@ -591,6 +591,38 @@ def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_purchases",
+    oracle="""
+    SELECT l.event_id,
+           CASE WHEN l.ts <= r.ts + INTERVAL 2 DAY THEN r.ts END AS ts_right,
+           CASE WHEN l.ts <= r.ts + INTERVAL 2 DAY
+                THEN round(r.value, 6) END AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join (operators/asof.py): each click joined to the
+    user's latest purchase at-or-before it, within a 2-day tolerance.
+    Union + one window pass — no row replication, one shuffle on the by
+    key. Oracle: DuckDB's native ASOF LEFT JOIN with the tolerance as a
+    post-predicate."""
+    from predictor_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, ts_col="ts", by=["user_id"],
+        right_cols=["ts", "value"], tolerance=F.expr("INTERVAL 2 DAYS"),
+    )
+    return out.select(
+        "event_id", "ts_right", F.round("value_right", 6).alias("value_right")
+    )
+
+
+@query(
     "rollup_time_hierarchy",
     oracle="""
     SELECT event_type,

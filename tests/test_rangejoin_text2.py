@@ -141,3 +141,36 @@ def test_kmeans_matches_numpy_lloyds(spark):
     got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     want = dict(zip(pdf["vec_id"].tolist(), lab.tolist()))
     assert got == want
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+    from predictor_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    base = np.datetime64("2024-01-01T00:00:00")
+    def mk(n, uid_mod):
+        ts = np.sort(rng.choice(200000, size=n, replace=False)).astype("timedelta64[s]")
+        return pd.DataFrame({
+            "ts": (base + ts).astype("datetime64[us]"),
+            "user_id": rng.integers(0, uid_mod, n),
+            "value": rng.normal(size=n).round(3),
+        })
+    lpdf = mk(300, 5).assign(event_id=range(300))
+    rpdf = mk(120, 5)
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        by=["user_id"], right_cols=["ts", "value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+        on="ts", by="user_id", suffixes=("", "_right"),
+        tolerance=pd.Timedelta(hours=1), direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert got["value_right"].equals(want["value_right"])
+    # matched ts only present when within tolerance
+    matched = got["ts_right"].notna()
+    assert ((got.loc[matched, "ts"] - got.loc[matched, "ts_right"])
+            <= pd.Timedelta(hours=1)).all()
