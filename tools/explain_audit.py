@@ -70,6 +70,14 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
     "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct", "Window ["]},
     "text_token_bpe": {"must": [], "not": ["Exchange"]},  # pure projection
+    # as-of join: ONE window pass over the union — never a join operator
+    "asof_join_purchases": {
+        "must": [],
+        "not": ["Join", "CartesianProduct"],
+        "max_window_execs": 1,
+    },
+    "rollup_time_hierarchy": {"must": ["partial_", "Expand"], "not": []},
+    "kmeans_one_step": {"must": ["partial_"], "not": ["Join"]},
 }
 
 
