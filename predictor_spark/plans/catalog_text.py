@@ -365,6 +365,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    drops AS (
+        SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup output: the documents that SURVIVE near-dup
+    removal — every doc except non-canonical cluster members (cluster =
+    connected component of the LSH pair graph, canonical = min doc_id).
+    pairs -> clusters -> left_anti join; the keep-list is what a training
+    pipeline actually consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    n=3, num_perm=16, bands=4, threshold=0.1)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    drops = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    return docs.select("doc_id").join(drops, "doc_id", "left_anti")
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (
