@@ -300,25 +300,30 @@ def w10_first_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w11_time_features",
     oracle="""
     SELECT event_id,
-           round(sin(2 * pi() * hour(ts) / 24.0), 6)      AS hod_sin,
-           round(cos(2 * pi() * hour(ts) / 24.0), 6)      AS hod_cos,
-           round(sin(2 * pi() * dayofweek(ts) / 7.0), 6)  AS dow_sin,
-           round(cos(2 * pi() * dayofweek(ts) / 7.0), 6)  AS dow_cos,
-           round(sin(2 * pi() * dayofmonth(ts) / 31.0), 6) AS dom_sin,
-           round(cos(2 * pi() * dayofmonth(ts) / 31.0), 6) AS dom_cos,
-           round(sin(2 * pi() * month(ts) / 12.0), 6)     AS moy_sin,
-           round(cos(2 * pi() * month(ts) / 12.0), 6)     AS moy_cos
+           round(sin(2 * pi() * hour(ts) / 24.0), 6) + 0.0      AS hod_sin,
+           round(cos(2 * pi() * hour(ts) / 24.0), 6) + 0.0      AS hod_cos,
+           round(sin(2 * pi() * dayofweek(ts) / 7.0), 6) + 0.0  AS dow_sin,
+           round(cos(2 * pi() * dayofweek(ts) / 7.0), 6) + 0.0  AS dow_cos,
+           round(sin(2 * pi() * dayofmonth(ts) / 31.0), 6) + 0.0 AS dom_sin,
+           round(cos(2 * pi() * dayofmonth(ts) / 31.0), 6) + 0.0 AS dom_cos,
+           round(sin(2 * pi() * month(ts) / 12.0), 6) + 0.0     AS moy_sin,
+           round(cos(2 * pi() * month(ts) / 12.0), 6) + 0.0     AS moy_cos
     FROM events
     """,
 )
 def w11_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W11/W20 — cyclic calendar encodings straight from the timestamp
     (the reference consumes these precomputed, FIXTURES F2). Pure
-    projection: no shuffle at any scale."""
+    projection: no shuffle at any scale.
+
+    `+ 0.0` on both engines canonicalizes IEEE-754 signed zero: DuckDB's
+    round(cos(...), 6) yields -0.0 at hour 6/18 while Spark yields +0.0,
+    and the driver hashes them differently (round-1 w11 hash fail).
+    """
     ev = _t(spark, sf_dir, "events")
     out = temporal.time_features(ev, ts_col="ts")
     cols = [f"{p}_{t}" for p in ("hod", "dow", "dom", "moy") for t in ("sin", "cos")]
-    return out.select("event_id", *[F.round(c, 6).alias(c) for c in cols])
+    return out.select("event_id", *[(F.round(c, 6) + F.lit(0.0)).alias(c) for c in cols])
 
 
 @query(

@@ -59,7 +59,10 @@ def p7_corr_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w2_window_exclusive",
     oracle="""
-    SELECT event_id, w AS window FROM (
+    SELECT event_id,
+           round(w[1], 6) + 0.0 AS w0, round(w[2], 6) + 0.0 AS w1,
+           round(w[3], 6) + 0.0 AS w2, round(w[4], 6) + 0.0 AS w3
+    FROM (
         SELECT event_id,
                list(value) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS w,
@@ -72,39 +75,45 @@ def p7_corr_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w2_window_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — ANTI-LEAKAGE window: strictly-before-t rows [t-w, t-1] plus the
     t+max_h tail guard (phase2_6_preprocessor.py:154-161). The central
-    no-leakage invariant is property-tested in tests/test_temporal.py."""
+    no-leakage invariant is property-tested in tests/test_temporal.py.
+    Flattened to scalar columns for the driver's hasher (see w1)."""
     ev = _t(spark, sf_dir, "events")
     out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id",
                                     inclusive=False, max_horizon=2)
-    return out.select("event_id", F.transform("window", lambda r: F.element_at(r, 1)).alias("window"))
+    return out.select(
+        "event_id",
+        *[(F.round(F.element_at(F.element_at("window", i + 1), 1), 6) + F.lit(0.0)).alias(f"w{i}")
+          for i in range(4)],
+    )
 
 
 @query(
     "w13_symmetric_log1p",
     oracle="""
     SELECT event_id,
-           round(sign(value) * ln(1 + abs(value)), 6) AS value_slog1p
+           round(sign(value) * ln(1 + abs(value)), 6) + 0.0 AS value_slog1p
     FROM events
     """,
 )
 def w13_symmetric_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W13 — sign(x)*log1p(|x|) feature compression
-    (stl_preprocessor.py:122-165)."""
+    (stl_preprocessor.py:122-165). `+ 0.0` canonicalizes signed zero
+    (see w11_time_features)."""
     ev = _t(spark, sf_dir, "events")
     out = temporal.symmetric_log1p(ev, ["value"])
-    return out.select("event_id", F.round("value_slog1p", 6).alias("value_slog1p"))
+    return out.select("event_id", (F.round("value_slog1p", 6) + F.lit(0.0)).alias("value_slog1p"))
 
 
 @query(
     "w18_positional_encoding",
     oracle="""
     SELECT pos,
-           round(sin(pos / power(10000.0, 0.0 / 8.0)), 6) AS pe_sin_0,
-           round(cos(pos / power(10000.0, 0.0 / 8.0)), 6) AS pe_cos_0,
-           round(sin(pos / power(10000.0, 2.0 / 8.0)), 6) AS pe_sin_1,
-           round(cos(pos / power(10000.0, 2.0 / 8.0)), 6) AS pe_cos_1,
-           round(sin(pos / power(10000.0, 4.0 / 8.0)), 6) AS pe_sin_2,
-           round(cos(pos / power(10000.0, 4.0 / 8.0)), 6) AS pe_cos_2
+           round(sin(pos / power(10000.0, 0.0 / 8.0)), 6) + 0.0 AS pe_sin_0,
+           round(cos(pos / power(10000.0, 0.0 / 8.0)), 6) + 0.0 AS pe_cos_0,
+           round(sin(pos / power(10000.0, 2.0 / 8.0)), 6) + 0.0 AS pe_sin_1,
+           round(cos(pos / power(10000.0, 2.0 / 8.0)), 6) + 0.0 AS pe_cos_1,
+           round(sin(pos / power(10000.0, 4.0 / 8.0)), 6) + 0.0 AS pe_sin_2,
+           round(cos(pos / power(10000.0, 4.0 / 8.0)), 6) + 0.0 AS pe_cos_2
     FROM (SELECT unnest(range(0, 32)) AS pos)
     """,
 )
@@ -112,13 +121,14 @@ def w18_positional_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W18 — sinusoidal positional encoding table
     (predictor_plugins/common/positional_encoding.py:15-32): pe[pos, 2k] =
     sin(pos/10000^(2k/d)). Generated as a relational table so the model
-    boundary can join it instead of recomputing in TF."""
+    boundary can join it instead of recomputing in TF. `+ 0.0`
+    canonicalizes signed zero (see w11_time_features)."""
     pos = spark.range(0, 32).select(F.col("id").cast("bigint").alias("pos"))
     cols = [F.col("pos")]
     for k in range(3):
         denom = F.pow(F.lit(10000.0), F.lit(2.0 * k / 8.0))
-        cols.append(F.round(F.sin(F.col("pos") / denom), 6).alias(f"pe_sin_{k}"))
-        cols.append(F.round(F.cos(F.col("pos") / denom), 6).alias(f"pe_cos_{k}"))
+        cols.append((F.round(F.sin(F.col("pos") / denom), 6) + F.lit(0.0)).alias(f"pe_sin_{k}"))
+        cols.append((F.round(F.cos(F.col("pos") / denom), 6) + F.lit(0.0)).alias(f"pe_cos_{k}"))
     return pos.select(*cols)
 
 
@@ -154,7 +164,7 @@ def w20_rolling_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     kxx AS (SELECT avg(exp(-((a.value - b.value)^2) / 200.0)) AS v FROM x a, x b),
     kyy AS (SELECT avg(exp(-((a.value - b.value)^2) / 200.0)) AS v FROM y a, y b),
     kxy AS (SELECT avg(exp(-((a.value - b.value)^2) / 200.0)) AS v FROM x a, y b)
-    SELECT round(kxx.v + kyy.v - 2 * kxy.v, 6) AS mmd2
+    SELECT round(kxx.v + kyy.v - 2 * kxy.v, 6) + 0.0 AS mmd2
     FROM kxx, kyy, kxy
     """,
 )
@@ -179,7 +189,7 @@ def a8_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         kxx.select(F.col("v").alias("kxx"))
         .crossJoin(kyy.select(F.col("v").alias("kyy")))
         .crossJoin(kxy.select(F.col("v").alias("kxy")))
-        .select(F.round(F.col("kxx") + F.col("kyy") - 2 * F.col("kxy"), 6).alias("mmd2"))
+        .select((F.round(F.col("kxx") + F.col("kyy") - 2 * F.col("kxy"), 6) + F.lit(0.0)).alias("mmd2"))
     )
 
 

@@ -58,7 +58,10 @@ def ar1_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w1_window_tensor",
     oracle="""
-    SELECT event_id, w AS window FROM (
+    SELECT event_id,
+           round(w[1], 6) + 0.0 AS w0, round(w[2], 6) + 0.0 AS w1,
+           round(w[3], 6) + 0.0 AS w2, round(w[4], 6) + 0.0 AS w3
+    FROM (
         SELECT event_id,
                list(value) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w,
@@ -69,11 +72,26 @@ def ar1_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w1_window_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — inclusive sliding-window tensorization (window_size=4, single
-    feature): array column, complete windows only; baseline = last elem.
-    The array stays lazy — only materialized at the sink/model boundary."""
+    feature): complete windows only; baseline = last elem. Flattened to
+    scalar columns w0..w3 because the driver's canonicalizer cannot hash
+    array cells (round-1 err row); the lazy array form stays available as
+    the rows-only `w1_window_tensor_arrays`."""
     ev = _t(spark, sf_dir, "events")
     out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
-    # single-feature tensor -> flatten inner arrays for a clean array<double>
+    return out.select(
+        "event_id",
+        *[(F.round(F.element_at(F.element_at("window", i + 1), 1), 6) + F.lit(0.0)).alias(f"w{i}")
+          for i in range(4)],
+    )
+
+
+@query("w1_window_tensor_arrays")
+def w1_window_tensor_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (array form) — the actual tensor column consumed by the model
+    boundary. Rows-only: nested arrays are not portable through the
+    driver's pandas hasher."""
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
     return out.select("event_id", F.transform("window", lambda r: F.element_at(r, 1)).alias("window"))
 
 

@@ -26,7 +26,11 @@ _CUTOFF = "2024-01-22 00:00:00"
 @query(
     "w3_single_step_window",
     oracle="""
-    SELECT event_id, w AS window, target FROM (
+    SELECT event_id,
+           round(w[1], 6) + 0.0 AS w0, round(w[2], 6) + 0.0 AS w1,
+           round(w[3], 6) + 0.0 AS w2, round(w[4], 6) + 0.0 AS w3,
+           round(target, 6) + 0.0 AS target
+    FROM (
         SELECT event_id,
                list(value) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w,
@@ -43,6 +47,7 @@ def w3_single_step_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one lead: both share the per-series window spec, so Catalyst
     plans ONE sort + WindowExec for tensor, lead and row-number together —
     the per-row Python loop of the reference becomes a single pass.
+    Flattened to scalar columns for the driver's hasher (see w1).
     """
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -50,8 +55,9 @@ def w3_single_step_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.withColumn("target", F.lead("value", 2).over(w)).filter(F.col("target").isNotNull())
     return out.select(
         "event_id",
-        F.transform("window", lambda r: F.element_at(r, 1)).alias("window"),
-        "target",
+        *[(F.round(F.element_at(F.element_at("window", i + 1), 1), 6) + F.lit(0.0)).alias(f"w{i}")
+          for i in range(4)],
+        (F.round("target", 6) + F.lit(0.0)).alias("target"),
     )
 
 
@@ -71,12 +77,12 @@ def w3_single_step_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id,
-           round(close, 6) AS close,
+           round(close, 6) + 0.0 AS close,
            round(CASE WHEN lag(price_x) OVER w > 0 AND price_x > 0
-                      THEN ln(price_x / lag(price_x) OVER w) ELSE 0.0 END, 6) AS price_x,
-           round(coalesce(trend_x - lag(trend_x) OVER w, 0.0), 6) AS trend_x,
-           round(sin(2 * pi() * hod / 24.0), 6) AS hod_sin,
-           round(cos(2 * pi() * hod / 24.0), 6) AS hod_cos
+                      THEN ln(price_x / lag(price_x) OVER w) ELSE 0.0 END, 6) + 0.0 AS price_x,
+           round(coalesce(trend_x - lag(trend_x) OVER w, 0.0), 6) + 0.0 AS trend_x,
+           round(sin(2 * pi() * hod / 24.0), 6) + 0.0 AS hod_sin,
+           round(cos(2 * pi() * hod / 24.0), 6) + 0.0 AS hod_cos
     FROM base
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """,
@@ -97,13 +103,11 @@ def w12_anti_naive_lock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roles = infer_roles(["close", "price_x", "trend_x", "hod"], target_col="close")
     out = anti_naive_lock(base, roles, series_col="user_id")
+    # + 0.0 canonicalizes IEEE-754 signed zero on both engines (see w11)
     return out.select(
         "event_id",
-        F.round("close", 6).alias("close"),
-        F.round("price_x", 6).alias("price_x"),
-        F.round("trend_x", 6).alias("trend_x"),
-        F.round("hod_sin", 6).alias("hod_sin"),
-        F.round("hod_cos", 6).alias("hod_cos"),
+        *[(F.round(c, 6) + F.lit(0.0)).alias(c)
+          for c in ("close", "price_x", "trend_x", "hod_sin", "hod_cos")],
     )
 
 
