@@ -55,20 +55,21 @@ def asof_join(
         Window.partitionBy(*by).orderBy(ts_col, "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched_ts = F.last(
-        F.when(F.col("__tag") == 0, F.col(ts_col)), ignorenulls=True
-    ).over(w)
-    out = u.withColumn("__mts", matched_ts)
-    for c in payload:
-        out = out.withColumn(
-            f"__m_{c}",
-            F.last(F.when(F.col("__tag") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
-        )
+    # ONE last() over a struct of the entire right row (ts + payload), built
+    # only for tag==0 rows. A per-column last(ignorenulls) would skip a NULL
+    # payload value and silently splice in an OLDER right row's value —
+    # backward as-of must return the matched row's value, NULL included.
+    r_row = F.when(
+        F.col("__tag") == 0,
+        F.struct(F.col(ts_col).alias("__ts"),
+                 *[F.col(f"__r_{c}").alias(c) for c in payload]),
+    )
+    out = u.withColumn("__m", F.last(r_row, ignorenulls=True).over(w))
     out = out.filter(F.col("__tag") == 1)
-    keep = F.col("__mts").isNotNull()
+    keep = F.col("__m").isNotNull()
     if tolerance is not None:
-        keep = keep & (F.col(ts_col) <= F.col("__mts") + tolerance)
+        keep = keep & (F.col(ts_col) <= F.col("__m.__ts") + tolerance)
     sel = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    sel.append(F.when(keep, F.col("__mts")).alias(f"{ts_col}{suffix}"))
-    sel += [F.when(keep, F.col(f"__m_{c}")).alias(f"{c}{suffix}") for c in payload]
+    sel.append(F.when(keep, F.col("__m.__ts")).alias(f"{ts_col}{suffix}"))
+    sel += [F.when(keep, F.col(f"__m.{c}")).alias(f"{c}{suffix}") for c in payload]
     return out.select(*sel)

@@ -48,7 +48,12 @@ def exact_dedup(
 
     One groupBy shuffle on the content hash. For wide keys, pre-hash with
     md5/xxhash64 so the shuffle key is 16 bytes, not the document."""
-    key = F.md5(F.concat_ws("", *[F.col(c) for c in key_cols]))
+    # NULL is encoded as a distinct sentinel: concat_ws silently DROPS
+    # nulls, so ('a', NULL) would otherwise collide with ('a',) or
+    # (NULL, 'a') despite being distinct keys.
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>\x00"))
+             for c in key_cols]
+    key = F.md5(F.concat_ws("\x01", *parts))
     return (
         df.withColumn("__key", key)
         .groupBy("__key")

@@ -73,14 +73,15 @@ def kmeans_fit(
     dim: int = 64,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's iterations with deterministic lowest-id init. Returns the
-    final centroids and the final assignment DataFrame. Empty clusters
-    keep their previous centroid (classical convention)."""
+    final centroids and the assignment computed FROM those centroids (one
+    extra assignment pass after the last update, so the returned pair is
+    internally consistent). Empty clusters keep their previous centroid
+    (classical convention)."""
     init = (
         df.orderBy(id_col).limit(k)
         .select(as_double_vec(vec_col).alias("v")).collect()
     )
     centroids = [list(r["v"]) for r in init]
-    assigned = None
     for _ in range(n_iter):
         assigned = assign_clusters(df, centroids, id_col, vec_col)
         rows = assigned.groupBy("cluster").agg(
@@ -89,4 +90,4 @@ def kmeans_fit(
         ).collect()
         new = {r["cluster"]: [r[f"m{d}"] for d in range(dim)] for r in rows}
         centroids = [new.get(c, centroids[c]) for c in range(k)]
-    return centroids, assigned
+    return centroids, assign_clusters(df, centroids, id_col, vec_col)

@@ -34,17 +34,25 @@ def ar1_fit_predict(
     """Fit y[t+h] = a + b*y[t] per series on train rows; emit scored rows
     for ``eval_on`` ('test' = held-out ts >= cutoff, 'train' = in-sample).
     Returns (series, ts, value, target, pred, baseline)."""
+    from pyspark.sql import Window
+
     base = lead_targets(df, value_col, [horizon], ts_col=ts_col, series_col=series_col, trim=True)
     target = f"target_h{horizon}"
     cutoff = F.lit(train_end).cast("timestamp")
-    train = base.filter(F.col(ts_col) < cutoff)
+    # The target y[t+h] must ALSO lie before the cutoff, or test-period
+    # values leak into the fit. lead(ts) shares the window spec lead_targets
+    # used, so Catalyst plans one WindowExec for both.
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    base = base.withColumn("__tgt_ts", F.lead(ts_col, horizon).over(w))
+    train = base.filter((F.col(ts_col) < cutoff) & (F.col("__tgt_ts") < cutoff))
     coeffs = train.groupBy(series_col).agg(
         F.regr_slope(F.col(target), F.col(value_col)).alias("slope"),
         F.regr_intercept(F.col(target), F.col(value_col)).alias("intercept"),
     )
     scored = train if eval_on == "train" else base.filter(F.col(ts_col) >= cutoff)
     return (
-        scored.join(F.broadcast(coeffs), series_col)
+        scored.drop("__tgt_ts")
+        .join(F.broadcast(coeffs), series_col)
         .filter(F.col("slope").isNotNull())
         .withColumn("pred", F.col("intercept") + F.col("slope") * F.col(value_col))
         .withColumn("baseline", F.col(value_col))

@@ -24,13 +24,15 @@ _CUTOFF = "2024-01-22 00:00:00"
     oracle=f"""
     WITH base AS (
         SELECT user_id, ts, event_type, value,
-               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target,
+               lead(ts, 1)    OVER (PARTITION BY user_id ORDER BY ts) AS tgt_ts
         FROM events
     ), trimmed AS (SELECT * FROM base WHERE target IS NOT NULL),
     coeffs AS (
         SELECT user_id, regr_slope(target, value) AS slope,
                regr_intercept(target, value) AS intercept
-        FROM trimmed WHERE ts < TIMESTAMP '{_CUTOFF}'
+        FROM trimmed
+        WHERE ts < TIMESTAMP '{_CUTOFF}' AND tgt_ts < TIMESTAMP '{_CUTOFF}'
         GROUP BY user_id
     )
     SELECT event_type, count(*) AS n,

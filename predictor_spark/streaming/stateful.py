@@ -104,9 +104,13 @@ def stateful_running_stats(
         import pandas as pd
 
         n, total, ema = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"].to_numpy():
+        # materialize + sort ONCE per group: a key's micro-batch rows can
+        # span multiple Arrow chunks, and sorting each chunk independently
+        # would fold the order-sensitive EMA out of global time order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("ts") if len(chunks) > 1 else chunks[0].sort_values("ts")
+            for v in allpdf["value"].to_numpy():
                 v = float(v)
                 ema = v if n == 0 else (1.0 - alpha) * ema + alpha * v
                 n += 1

@@ -137,6 +137,8 @@ def test_kmeans_matches_numpy_lloyds(spark):
         for c in range(k):
             if (lab == c).any():
                 C[c] = X[lab == c].mean(axis=0)
+    # kmeans_fit returns the assignment recomputed from the FINAL centroids
+    lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     assert np.allclose(np.array(cents), C, atol=1e-9)
     got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     want = dict(zip(pdf["vec_id"].tolist(), lab.tolist()))
