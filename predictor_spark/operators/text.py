@@ -68,11 +68,21 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     [0,1]-ish score. Heuristics follow the common LLM-data-cleaning recipe
     (Gopher-style rules): too-short docs, punctuation-free docs and
     stopword-free docs are penalized."""
-    toks = tokens_col(text_col)
-    n_tok = F.size(toks).cast("double")
+    # One let-bound struct holds every token-derived scalar: interpreted
+    # higher-order expressions get no CSE, so naming the split N times
+    # would re-run the regex split N times per row (this cost
+    # dedup_minhash_lsh 11s before the same fix). The struct alias is
+    # referenced >1 time, which also stops CollapseProject from inlining
+    # (and thus re-expanding) it into each consumer.
+    s = let(tokens_col(text_col), lambda toks: F.struct(
+        F.size(toks).cast("double").alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+        .cast("double").alias("stop_hits"),
+    ))
     n_chars = F.length(text_col).cast("double")
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", "")).cast("double")
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))).cast("double")
+    df = df.withColumn("__q", s)
+    n_tok, stop_hits = F.col("__q.n_tok"), F.col("__q.stop_hits")
     df = (
         df.withColumn("punct_ratio", punct / n_chars)
         .withColumn("stopword_ratio", stop_hits / n_tok)
@@ -85,7 +95,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "quality_score",
         (len_ok + wordlen_ok + stop_ok + F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) / 4.0,
-    )
+    ).drop("__q")
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

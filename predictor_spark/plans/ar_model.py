@@ -59,6 +59,39 @@ def ar1_fit_predict(
     )
 
 
+def ar1_fit_predict_split(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    horizon: int = 1,
+) -> DataFrame:
+    """Scan-pruned variant of :func:`ar1_fit_predict`: the caller passes
+    train and eval slices produced by range-limited scans
+    (sources.tables.load_events_range), so the time predicate reaches
+    parquet row-group pruning instead of filtering in-plan — at 100 TB an
+    unpruned events scan IS the query cost. Leads are computed within each
+    slice and cannot cross the boundary, which enforces the no-leakage
+    guard structurally: train rows whose target would fall in the eval
+    period are trimmed by lead_targets itself."""
+    target = f"target_h{horizon}"
+    train = lead_targets(train_df, value_col, [horizon], ts_col=ts_col,
+                         series_col=series_col, trim=True)
+    coeffs = train.groupBy(series_col).agg(
+        F.regr_slope(F.col(target), F.col(value_col)).alias("slope"),
+        F.regr_intercept(F.col(target), F.col(value_col)).alias("intercept"),
+    )
+    scored = lead_targets(eval_df, value_col, [horizon], ts_col=ts_col,
+                          series_col=series_col, trim=True)
+    return (
+        scored.join(F.broadcast(coeffs), series_col)
+        .filter(F.col("slope").isNotNull())
+        .withColumn("pred", F.col("intercept") + F.col("slope") * F.col(value_col))
+        .withColumn("baseline", F.col(value_col))
+    )
+
+
 def ar2_yule_walker(
     df: DataFrame,
     value_col: str = "value",

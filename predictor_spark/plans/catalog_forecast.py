@@ -46,9 +46,18 @@ _CUTOFF = "2024-01-22 00:00:00"
 def ar1_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed model training: least-squares AR(1) per user series fit
     on the train slice (one aggregate pass, N series = N models), scored on
-    held-out rows vs the persistence baseline. The engine's M2 slice."""
-    ev = _t(spark, sf_dir, "events")
-    scored = ar1_fit_predict(ev, train_end=_CUTOFF, horizon=1)
+    held-out rows vs the persistence baseline. The engine's M2 slice.
+
+    Train/eval are separate range-limited scans (load_events_range) so the
+    time split prunes parquet row groups instead of filtering in-plan —
+    leads computed per slice cannot cross the cutoff, enforcing the
+    no-leakage guard structurally."""
+    from predictor_spark.plans.ar_model import ar1_fit_predict_split
+    from predictor_spark.sources.tables import load_events_range
+
+    train_ev = load_events_range(spark, sf_dir, hi=_CUTOFF)
+    eval_ev = load_events_range(spark, sf_dir, lo=_CUTOFF)
+    scored = ar1_fit_predict_split(train_ev, eval_ev, horizon=1)
     p, t, b = F.col("pred"), F.col("target_h1"), F.col("baseline")
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -253,9 +253,13 @@ def n2_minmax_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 — min-max normalize + denormalize round trip, stats fit on the
     TRAIN slice only (stl_norm.py:86-101; fit-on-train anti_naive_lock.py:
     222-238). Stats are a 2-number broadcast literal — the normalize itself
-    is pure map-side codegen, scan-bound at 100 TB."""
+    is pure map-side codegen, scan-bound at 100 TB. The fit slice is a
+    range-limited scan (load_events_range) so the train cutoff prunes
+    parquet row groups."""
+    from predictor_spark.sources.tables import load_events_range
+
     ev = _t(spark, sf_dir, "events")
-    stats = norm.fit_minmax(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), ["value"])
+    stats = norm.fit_minmax(load_events_range(spark, sf_dir, hi=_CUTOFF), ["value"])
     normed = norm.normalize(ev.select("event_id", "value"), stats).withColumnRenamed("value", "norm")
     both = norm.denormalize(normed.withColumn("denorm", F.col("norm")), {"denorm": stats["value"]})
     return both.select(
@@ -282,9 +286,13 @@ def n1_zscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1 — z-score normalize + denormalize (x*std + mean) round trip with
     stats fit on the TRAIN slice only (helpers.py:103-132, fit-on-train
     anti_naive_lock.py:222-238; std<1e-8 -> 1 guard). Stats broadcast as
-    literals -> pure map-side projection, scan-bound at any scale."""
+    literals -> pure map-side projection, scan-bound at any scale. Fit
+    slice via range-limited scan (load_events_range) for row-group
+    pruning."""
+    from predictor_spark.sources.tables import load_events_range
+
     ev = _t(spark, sf_dir, "events")
-    stats = norm.fit_zscore(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), ["value"])
+    stats = norm.fit_zscore(load_events_range(spark, sf_dir, hi=_CUTOFF), ["value"])
     normed = norm.normalize(ev.select("event_id", "value"), stats).withColumnRenamed("value", "norm")
     both = norm.denormalize(normed.withColumn("denorm", F.col("norm")), {"denorm": stats["value"]})
     return both.select(

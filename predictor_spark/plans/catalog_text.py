@@ -70,8 +70,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring — Gopher-style length/punctuation/stopword gates
-    composed into one score. Projection-only."""
-    docs = _t(spark, sf_dir, "documents")
+    composed into one score. Projection-only; the repartition spreads the
+    CPU-heavy tokenize across cores when the input arrives as one split
+    (small-file parquet), same as shingle_sets/simhash."""
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     out = text.with_quality_score(docs)
     return out.select(
         "doc_id",

@@ -68,6 +68,13 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["partial_", "PushedFilters: [IsNotNull(ts), LessThan(ts"],
         "not": [],
     },
+    # train/eval are separate range-limited scans: BOTH bounds must reach
+    # the parquet scan as row-group-prunable predicates on raw nanos ts
+    "ar1_train_eval": {
+        "must": ["PushedFilters: [IsNotNull(ts), LessThan(ts",
+                 "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"],
+        "not": [],
+    },
     "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct", "Window ["]},
     "text_token_bpe": {"must": [], "not": ["Exchange"]},  # pure projection
     # as-of join: ONE window pass over the union — never a join operator
