@@ -71,23 +71,35 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assign_dp: int | None = None,
+    centroid_dp: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's iterations with deterministic lowest-id init. Returns the
     final centroids and the assignment computed FROM those centroids (one
     extra assignment pass after the last update, so the returned pair is
     internally consistent). Empty clusters keep their previous centroid
-    (classical convention)."""
+    (classical convention).
+
+    ``assign_dp`` rounds distances before the argmin and ``centroid_dp``
+    rounds updated centroid coordinates — set both when a SQL oracle must
+    replay the fit bit-exactly: rounding pins the centroids across
+    engines, so partial-aggregation summation-order ulps cannot cascade
+    into different assignments (engine convention: rank over rounded
+    measures)."""
     init = (
         df.orderBy(id_col).limit(k)
         .select(as_double_vec(vec_col).alias("v")).collect()
     )
     centroids = [list(r["v"]) for r in init]
     for _ in range(n_iter):
-        assigned = assign_clusters(df, centroids, id_col, vec_col)
+        assigned = assign_clusters(df, centroids, id_col, vec_col, round_dp=assign_dp)
+        aggs = [F.avg(F.element_at("v", d + 1)).alias(f"m{d}") for d in range(dim)]
+        if centroid_dp is not None:
+            aggs = [F.round(F.avg(F.element_at("v", d + 1)), centroid_dp).alias(f"m{d}")
+                    for d in range(dim)]
         rows = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.avg(F.element_at("v", d + 1)).alias(f"m{d}") for d in range(dim)],
+            F.count(F.lit(1)).alias("n"), *aggs,
         ).collect()
         new = {r["cluster"]: [r[f"m{d}"] for d in range(dim)] for r in rows}
         centroids = [new.get(c, centroids[c]) for c in range(k)]
-    return centroids, assign_clusters(df, centroids, id_col, vec_col)
+    return centroids, assign_clusters(df, centroids, id_col, vec_col, round_dp=assign_dp)

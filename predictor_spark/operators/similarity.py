@@ -137,41 +137,59 @@ def ivf_cosine_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    dim: int = 64,
+    dist_dp: int = 6,
+    centroid_dp: int = 8,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a small deterministic coarse quantizer
-    (the ``n_centroids`` lowest-id corpus vectors stand in for k-means
-    centroids — engine-reproducible without RNG) partitions the corpus into
-    inverted lists; each query probes only its nearest centroid's list and
-    reranks exactly within it.
+    """IVF approximate top-k with a REAL coarse quantizer: k-means
+    (operators/kmeans.kmeans_fit, deterministic lowest-id init, rounded
+    updates so a SQL oracle replays the fit) partitions the corpus into
+    inverted lists; each query probes its ``nprobe`` nearest lists and
+    reranks exactly (cosine) within them.
 
-    Scale: centroids broadcast to both sides, so list assignment is
-    map-side; the only shuffle is the corpus hash-partitioned by centroid
-    id (its natural storage layout for repeated querying). Probing 1 of C
-    lists scans ~1/C of the corpus per query. Recall < 1 near list
-    boundaries, as with any IVF(nprobe=1).
+    Scale: the quantizer fit touches the corpus ``n_iter`` times with
+    map-side broadcast-literal assignment + one K x dim aggregate per
+    pass (driver holds only the K x dim centroid matrix); at query time
+    centroids broadcast, list assignment is map-side, and the only
+    shuffle is the corpus hash-partitioned by centroid id — its natural
+    storage layout for repeated querying. Probing nprobe of C lists scans
+    ~nprobe/C of the corpus per query; recall rises with nprobe (the
+    classical IVF trade-off), unlike the round-1 lowest-id stub whose
+    recall was accidental.
     """
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), as_double_vec(vec_col).alias("cent_v")
-    ).withColumn("cent_n", _norm(F.col("cent_v")))
+    from predictor_spark.operators.kmeans import _sqdist, kmeans_fit
 
-    def assign(side: DataFrame, vid: str, v: str, n: str) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cents))
-        cos = _dot(F.col(v), F.col("cent_v")) / (F.col(n) * F.col("cent_n"))
-        scored = scored.withColumn("__acos", F.round(cos, 6))
-        w = Window.partitionBy(vid).orderBy(F.col("__acos").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .drop("__r", "__acos", "cent_v", "cent_n")
-        )
+    cents, assigned = kmeans_fit(
+        emb, k=n_centroids, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        dim=dim, assign_dp=dist_dp, centroid_dp=centroid_dp,
+    )
 
+    # corpus inverted lists = the fit's own final assignment — already a
+    # map-side broadcast-literal argmin over the final centroids (carries
+    # the vector too, so no corpus self-join is needed)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("cluster").alias("cent_id"),
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    # queries probe their nprobe nearest centroids (same rounded-L2 metric
+    # as the fit, ties to the lowest centroid id)
     q = queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv"))
-    q = assign(q.withColumn("qn", _norm(F.col("qv"))), "query_id", "qv", "qn")
-    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv"))
-    c = assign(c.withColumn("cn", _norm(F.col("cv"))), "neighbor_id", "cv", "cn")
+    q = q.withColumn("__d", F.array(*[F.round(_sqdist(F.col("qv"), cv), dist_dp)
+                                      for cv in cents]))
+    q = q.select("query_id", "qv", F.posexplode("__d").alias("cent_id", "qd"))
+    wq = Window.partitionBy("query_id").orderBy("qd", "cent_id")
+    q = (
+        q.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+        .withColumn("qn", _norm(F.col("qv")))
+    )
 
     pairs = c.join(F.broadcast(q), "cent_id").filter(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
@@ -182,7 +200,7 @@ def ivf_cosine_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cent_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

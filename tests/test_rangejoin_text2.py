@@ -176,3 +176,21 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     matched = got["ts_right"].notna()
     assert ((got.loc[matched, "ts"] - got.loc[matched, "ts_right"])
             <= pd.Timedelta(hours=1)).all()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """VERDICT r1 #5: the IVF path must use the real k-means quantizer and
+    reach recall >= 0.9 against exact bruteforce top-k at sf0.01."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_MID
+    from predictor_spark.operators import similarity
+    from predictor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_MID, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_cosine_topk(
+               emb, q, k=5, n_centroids=8, n_iter=2, nprobe=3).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.9

@@ -52,9 +52,10 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "a12_ga_fitness": {"must": ["partial_"], "not": [], "max_window_execs": 1},
     "n1_zscore_roundtrip": {"must": [], "not": ["Window ["]},  # stats are literals
     "knn_cosine_ivf": {
-        # centroid assignment + query-side probe both broadcast
-        "must": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
-        "not": ["CartesianProduct"],
+        # list assignment is a broadcast-literal argmin (no join at all);
+        # the probe join on cent_id must broadcast the tiny query side
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     },
     "dedup_embedding_cosine": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "dedup_minhash_lsh": {"must": [], "not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
