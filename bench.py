@@ -43,6 +43,8 @@ HEADLINE = [
     # scale-path custom operators
     "range_join_event_windows",
     "ar_order_select_aic",
+    # distributed deep-model training (1 numpy N-BEATS per series)
+    "nbeats_train_eval",
 ]
 
 

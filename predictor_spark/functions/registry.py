@@ -85,6 +85,11 @@ def _builtin() -> None:
     register("predictor", "ar1", params={"train_end": None, "horizon": 1})(ar_model.ar1_fit_predict)
     register("predictor", "mllib_linear",
              params={"feature_cols": ["value"]})(mllib_model.fit_linear_forecaster)
+    from predictor_spark.models import estimator as _nbeats_est
+
+    register("predictor", "nbeats",
+             params={"window": 8, "horizons": (1,), "mc_samples": 0})(
+        _nbeats_est.nbeats_fit_predict_per_series)
     register("pipeline", "forecast", params=dict(pipeline.DEFAULTS))(pipeline.run_forecast_pipeline)
     register("preprocessor", "log_returns")(temporal.log_returns)
     register("preprocessor", "window_tensorize")(temporal.window_tensorize)

@@ -1,0 +1,134 @@
+"""Spark distribution shells for the numpy N-BEATS core.
+
+Per-series training (`nbeats_fit_predict_per_series`): the reference
+trains ONE Keras model per configured series in one process
+(predictor_plugins/common/base.py:260-322); here every series trains its
+own model inside one applyInPandas task — N series = N models in a single
+Spark stage, the same topology that lets ar1_fit_predict scale to 10^8
+series. Each task is seeded from (seed, series_id), so the distributed
+result is bit-identical to a local numpy run on the same series
+(differential-tested).
+
+Scale: one shuffle (groupBy series) of the feature columns only; each
+task holds ~|series| rows + a tiny weight dict. The driver never sees
+weights or windows. Skewed series lengths are bounded by the per-series
+row cap upstream; a giant single series would use the halo-chunked FFT
+pattern instead (operators/spectral.py) — windows there, model here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from predictor_spark.models import nbeats
+
+
+def _windows(v: np.ndarray, window: int) -> np.ndarray:
+    """X[i] = v[i-window+1 .. i] for every complete-window end index i,
+    via stride tricks (no copy until the model's matmul)."""
+    if len(v) < window:
+        return np.empty((0, window))
+    return np.lib.stride_tricks.sliding_window_view(v, window)
+
+
+def nbeats_fit_predict_per_series(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    window: int = 8,
+    horizons: tuple[int, ...] = (1,),
+    blocks: int = 2,
+    layers: int = 2,
+    units: int = 8,
+    epochs: int = 25,
+    lr: float = 5e-3,
+    weight_decay: float = 3e-2,
+    mc_samples: int = 0,
+    dropout_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Fit one deterministic N-BEATS per series on the train slice
+    (windows whose TARGET timestamp is still before the cutoff — the same
+    no-leakage guard as ar1_fit_predict), score the held-out windows.
+    Defaults are tuned for short noisy series: the AdamW weight decay is
+    the early-stopping analog (the reference regularizes with l2 + early
+    patience, predictor_plugin_n_beats.py:23-35) — unregularized nets
+    memorize ~40-sample series and lose to the persistence baseline.
+
+    Returns one row per (series, test window end): value, baseline
+    (persistence), and per horizon target_h / pred_h / unc_h. Inputs and
+    targets are z-normalized by TRAIN stats inside the task (fit-on-train
+    only, reference phase2_6_preprocessor.py:346-349), predictions are
+    denormalized back.
+    """
+    hs = tuple(int(h) for h in horizons)
+    max_h = max(hs)
+    cutoff = pd.Timestamp(train_end)
+
+    fields = [f"{series_col} long", f"{ts_col} timestamp",
+              "value double", "baseline double"]
+    for h in hs:
+        fields += [f"target_h{h} double", f"pred_h{h} double", f"unc_h{h} double"]
+    schema = ", ".join(fields)
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sid = int(pdf[series_col].iloc[0])
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        ts = pdf[ts_col]
+        n = len(v)
+        X = _windows(v, window)                  # rows end at index window-1+i
+        ends = np.arange(window - 1, n)          # window-end index per X row
+        out_cols = {series_col: [], ts_col: [], "value": [], "baseline": []}
+        for h in hs:
+            out_cols[f"target_h{h}"] = []
+            out_cols[f"pred_h{h}"] = []
+            out_cols[f"unc_h{h}"] = []
+        # train rows: every horizon target exists AND lands before cutoff
+        tr = ends + max_h < n
+        tr_end_ts = ts.iloc[np.minimum(ends + max_h, n - 1)].to_numpy()
+        tr &= tr_end_ts < np.datetime64(cutoff)
+        # test rows: window end at/after cutoff, all targets exist
+        te = (ts.iloc[ends].to_numpy() >= np.datetime64(cutoff)) & (ends + max_h < n)
+        if tr.sum() >= 4 and te.sum() > 0:
+            mu = float(v[: np.searchsorted(ts.to_numpy(), np.datetime64(cutoff))].mean())
+            sd = float(v[: np.searchsorted(ts.to_numpy(), np.datetime64(cutoff))].std())
+            sd = sd if abs(sd) > 1e-8 else 1.0   # N1 std guard
+            Xtr = (X[tr] - mu) / sd
+            tgts = {h: (v[ends[tr] + h] - mu) / sd for h in hs}
+            params, _ = nbeats.train(
+                Xtr, tgts, hs, seed=(seed, sid), blocks=blocks, layers=layers,
+                units=units, epochs=epochs, lr=lr, weight_decay=weight_decay,
+            )
+            Xte = (X[te] - mu) / sd
+            preds, uncs = nbeats.predict_with_uncertainty(
+                params, Xte, hs, mc_samples=mc_samples,
+                dropout_rate=dropout_rate, seed=(seed, sid, 1),
+            )
+            e_te = ends[te]
+            k = len(e_te)
+            out_cols[series_col] = [sid] * k
+            out_cols[ts_col] = list(ts.iloc[e_te])
+            out_cols["value"] = list(v[e_te])
+            out_cols["baseline"] = list(v[e_te])
+            for h in hs:
+                out_cols[f"target_h{h}"] = list(v[e_te + h])
+                out_cols[f"pred_h{h}"] = list(preds[h] * sd + mu)
+                out_cols[f"unc_h{h}"] = list(uncs[h] * sd)
+        return pd.DataFrame(out_cols)
+
+    # Explicit numbered repartition on the grouping key: the training shuffle
+    # carries only a few MB, so AQE would coalesce it to ONE partition and
+    # serialize all N model fits on a single core (the CPU-heavy/small-data
+    # trap documented in operators/spectral.py:96-103). A user-specified
+    # partition count is exempt from AQE coalescing, and since the data is
+    # then already hash-partitioned on the key, groupBy adds no new exchange.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_part, series_col)
+        .groupBy(series_col).applyInPandas(fit_group, schema)
+    )
