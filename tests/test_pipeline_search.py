@@ -165,3 +165,44 @@ def test_meta_log_appends_candidates(tmp_path):
     assert rows[0] == ["x", "fitness"]
     assert len(rows) == 6
     assert {r[0] for r in rows[1:]} == {"0", "1", "2", "3", "4"}
+
+
+def test_arima_order_select_recovers_generating_models(spark):
+    """Hannan-Rissanen grid (plans/arima.py): series generated by AR(2),
+    MA(1), integrated AR(2) and white noise should select models of the
+    matching family. The integrated AR(2) is the d-identification case:
+    its levels are AR(3) with a unit root — outside the p<=2 grid — so
+    only d=1 can capture it (a pure random walk would tie with AR(1)
+    phi~1 on levels and is NOT a discriminating test)."""
+    import numpy as np
+    import pandas as pd
+    from predictor_spark.plans.arima import arima_order_select
+
+    rng = np.random.default_rng(2)
+    n = 800
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    # AR(2): x_t = 0.6 x_{t-1} - 0.3 x_{t-2} + eps
+    ar2 = np.zeros(n)
+    eps = rng.normal(size=n)
+    for t in range(2, n):
+        ar2[t] = 0.6 * ar2[t - 1] - 0.3 * ar2[t - 2] + eps[t]
+    # MA(1): x_t = eps_t + 0.7 eps_{t-1}
+    eps2 = rng.normal(size=n)
+    ma1 = eps2 + 0.7 * np.roll(eps2, 1)
+    # integrated AR(2): first difference follows the AR(2) above
+    eps3 = rng.normal(size=n)
+    iar = np.zeros(n)
+    for t in range(2, n):
+        iar[t] = 0.6 * iar[t - 1] - 0.3 * iar[t - 2] + eps3[t]
+    iar2 = np.cumsum(iar)
+    wn = rng.normal(size=n)
+    pdf = pd.concat([
+        pd.DataFrame({"user_id": uid, "ts": ts, "value": v})
+        for uid, v in [(1, ar2), (2, ma1), (3, iar2), (4, wn)]
+    ])
+    out = {r["user_id"]: r for r in
+           arima_order_select(spark.createDataFrame(pdf)).collect()}
+    assert (out[1]["best_p"], out[1]["best_d"], out[1]["best_q"]) == (2, 0, 0)
+    assert out[2]["best_d"] == 0 and out[2]["best_q"] >= 1        # MA flavor
+    assert (out[3]["best_p"], out[3]["best_d"], out[3]["best_q"]) == (2, 1, 0)
+    assert (out[4]["best_p"], out[4]["best_d"], out[4]["best_q"]) == (0, 0, 0)
