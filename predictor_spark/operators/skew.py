@@ -88,16 +88,43 @@ def salted_join(
     |right| x buckets rows, so pick buckets ~ hot-key multiplicity, not
     cluster width. Result is row-identical to the plain join (pytest).
 
-    ``how`` supports inner/left (semantics preserved per left row);
-    right/full would need salt on the other side — not provided."""
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports how='inner' or 'left'")
+    ``how``:
+      inner/left — salt the left side, replicate the right (per-left-row
+        semantics preserved);
+      right — the mirror: salt the right side, replicate the left;
+      full — salted left join UNION the right rows whose key has no left
+        match (left_anti on the column-pruned distinct left keys), with
+        null-filled left columns. One salted pass plus one keys-only
+        semi-shuffle; unmatched-right detection never touches left
+        payload columns."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            "salted_join supports how in {'inner', 'left', 'right', 'full'}")
     salt = (salt_col if salt_col is not None else F.monotonically_increasing_id()) % buckets
-    lhs = left.withColumn("__salt", salt.cast("int"))
     # explode cannot be nested inside another expression (cast) — keep it
     # top-level and cast the int-typed sequence bounds instead
-    rhs = right.withColumn(
-        "__salt",
-        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(buckets - 1).cast("int"))),
+    replicate = F.explode(
+        F.sequence(F.lit(0).cast("int"), F.lit(buckets - 1).cast("int")))
+    if how == "right":
+        rhs = right.withColumn("__salt", salt.cast("int"))
+        lhs = left.withColumn("__salt", replicate)
+        return lhs.join(rhs, [*on, "__salt"], "right").drop("__salt")
+    lhs = left.withColumn("__salt", salt.cast("int"))
+    rhs = right.withColumn("__salt", replicate)
+    joined = lhs.join(rhs, [*on, "__salt"], "inner" if how == "inner" else "left")
+    joined = joined.drop("__salt")
+    if how != "full":
+        return joined
+    # full = (salted left join) + unmatched right rows. Every right row
+    # whose key exists in left was matched above (the right side is
+    # replicated across ALL salts), so unmatched-right = keys absent
+    # from left entirely.
+    unmatched = right.join(left.select(*on).distinct(), list(on), "left_anti")
+    key_set = set(on)
+    left_nonkey = [f for f in left.schema.fields if f.name not in key_set]
+    filled = unmatched.select(
+        *on,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_nonkey],
+        *[c for c in right.columns if c not in key_set],
     )
-    return lhs.join(rhs, [*on, "__salt"], how).drop("__salt")
+    return joined.unionByName(filled)

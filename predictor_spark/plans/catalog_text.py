@@ -366,6 +366,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("component").alias("cluster_id"))
 
 
+@query("dedup_clusters_star", oracle=_cluster_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large/small-star CC
+    (operators/dedup.py connected_components_star, Kiveris et al.
+    SoCC'14) — O(log n) rounds vs min-label's O(diameter), the scale
+    path for whale clusters and long chains. Same pair graph and same
+    recursive-CTE oracle as dedup_clusters: both CC variants must land
+    on identical (vertex, min-id component) labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    n=3, num_perm=16, bands=4, threshold=0.1)
+    cc = dedup.connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(F.col("vertex").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))
+
+
 @query(
     "dedup_keep_list",
     oracle=f"""

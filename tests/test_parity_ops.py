@@ -149,17 +149,19 @@ def test_salted_join_equals_plain_join(spark):
         [("hot", 1), ("hot", 2), ("k10", 3), ("k20", 4), ("absent", 5)],
         "k string, rv int")
 
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "right", "full"):
         got = sorted(
-            tuple(r) for r in salted_join(left, right, ["k"], buckets=4, how=how)
+            (r["k"], r["lv"], r["rv"])
+            for r in salted_join(left, right, ["k"], buckets=4, how=how)
             .select("k", "lv", "rv").collect()
         )
         want = sorted(
-            tuple(r) for r in left.join(right, ["k"], how)
+            (r["k"], r["lv"], r["rv"])
+            for r in left.join(right, ["k"], how)
             .select("k", "lv", "rv").collect()
         )
         assert got == want, how
 
     import pytest
     with pytest.raises(ValueError):
-        salted_join(left, right, ["k"], how="full")
+        salted_join(left, right, ["k"], how="cross")

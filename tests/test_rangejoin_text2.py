@@ -194,3 +194,41 @@ def test_ivf_recall_vs_bruteforce(spark):
            for r in similarity.ivf_cosine_topk(
                emb, q, k=5, n_centroids=8, n_iter=2, nprobe=3).collect()}
     assert len(bf & ivf) / len(bf) >= 0.9
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Large/small-star CC bit-matches min-label propagation on chain,
+    triangle, isolated-pair and a random graph — and converges on a
+    200-vertex chain where min-label would need 199 rounds."""
+    import random
+
+    from predictor_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]]
+    )
+    want = sorted(map(tuple, connected_components(edges).collect()))
+    got = sorted(map(tuple, connected_components_star(edges).collect()))
+    assert got == want
+
+    # random graph, 60 vertices, seeded
+    rnd = random.Random(9)
+    redges = spark.createDataFrame(
+        [Row(id_a=rnd.randrange(60), id_b=rnd.randrange(60)) for _ in range(70)]
+    ).filter("id_a != id_b")
+    want = sorted(map(tuple, connected_components(redges, max_iter=60).collect()))
+    got = sorted(map(tuple, connected_components_star(redges).collect()))
+    assert got == want
+
+    # 200-chain: diameter 199 — star must finish within its default
+    # max_iter (O(log n) rounds), where min-label propagation cannot
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(199)]
+    )
+    got = {r["vertex"]: r["component"]
+           for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(200)}
