@@ -33,31 +33,32 @@ def _windows(v: np.ndarray, window: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(v, window)
 
 
-def nbeats_fit_predict_per_series(
+def fit_predict_per_series(
     df: DataFrame,
+    core=None,
     value_col: str = "value",
     ts_col: str = "ts",
     series_col: str = "user_id",
     train_end: str = "2024-01-22 00:00:00",
     window: int = 8,
     horizons: tuple[int, ...] = (1,),
-    blocks: int = 2,
-    layers: int = 2,
-    units: int = 8,
-    epochs: int = 25,
-    lr: float = 5e-3,
-    weight_decay: float = 3e-2,
+    train_kwargs: dict | None = None,
     mc_samples: int = 0,
     dropout_rate: float = 0.1,
     seed: int = 0,
 ) -> DataFrame:
-    """Fit one deterministic N-BEATS per series on the train slice
+    """Fit one deterministic numpy model per series on the train slice
     (windows whose TARGET timestamp is still before the cutoff — the same
     no-leakage guard as ar1_fit_predict), score the held-out windows.
-    Defaults are tuned for short noisy series: the AdamW weight decay is
-    the early-stopping analog (the reference regularizes with l2 + early
-    patience, predictor_plugin_n_beats.py:23-35) — unregularized nets
-    memorize ~40-sample series and lose to the persistence baseline.
+
+    ``core`` is any model module exposing the family contract (the
+    engine's analog of the reference's predictor-plugin base,
+    predictor_plugins/common/base.py:74-124):
+      train(X, targets, horizons, seed=..., **train_kwargs)
+        -> (params, losses)
+      predict_with_uncertainty(params, X, horizons, mc_samples,
+        dropout_rate, seed) -> (means, stds)
+    Cores: models.nbeats (default), models.mlp, models.tcn.
 
     Returns one row per (series, test window end): value, baseline
     (persistence), and per horizon target_h / pred_h / unc_h. Inputs and
@@ -65,6 +66,8 @@ def nbeats_fit_predict_per_series(
     only, reference phase2_6_preprocessor.py:346-349), predictions are
     denormalized back.
     """
+    core = core if core is not None else nbeats
+    train_kwargs = dict(train_kwargs or {})
     hs = tuple(int(h) for h in horizons)
     max_h = max(hs)
     cutoff = pd.Timestamp(train_end)
@@ -100,12 +103,10 @@ def nbeats_fit_predict_per_series(
             sd = sd if abs(sd) > 1e-8 else 1.0   # N1 std guard
             Xtr = (X[tr] - mu) / sd
             tgts = {h: (v[ends[tr] + h] - mu) / sd for h in hs}
-            params, _ = nbeats.train(
-                Xtr, tgts, hs, seed=(seed, sid), blocks=blocks, layers=layers,
-                units=units, epochs=epochs, lr=lr, weight_decay=weight_decay,
-            )
+            params, _ = core.train(Xtr, tgts, hs, seed=(seed, sid),
+                                   **train_kwargs)
             Xte = (X[te] - mu) / sd
-            preds, uncs = nbeats.predict_with_uncertainty(
+            preds, uncs = core.predict_with_uncertainty(
                 params, Xte, hs, mc_samples=mc_samples,
                 dropout_rate=dropout_rate, seed=(seed, sid, 1),
             )
@@ -131,4 +132,36 @@ def nbeats_fit_predict_per_series(
     return (
         df.repartition(n_part, series_col)
         .groupBy(series_col).applyInPandas(fit_group, schema)
+    )
+
+
+def nbeats_fit_predict_per_series(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    window: int = 8,
+    horizons: tuple[int, ...] = (1,),
+    blocks: int = 2,
+    layers: int = 2,
+    units: int = 8,
+    epochs: int = 25,
+    lr: float = 5e-3,
+    weight_decay: float = 3e-2,
+    mc_samples: int = 0,
+    dropout_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """N-BEATS instantiation of ``fit_predict_per_series``. Defaults are
+    tuned for short noisy series: the AdamW weight decay is the
+    early-stopping analog (the reference regularizes with l2 + early
+    patience, predictor_plugin_n_beats.py:23-35) — unregularized nets
+    memorize ~40-sample series and lose to the persistence baseline."""
+    return fit_predict_per_series(
+        df, nbeats, value_col, ts_col, series_col, train_end, window,
+        horizons,
+        train_kwargs=dict(blocks=blocks, layers=layers, units=units,
+                          epochs=epochs, lr=lr, weight_decay=weight_decay),
+        mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
     )
