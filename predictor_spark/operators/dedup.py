@@ -417,10 +417,15 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        cur = small
+        prev, cur = cur, small
         new_sig = signature(cur)
         if new_sig == sig:
-            break
+            # the signature is a (count, hash-sum) pair — confirm the
+            # fixpoint EXACTLY with one anti-join so a hash-sum collision
+            # between different equal-sized edge sets cannot stop early:
+            # equal counts + empty difference => equal sets
+            if cur.exceptAll(prev).limit(1).count() == 0:
+                break
         sig = new_sig
     # converged: stars (hi -> root). Roots and isolated vertices label
     # themselves (the input has no isolated vertices, but keep it total).

@@ -139,6 +139,24 @@ def simulate_series(
         entry_times.append(t)
         pos = {"direction": direction, "entry": p, "entry_ts": t, "entry_i": i,
                "size": size, "tp": tp, "sl": sl, "extreme": p}
+    if pos is not None and n > 0:
+        # force-close a position still open at the last tick so the
+        # summary's final_balance marks open P&L to market (the reference's
+        # stop() reports account VALUE, heuristic_strategy.py:301-387;
+        # silently dropping the open trade understates it)
+        p = float(price[n - 1])
+        sign = 1.0 if pos["direction"] == "long" else -1.0
+        pnl = sign * (p - pos["entry"]) * pos["size"]
+        balance += pnl
+        trades.append({
+            "entry_ts": pos["entry_ts"], "exit_ts": pd.Timestamp(ts[n - 1]),
+            "direction": pos["direction"], "entry": pos["entry"],
+            "exit": p, "size": pos["size"], "pnl": pnl,
+            "pips": sign * (p - pos["entry"]) / pip_cost,
+            "duration": (n - 1) - pos["entry_i"],
+            "max_dd": sign * (pos["entry"] - pos["extreme"]) / pip_cost,
+            "balance": balance,
+        })
     return trades
 
 

@@ -96,14 +96,38 @@ def w1_window_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w1_window_tensor_arrays")
+@query(
+    "w1_window_tensor_arrays",
+    oracle="""
+    SELECT event_id, CAST(pos AS INTEGER) AS pos,
+           round(w[pos + 1], 6) + 0.0 AS v
+    FROM (
+        SELECT event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ), LATERAL (SELECT unnest(range(0, 4)) AS pos)
+    WHERE rn >= 4
+    """,
+)
 def w1_window_tensor_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 (array form) — the actual tensor column consumed by the model
-    boundary. Rows-only: nested arrays are not portable through the
-    driver's pandas hasher."""
+    boundary, surfaced for grading as posexploded (event_id, pos, v)
+    scalar rows: the driver's pandas canonicalizer cannot hash list cells
+    (r1+r2 err row), and a query that can never be graded buys nothing.
+    The lazy ArrayType column itself stays pytest-covered
+    (tests/test_temporal.py window_tensorize cases)."""
     ev = _t(spark, sf_dir, "events")
     out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
-    return out.select("event_id", F.transform("window", lambda r: F.element_at(r, 1)).alias("window"))
+    w1d = out.select(
+        "event_id",
+        F.posexplode(F.transform("window", lambda r: F.element_at(r, 1))).alias("pos", "v"),
+    )
+    return w1d.select(
+        "event_id", F.col("pos").cast("int").alias("pos"),
+        (F.round("v", 6) + F.lit(0.0)).alias("v"),
+    )
 
 
 @query(
@@ -359,12 +383,50 @@ def w14_exact_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("log_return", 6).alias("log_return"))
 
 
-@query("w15_fft_features")  # no SQL oracle: FFT is not ANSI-SQL-expressible
+def _dft_oracle(select_prefix: str, partition: str, where: str = "") -> str:
+    """Closed-form DFT oracle for the W15 queries: magnitude_k =
+    sqrt((Σ_j d_j·cos(2πjk/15))² + (Σ_j d_j·sin(2πjk/15))²) over the
+    15 first-differences of the exclusive 16-tick trailing window,
+    sum-normalized over the first 4 components (denominator clamped to 1
+    when all four magnitudes are zero, matching spectral.py:54)."""
+    mags = ", ".join(
+        f"""sqrt(power(list_sum(list_transform(range(0, 15),
+                 j -> d[j + 1] * cos(2 * pi() * j * {k} / 15.0))), 2)
+               + power(list_sum(list_transform(range(0, 15),
+                 j -> d[j + 1] * sin(2 * pi() * j * {k} / 15.0))), 2)) AS m{k}"""
+        for k in range(4)
+    )
+    outs = ", ".join(
+        f"round(m{k} / (CASE WHEN m0 + m1 + m2 + m3 = 0 THEN 1.0 "
+        f"ELSE m0 + m1 + m2 + m3 END), 6) + 0.0 AS fft_{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH wins AS (
+        SELECT {select_prefix}, ts,
+               list(value) OVER ({partition} ORDER BY ts
+                                 ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS w,
+               row_number() OVER ({partition} ORDER BY ts) AS rn
+        FROM events {where}
+    ),
+    diffs AS (
+        SELECT {select_prefix}, ts,
+               list_transform(range(0, 15), j -> w[j + 2] - w[j + 1]) AS d
+        FROM wins WHERE rn >= 17
+    ),
+    mags AS (SELECT {select_prefix}, ts, {mags} FROM diffs)
+    SELECT {select_prefix}, ts, {outs} FROM mags
+    """
+
+
+@query("w15_fft_features", oracle=_dft_oracle("user_id", "PARTITION BY user_id"))
 def w15_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 — causal FFT magnitudes of the diffed trailing window
     (phase2_6_preprocessor.py:200-294) via applyInPandas per series.
-    Driver records a rows-only check; the numpy differential test lives in
-    tests/test_transforms_spectral_stl.py."""
+    Oracle: the DFT written out as explicit per-component cos/sin sums
+    over the window list (_dft_oracle) — same closed-form-SQL treatment
+    as the Hannan-Rissanen ARIMA oracle. The numpy differential test
+    lives in tests/test_transforms_spectral_stl.py."""
     from predictor_spark.operators.spectral import fft_window_features
 
     ev = _t(spark, sf_dir, "events")
@@ -374,18 +436,86 @@ def w15_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stl_per_series")  # no SQL oracle: iterative decomposition per series
+@query(
+    "stl_per_series",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    ctr AS (
+        SELECT *, avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS ma
+        FROM base
+    ),
+    edge AS (
+        SELECT user_id,
+               max(CASE WHEN i = 12 THEN ma END) AS lo,
+               max(CASE WHEN i = n - 13 THEN ma END) AS hi
+        FROM ctr GROUP BY user_id
+    ),
+    trended AS (
+        SELECT c.user_id, c.ts, c.value, c.i, c.n,
+               CASE WHEN c.i < 12 THEN e.lo
+                    WHEN c.i >= c.n - 12 THEN e.hi
+                    ELSE c.ma END AS trend
+        FROM ctr c JOIN edge e USING (user_id)
+        WHERE c.n >= 49
+    ),
+    pm AS (
+        SELECT user_id, i % 24 AS ph, avg(value - trend) AS pmean
+        FROM trended GROUP BY user_id, i % 24
+    ),
+    pmc AS (
+        SELECT user_id, ph,
+               pmean - avg(pmean) OVER (PARTITION BY user_id) AS seasonal
+        FROM pm
+    ),
+    big AS (
+        SELECT t.user_id, t.ts, t.value, t.trend, p.seasonal,
+               t.value - t.trend - p.seasonal AS resid
+        FROM trended t JOIN pmc p ON t.user_id = p.user_id AND t.i % 24 = p.ph
+    ),
+    small AS (
+        SELECT b.user_id, b.ts, b.value, m.m AS trend, 0.0 AS seasonal,
+               b.value - m.m AS resid
+        FROM base b JOIN (SELECT user_id, avg(value) AS m FROM events
+                          GROUP BY user_id) m USING (user_id)
+        WHERE b.n < 49
+    ),
+    unioned AS (SELECT * FROM big UNION ALL SELECT * FROM small)
+    SELECT user_id, ts,
+           round(CAST(CAST(value AS REAL) AS DOUBLE), 6) + 0.0 AS value,
+           round(CAST(CAST(trend AS REAL) AS DOUBLE), 6) + 0.0 AS trend,
+           round(CAST(CAST(seasonal AS REAL) AS DOUBLE), 6) + 0.0 AS seasonal,
+           round(CAST(CAST(resid AS REAL) AS DOUBLE), 6) + 0.0 AS resid
+    FROM unioned
+    """,
+)
 def stl_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 — per-series STL-style decomposition via applyInPandas
-    (statsmodels when present, classical fallback otherwise). The W8
-    recomposition identity (value == trend+seasonal+resid) is asserted in
-    tests; the windows-only SQL variant with a full oracle is
+    (statsmodels when present, classical fallback otherwise; this image
+    has no statsmodels, so the oracle replays the classical fallback
+    exactly: centered 25-tick MA trend computed as a windowed average
+    with edges clamped to the first/last full-window value
+    [stl.py:36-39], phase-mean seasonal centered to sum 0, resid the
+    remainder; series shorter than 2·period+1 get trend = series mean
+    and zero seasonal [stl.py:71-74]). The W8 recomposition identity is
+    asserted in tests; the windows-only SQL variant is
     stl_decompose_hourly."""
     from predictor_spark.operators.stl import stl_decompose
 
     ev = _t(spark, sf_dir, "events")
     out = stl_decompose(ev, period=24)
+    # float32-collapse BEFORE rounding: phase means of 2-decimal inputs land
+    # exactly on 5e-7 decimal ties, where the engines' ~1e-14 float noise
+    # flips the 6th digit; rounding the identical float32 on both sides
+    # makes the tie resolution deterministic (and the reference emits
+    # float32 tensors anyway, sliding_windows.py:118)
     return out.select(
         "user_id", "ts",
-        *[F.round(c, 6).alias(c) for c in ("value", "trend", "seasonal", "resid")],
+        *[(F.round(F.col(c).cast("float").cast("double"), 6) + F.lit(0.0)).alias(c)
+          for c in ("value", "trend", "seasonal", "resid")],
     )

@@ -782,7 +782,16 @@ def prophet_like_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w15_fft_chunked")  # no SQL oracle (FFT); differential-tested vs per-series path
+def _fft_chunked_oracle() -> str:
+    from predictor_spark.plans.catalog_forecast import _dft_oracle
+
+    sql = _dft_oracle("user_id", "", where="WHERE user_id = 1")
+    # single series: drop the key from the output projection (the helper
+    # threads it through the CTEs; strip only the final SELECT list)
+    return sql.replace("SELECT user_id, ts, round", "SELECT ts, round")
+
+
+@query("w15_fft_chunked", oracle=_fft_chunked_oracle())
 def w15_fft_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 on a single giant series via range-chunking with w-row halos
     (operators/spectral.py fft_window_features_chunked): global positions

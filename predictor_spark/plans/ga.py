@@ -92,8 +92,12 @@ def tournament_select(rng: np.random.Generator, pop: list[list],
 
 def cx_two_point(rng: np.random.Generator, ind1: list, ind2: list) -> None:
     """In-place two-point crossover, DEAP's index law: cut points in
-    [1, size] and [1, size-1], second bumped past the first on collision."""
+    [1, size] and [1, size-1], second bumped past the first on collision.
+    Single-gene genomes are a no-op (DEAP's cxTwoPoint would raise on
+    rng.integers(1, 1); a 1-gene swap is meaningless anyway)."""
     size = len(ind1)
+    if size < 2:
+        return
     a = int(rng.integers(1, size + 1))
     b = int(rng.integers(1, size))
     if b >= a:

@@ -327,15 +327,23 @@ def neat_search(
         if gen == n_generations - 1:
             break
         # --- reproduction (neat_optimizer.py:948-1015) ---
-        adj_sums = []
+        adj_sums: list[float | None] = []
         for sp in species:
-            adj = sum(_fit(g) / len(sp["members"]) for g in sp["members"]
-                      if math.isfinite(_fit(g)))
-            adj_sums.append(max(adj, 1e-10))
-        inv = [1.0 / a for a in adj_sums]
+            finite = [_fit(g) for g in sp["members"] if math.isfinite(_fit(g))]
+            # a species whose members ALL crashed (fitness = inf) gets NO
+            # share: clamping its adjusted sum to epsilon would hand it an
+            # enormous inverse share and starve healthy species
+            adj_sums.append(
+                max(sum(f / len(sp["members"]) for f in finite), 1e-10)
+                if finite else None
+            )
+        inv = [0.0 if a is None else 1.0 / a for a in adj_sums]
         total_inv = max(sum(inv), 1e-10)
         new_pop: list[Genome] = []
         for sp, sp_inv in zip(species, inv):
+            if sp_inv == 0.0:
+                continue  # all-inf species: no elites, no offspring; the
+                # fill loop below reseeds the freed slots with fresh genomes
             members = sorted(sp["members"], key=_fit)
             for elite in members[:elitism]:
                 new_pop.append(elite.clone())

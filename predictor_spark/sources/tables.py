@@ -24,20 +24,33 @@ TABLES = (
 )
 
 
+def canonical_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP (LTZ) across the parquet
+    layouts the generator has produced over time:
+    - TIMESTAMP(NANOS) read as bigint via nanosAsLong -> floor to micros
+      (same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ -> cast
+      (wall clock interpreted in the session TZ; sessions here run UTC,
+      matching DuckDB's naive-timestamp reading bit-for-bit);
+    - already TIMESTAMP -> untouched."""
+    for field, dtype in df.dtypes:
+        if field in cols:
+            if dtype == "bigint":
+                df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(field, F.col(field).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Some generators write TIMESTAMP(NANOS) parquet (pandas datetime64[ns]),
-    # which Spark rejects by default. Read nanos as long, then floor-convert
-    # to microsecond timestamps (same truncation DuckDB applies when casting
-    # TIMESTAMP_NS -> TIMESTAMP, so oracle comparisons agree).
+    # which Spark rejects by default; nanosAsLong lets those read as long for
+    # canonical_ts to convert.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - immutable conf on some builds
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field, dtype in df.dtypes:
-        if dtype == "bigint" and field in ("ts",):
-            df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
-    return df
+    return canonical_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_events_range(
@@ -60,24 +73,31 @@ def load_events_range(
     except Exception:  # pragma: no cover
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw_nanos = dict(df.dtypes).get("ts") == "bigint"
+    ts_type = dict(df.dtypes).get("ts")
 
     def ns(bound: str) -> int:
         dt = datetime.fromisoformat(bound).replace(tzinfo=timezone.utc)
         return int(dt.timestamp() * 1_000_000) * 1000
 
-    if raw_nanos:
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
         if lo is not None:
             df = df.filter(F.col("ts") >= ns(lo))
         if hi is not None:
             df = df.filter(F.col("ts") < ns(hi))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:  # pragma: no cover - generator wrote plain timestamps
+    elif ts_type == "timestamp_ntz":
+        # filter on the RAW NTZ column with an NTZ literal so the predicate
+        # pushes into the scan (row-group pruning on the parquet stats);
+        # filtering after the LTZ cast-projection would scan everything
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+    else:  # plain TIMESTAMP
         if lo is not None:
             df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
         if hi is not None:
             df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-    return df
+    return canonical_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

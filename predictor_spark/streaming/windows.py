@@ -18,7 +18,7 @@ import hashlib
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource requires a DIRECTORY source; testdata is read-only
@@ -32,14 +32,25 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
     return d
 
 
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet -> long ns
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the schema taken from a
+    batch footer read (FileStreamSource needs an explicit schema, and the
+    generator's physical timestamp layout has changed across rounds —
+    nanos-as-long vs NTZ micros), then ts canonicalized to TIMESTAMP
+    exactly like the batch path (sources/tables.py canonical_ts)."""
+    from predictor_spark.sources.tables import canonical_ts
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_stream_dir(sf_dir, "events"))
+    )
+    return canonical_ts(stream)
 
 
 def tumbling_event_counts(
@@ -54,16 +65,7 @@ def tumbling_event_counts(
     Uses outputMode('complete') + memory sink so every window (including
     ones the watermark hasn't closed) is emitted — matching the batch
     oracle GROUP BY date_trunc."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(_stream_dir(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
@@ -94,16 +96,7 @@ def sessionized_stream_counts(
 ) -> DataFrame:
     """session_window (gap-based) per user — the streaming analog of the
     batch sessionize operator. Returns per-user session counts."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(_stream_dir(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

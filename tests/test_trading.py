@@ -51,6 +51,21 @@ def test_frequency_cap_limits_entries():
     assert len(trades) <= 1
 
 
+def test_open_position_force_closed_at_series_end():
+    # strong rise with a high TP that is never touched: the long stays
+    # open to the last tick and must be force-closed there, marking the
+    # open P&L to market (ADVICE r2: final_balance excluded open trades)
+    price = np.array([100.0, 101.0, 102.0, 103.0, 104.0, 105.0, 106.0])
+    trades = simulate_series(_ts(7), price, horizon=3, tp_multiplier=50.0,
+                             sl_multiplier=50.0)
+    assert len(trades) == 1
+    t = trades[0]
+    assert t["exit"] == price[-1]
+    assert t["exit_ts"] == pd.Timestamp(_ts(7)[-1])
+    assert t["duration"] == 6 - 0
+    assert t["balance"] == 10_000.0 + t["pnl"]
+
+
 def test_sl_exit_records_drawdown():
     # long at 100 (preds promise 140 with small dip), then crash: the
     # predicted minimum breaches SL -> early close with negative pnl

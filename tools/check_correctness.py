@@ -5,7 +5,14 @@ given scale factor, compares row count, sorted column names, and an
 order-insensitive value comparison. Exact comparison after in-query
 rounding — stricter than any hash the driver could use.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--record] [sf_dir] [query ...]
+
+--record: after the sweep, write tools/graded_green.json mapping every
+PASSING oracle-backed query to its content hash (source + oracle SQL).
+__spark_entry__.py rotates only hash-matching queries out of the driver's
+grading window, so a later edit to a query or oracle automatically moves it
+back to the front for re-grading (ADVICE r2: the static round-1 rotation
+set hid behavior-affecting changes from the driver).
 """
 
 from __future__ import annotations
@@ -47,13 +54,16 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    passed: list[str] = []
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
@@ -104,8 +114,19 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
+            passed.append(name)
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if record and not only:
+        import json
+        import os
+
+        hashes = entry_mod.query_content_hashes()
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "graded_green.json")
+        with open(path, "w") as fh:
+            json.dump({n: hashes[n] for n in sorted(passed)}, fh, indent=1)
+        print(f"recorded {len(passed)} green hashes -> {path}")
     return 1 if n_fail else 0
 
 
