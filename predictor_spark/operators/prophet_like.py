@@ -27,6 +27,39 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F  # noqa: F401 (F used by callers)
 
 
+def solve_normal_gauss(X: np.ndarray, y: np.ndarray, ridge: float = 0.0) -> np.ndarray:
+    """OLS by explicit normal equations + Gaussian elimination WITHOUT
+    pivoting (X'X is SPD, so no pivot is needed), in a fixed operation
+    order: step k scales f = A[i,k]/A[k,k] then subtracts f*row_k. The
+    DuckDB oracle (plans/catalog_parity.py) unrolls the identical
+    elimination, so engine and oracle drift only by the X'X summation
+    order (~1e-15 relative), not by algorithm.
+
+    ``ridge`` adds a deterministic L2 prior on the diagonal — the analog
+    of Prophet's regressor prior scale, and the guard that keeps the
+    no-pivot elimination away from a zero pivot when an indicator column
+    (holiday, sparse regressor) is all-zero for some series."""
+    A = X.T @ X
+    b = X.T @ y
+    p = len(b)
+    A = A.copy()
+    if ridge:
+        for i in range(p):
+            A[i, i] = A[i, i] + ridge
+    for k in range(p - 1):
+        for i in range(k + 1, p):
+            f = A[i, k] / A[k, k]
+            A[i, k + 1:] = A[i, k + 1:] - f * A[k, k + 1:]
+            b[i] = b[i] - f * b[k]
+    theta = np.empty(p)
+    for i in range(p - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, p):
+            s += A[i, j] * theta[j]
+        theta[i] = (b[i] - s) / A[i, i]
+    return theta
+
+
 def _design(ts_sec: np.ndarray, t0: float, span: float,
              changepoints: np.ndarray, fourier_k: int) -> np.ndarray:
     t = (ts_sec - t0) / span
@@ -42,17 +75,26 @@ def _design(ts_sec: np.ndarray, t0: float, span: float,
 
 def fit_predict_series(pdf: pd.DataFrame, value_col: str, ts_col: str,
                        train_end: np.datetime64, n_changepoints: int,
-                       fourier_k: int) -> pd.DataFrame:
+                       fourier_k: int, holidays: list[str] | None = None,
+                       regressor_col: str | None = None,
+                       ridge: float = 0.0) -> pd.DataFrame:
     """numpy core, shared verbatim by the Spark operator and the
     differential test (tests compare cluster output to this exact code
-    run driver-side)."""
+    run driver-side).
+
+    ``holidays``: ISO dates, each becoming a 0/1 indicator regressor
+    (predictor_plugin_prophet.py:168-178 holiday frame). ``regressor_col``:
+    an extra regressor whose value is frozen at its LAST TRAIN value for
+    every post-cutoff row — the reference's last-step future-regressor
+    fill (predictor_plugin_prophet.py:180-188)."""
     pdf = pdf.sort_values(ts_col).reset_index(drop=True)
     ts = pdf[ts_col].to_numpy("datetime64[us]")
     sec = ts.astype("int64") / 1e6
     y = pdf[value_col].to_numpy(dtype=np.float64)
     train = ts < train_end
     n_train = int(train.sum())
-    min_rows = 2 + n_changepoints + 2 * fourier_k + 1
+    n_extra = len(holidays or ()) + (1 if regressor_col else 0)
+    min_rows = 2 + n_changepoints + 2 * fourier_k + n_extra + 1
     if n_train < min_rows:
         yhat = np.full(len(y), y[train].mean() if n_train else 0.0)
         return pdf.assign(yhat=yhat, trend=yhat, seasonal=0.0)
@@ -60,7 +102,17 @@ def fit_predict_series(pdf: pd.DataFrame, value_col: str, ts_col: str,
     span = max(t1 - t0, 1.0)
     cps = np.array([(i + 1) / (n_changepoints + 1) for i in range(n_changepoints)])
     X = _design(sec, t0, span, cps, fourier_k)
-    theta, *_ = np.linalg.lstsq(X[train], y[train], rcond=None)
+    extras = []
+    for h in holidays or ():
+        extras.append((ts.astype("datetime64[D]") == np.datetime64(h))
+                      .astype(np.float64))
+    if regressor_col:
+        r = pdf[regressor_col].to_numpy(np.float64).copy()
+        r[~train] = r[train][-1]  # last-step fill (sorted by ts)
+        extras.append(r)
+    if extras:
+        X = np.concatenate([X, np.stack(extras, axis=1)], axis=1)
+    theta = solve_normal_gauss(X[train], y[train], ridge=ridge)
     yhat = X @ theta
     n_trend = 2 + n_changepoints
     trend = X[:, :n_trend] @ theta[:n_trend]
@@ -75,6 +127,9 @@ def prophet_like_fit_predict(
     train_end: str = "2024-01-22 00:00:00",
     n_changepoints: int = 3,
     fourier_k: int = 2,
+    holidays: list[str] | None = None,
+    regressor_col: str | None = None,
+    ridge: float = 0.0,
 ) -> DataFrame:
     """Fit per series on train rows, score every row. Returns
     (series, ts, value, yhat, trend, seasonal)."""
@@ -86,12 +141,18 @@ def prophet_like_fit_predict(
               "yhat double, trend double, seasonal double")
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fit_predict_series(pdf, value_col, ts_col, cutoff,
-                                  n_changepoints, fourier_k)
+        out = fit_predict_series(pdf, value_col, ts_col, cutoff,
+                                 n_changepoints, fourier_k,
+                                 holidays=holidays, regressor_col=regressor_col,
+                                 ridge=ridge)
+        return out[[series_col, ts_col, value_col, "yhat", "trend", "seasonal"]]
 
+    cols = [series_col, ts_col, value_col]
+    if regressor_col:
+        cols.append(regressor_col)
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(series_col, ts_col, value_col)
+        df.select(*cols)
         .repartition(n_parts, series_col)
         .groupBy(series_col)
         .applyInPandas(per_series, schema)

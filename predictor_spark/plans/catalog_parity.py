@@ -763,18 +763,166 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("prophet_like_train_eval")  # no SQL oracle (lstsq); differential-tested vs numpy
+def _prophet_oracle(holidays: tuple[str, ...] = (),
+                    regressor: str | None = None,
+                    ridge: float = 0.0) -> str:
+    """Generate the DuckDB oracle for the prophet-like OLS: per-user
+    normal-equation sums (full p x p matrix + rhs), then Gaussian
+    elimination UNROLLED into one nested subquery layer per dependency
+    level, replaying the exact operation order of
+    operators/prophet_like.py solve_normal_gauss (f = a_ik/a_kk, row_i -=
+    f*row_k, ascending back-substitution). Layered subqueries — not
+    lateral aliases — because DuckDB expands lateral aliases by
+    substitution, which is exponential in chain depth.
+
+    ``holidays`` adds 0/1 indicator regressors; ``regressor`` adds an
+    extra design column frozen at its last train value after the cutoff
+    (the reference's last-step future fill); ``ridge`` adds the same
+    diagonal prior the engine applies (zero-pivot guard for all-zero
+    indicator columns)."""
+    xs = ["1.0", "t"]
+    for cp in (0.25, 0.5, 0.75):
+        xs.append(f"greatest(t - {cp}, 0.0)")
+    for k in (1, 2):
+        xs.append(f"sin(2 * pi() * {k} * day)")
+        xs.append(f"cos(2 * pi() * {k} * day)")
+    for h in holidays:
+        xs.append(f"CASE WHEN CAST(ts AS DATE) = DATE '{h}' THEN 1.0 ELSE 0.0 END")
+    if regressor:
+        xs.append("reg")
+    p = len(xs)
+    min_rows = p + 1
+
+    sums = []
+    for i in range(p):
+        for j in range(p):
+            lo, hi = min(i, j), max(i, j)
+            ridge_add = f" + {ridge}" if (ridge and i == j) else ""
+            sums.append(f"sum(x{lo} * x{hi}) FILTER (is_train){ridge_add} AS a_{i}_{j}")
+    for i in range(p):
+        sums.append(f"sum(x{i} * y) FILTER (is_train) AS b_{i}")
+
+    layers = []
+    for k in range(p - 1):
+        f_defs = ", ".join(f"a_{i}_{k} / a_{k}_{k} AS f_{i}" for i in range(k + 1, p))
+        layers.append(f"SELECT *, {f_defs} FROM __PREV__")
+        upd = []
+        for i in range(p):
+            for j in range(p):
+                if i > k and j > k:
+                    upd.append(f"a_{i}_{j} - f_{i} * a_{k}_{j} AS a_{i}_{j}")
+                else:
+                    upd.append(f"a_{i}_{j}")
+        for i in range(p):
+            upd.append(f"b_{i} - f_{i} * b_{k} AS b_{i}" if i > k else f"b_{i}")
+        layers.append(f"SELECT user_id, {', '.join(upd)} FROM __PREV__")
+    for i in range(p - 1, -1, -1):
+        if i == p - 1:
+            expr = f"b_{i} / a_{i}_{i}"
+        else:
+            chain = " + ".join(f"a_{i}_{j} * th_{j}" for j in range(i + 1, p))
+            expr = f"(b_{i} - ({chain})) / a_{i}_{i}"
+        layers.append(f"SELECT *, {expr} AS th_{i} FROM __PREV__")
+
+    nested = "norm"
+    for idx, layer in enumerate(layers):
+        nested = "(" + layer.replace("__PREV__", nested) + f") e{idx}"
+
+    reg_stat = (", arg_max(reg_raw, sec) FILTER (is_train) AS reg_last"
+                if regressor else "")
+    reg_des = (", CASE WHEN r.is_train THEN r.reg_raw ELSE s.reg_last END AS reg"
+               if regressor else "")
+    reg_raw = (f", {regressor} AS reg_raw" if regressor else "")
+    xdefs = ", ".join(f"{e} AS x{i}" for i, e in enumerate(xs))
+    yhat = " + ".join(f"x{i} * th_{i}" for i in range(p))
+
+    return f"""
+    WITH rows_ AS (
+        SELECT user_id, ts, value AS y,
+               epoch_us(ts) / 1000000.0 AS sec,
+               (ts < TIMESTAMP '{_CUTOFF}') AS is_train{reg_raw}
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               count(*) FILTER (is_train) AS n_train,
+               min(sec) FILTER (is_train) AS t0,
+               max(sec) FILTER (is_train) AS t1,
+               avg(y) FILTER (is_train) AS ymean{reg_stat}
+        FROM rows_ GROUP BY user_id
+    ),
+    des0 AS (
+        SELECT r.user_id, r.ts, r.y, r.is_train,
+               (r.sec - s.t0) / greatest(s.t1 - s.t0, 1.0) AS t,
+               fmod(r.sec, 86400.0) / 86400.0 AS day{reg_des}
+        FROM rows_ r JOIN stats s USING (user_id)
+        WHERE s.n_train >= {min_rows}
+    ),
+    des AS (SELECT user_id, ts, y, is_train, {xdefs} FROM des0),
+    norm AS (SELECT user_id, {', '.join(sums)} FROM des GROUP BY user_id),
+    theta AS (
+        SELECT user_id, {', '.join(f'th_{i}' for i in range(p))}
+        FROM {nested}
+    ),
+    big AS (
+        SELECT d.user_id, d.ts, d.y, d.is_train, {yhat} AS yhat
+        FROM des d JOIN theta USING (user_id)
+    ),
+    small AS (
+        SELECT r.user_id, r.ts, r.y, r.is_train,
+               CASE WHEN s.n_train > 0 THEN s.ymean ELSE 0.0 END AS yhat
+        FROM rows_ r JOIN stats s USING (user_id)
+        WHERE s.n_train < {min_rows}
+    ),
+    scored AS (SELECT * FROM big UNION ALL SELECT * FROM small)
+    SELECT user_id, count(*) AS n_test,
+           round(avg(abs(y - yhat)), 6) AS mae
+    FROM scored WHERE NOT is_train GROUP BY user_id
+    """
+
+
+@query("prophet_like_train_eval", oracle=_prophet_oracle())
 def prophet_like_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prophet-style per-series model (operators/prophet_like.py):
-    piecewise-linear trend + daily Fourier seasonality by OLS, fit on
-    train, scored on held-out rows vs persistence. Deterministic linear
-    algebra — the pytest replays the identical numpy core driver-side
-    and requires bit-equality; here the held-out MAE per series is the
-    rows-only surface."""
+    piecewise-linear trend + daily Fourier seasonality by OLS normal
+    equations, fit on train, scored on held-out rows. The oracle unrolls
+    the identical Gaussian elimination in SQL (_prophet_oracle); the
+    pytest additionally replays the numpy core driver-side bit-for-bit."""
     from predictor_spark.operators.prophet_like import prophet_like_fit_predict
 
     ev = _t(spark, sf_dir, "events")
     scored = prophet_like_fit_predict(ev, train_end=_CUTOFF)
+    test = scored.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    return test.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("yhat"))), 6).alias("mae"),
+    )
+
+
+@query(
+    "prophet_holiday_regressor_train_eval",
+    oracle=_prophet_oracle(holidays=("2024-01-15", "2024-01-25"),
+                           regressor="CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END",
+                           ridge=1e-6),
+)
+def prophet_holiday_regressor_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prophet extras (predictor_plugin_prophet.py:168-188): two holiday
+    indicator regressors (one in train, one held-out) plus an exogenous
+    purchase-indicator regressor whose post-cutoff values are frozen at
+    the last train value — the reference's last-step future-regressor
+    fill. Ridge 1e-6 on the normal equations (Prophet-prior analog) keeps
+    the pivot-free solve stable for series where an indicator column is
+    all-zero in train."""
+    from predictor_spark.operators.prophet_like import prophet_like_fit_predict
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0),
+    )
+    scored = prophet_like_fit_predict(
+        ev, train_end=_CUTOFF, holidays=["2024-01-15", "2024-01-25"],
+        regressor_col="is_purchase", ridge=1e-6,
+    )
     test = scored.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
     return test.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_test"),
