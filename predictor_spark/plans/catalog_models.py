@@ -25,7 +25,108 @@ from predictor_spark.plans.catalog import _t, query
 _CUTOFF = "2024-01-22 00:00:00"
 
 
-@query("nbeats_train_eval")
+def _nbeats_literal_params() -> dict:
+    """Fixed seeded Glorot weights for the forward-pass companion query:
+    window=8, blocks=2, layers=1, units=6, horizon 1. Generated once at
+    import; identical literals feed both the Spark expression tree and
+    the DuckDB oracle."""
+    import numpy as np
+
+    from predictor_spark.models.nbeats import init_params
+
+    return init_params(np.random.default_rng(7), 8, (1,),
+                       blocks=2, layers=1, units=6)
+
+
+def nbeats_forward_layers(raw: list[str]) -> list[dict[str, str]]:
+    """The N-BEATS forward pass (models/nbeats.py forward: residual
+    backcast + shared forecast accumulator + linear head) emitted as
+    ORDERED LAYERS of SQL scalar expressions over the 8 window values in
+    ``raw``. Each layer references only the previous layer's columns, so
+    Spark applies them as chained withColumns (pure JVM whole-stage
+    codegen — deep-model inference with zero Python in the loop) and the
+    oracle nests them as subqueries; both engines evaluate the exact same
+    strings, so they agree to float noise (~1 ulp exp differences)."""
+    p = _nbeats_literal_params()
+    U, D = 6, 8
+
+    def lit(x) -> str:
+        return repr(float(x))
+
+    layers: list[dict[str, str]] = []
+    layers.append({f"x{i}": f"({raw[i]}) / 100.0" for i in range(D)})
+    W0 = p["W0_0"]
+    layers.append({f"z0_{j}": " + ".join(f"x{i} * {lit(W0[i, j])}" for i in range(D))
+                   for j in range(U)})
+    layers.append({f"h0_{j}": f"z0_{j} * (1.0 / (1.0 + exp(-z0_{j})))"
+                   for j in range(U)})
+    Wb = p["Wb0"]
+    layers.append({f"r{i}": f"x{i} - ("
+                   + " + ".join(f"h0_{j} * {lit(Wb[j, i])}" for j in range(U)) + ")"
+                   for i in range(D)})
+    W1 = p["W1_0"]
+    layers.append({f"z1_{j}": " + ".join(f"r{i} * {lit(W1[i, j])}" for i in range(D))
+                   for j in range(U)})
+    layers.append({f"h1_{j}": f"z1_{j} * (1.0 / (1.0 + exp(-z1_{j})))"
+                   for j in range(U)})
+    Wf0, Wf1 = p["Wf0"], p["Wf1"]
+    layers.append({f"f{j}": "("
+                   + " + ".join(f"h0_{k} * {lit(Wf0[k, j])}" for k in range(U))
+                   + ") + ("
+                   + " + ".join(f"h1_{k} * {lit(Wf1[k, j])}" for k in range(U)) + ")"
+                   for j in range(U)})
+    Wh = p["Wh1"]
+    layers.append({"y": " + ".join(f"f{j} * {lit(Wh[j])}" for j in range(U))})
+    return layers
+
+
+def _nbeats_forward_oracle() -> str:
+    layers = nbeats_forward_layers([f"w[{i + 1}]" for i in range(8)])
+    nested = """(
+        SELECT event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    )"""
+    nested = f"(SELECT * FROM {nested} WHERE rn >= 8) base"
+    for idx, layer in enumerate(layers):
+        cols = ", ".join(f"{e} AS {c}" for c, e in layer.items())
+        nested = f"(SELECT *, {cols} FROM {nested}) l{idx}"
+    return f"SELECT event_id, round(y, 6) + 0.0 AS y FROM {nested}"
+
+
+@query("nbeats_forward_pass", oracle=_nbeats_forward_oracle())
+def nbeats_forward_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N-BEATS family's driver-green companion (VERDICT r2 next-1e):
+    a full forward pass with literal seeded weights over every complete
+    8-tick window, evaluated ENTIRELY as JVM column expressions (no
+    Python, no UDF — whole-stage codegen end to end) and value-verified
+    against a DuckDB oracle built from the same expression strings.
+    Training itself stays pytest-verified (tests/test_models_nbeats.py
+    bit-equality vs the local numpy run) because the Adam loop is not
+    SQL-replayable; this row proves the architecture's inference math on
+    the hard gate. Scale note: expression-tree inference is the 100 TB
+    serving shape — a scan-local projection, no shuffle at all."""
+    from predictor_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    wins = temporal.window_tensorize(ev, ["value"], 8, series_col="user_id",
+                                     inclusive=True)
+    df = wins.select(
+        "event_id",
+        *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
+          for i in range(8)],
+    )
+    for layer in nbeats_forward_layers([f"w{i}" for i in range(8)]):
+        df = df.withColumns({c: F.expr(e) for c, e in layer.items()})
+    return df.select("event_id", (F.round("y", 6) + F.lit(0.0)).alias("y"))
+
+
+# NOT @query-registered: full Adam training trajectories are not
+# SQL-replayable, so these rows could never be value-verified (VERDICT r2:
+# de-register; nbeats_forward_pass above is the family's hard-gate row and
+# tests/test_models_nbeats.py holds bit-equality training coverage).
 def nbeats_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series N-BEATS trained distributedly (applyInPandas, seeded per
     series), scored on held-out windows vs the persistence baseline,
@@ -46,7 +147,7 @@ def nbeats_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nbeats_mc_uncertainty")
+# NOT @query-registered — same rationale as nbeats_train_eval above.
 def nbeats_mc_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MC-dropout uncertainty through the same Estimator (16 seeded dropout
     forward passes per window, Welford-folded to mean/std — the numpy

@@ -93,7 +93,11 @@ def _arima_oracle() -> str:
     """)
 
 
-@query("ga_fitness_trajectory")
+# NOT @query-registered: the generational trajectory depends on numpy PCG64
+# draws (selection/crossover/mutation), which no SQL oracle can replay, so a
+# registry row could never be value-verified (VERDICT r2: de-register the
+# unverifiable rows; the GA family's hard-gate row is a12_ga_fitness and the
+# search loop itself is pure-Python-oracle pytest-verified in tests/test_ga.py).
 def ga_fitness_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded GA (pop 6, 3 generations, cxTwoPoint + Gaussian mutate +
     tournament-3) minimizing held-out MAE of a shrunk-persistence
@@ -143,7 +147,9 @@ def ga_fitness_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("neat_fitness_trajectory")
+# NOT @query-registered — same rationale as ga_fitness_trajectory above;
+# the NEAT loop is pytest-verified against a pure-Python replay
+# (tests/test_neat.py).
 def neat_fitness_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded NEAT search (pop 8, 4 generations, parameters-as-genes:
     speciation + fitness sharing + structural add/remove mutation,

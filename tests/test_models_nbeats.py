@@ -127,3 +127,25 @@ def test_beats_naive_on_events(spark):
         F.avg(F.abs(F.col("baseline") - F.col("target_h1"))).alias("naive_mae"),
     ).collect()[0]
     assert row["mae"] < row["naive_mae"], (row["mae"], row["naive_mae"])
+
+
+def test_forward_pass_expressions_match_numpy_core(spark):
+    """The nbeats_forward_pass companion query (catalog_models.py) builds
+    the forward pass as SQL scalar expressions from literal weights; it
+    must compute the same function as models/nbeats.forward."""
+    import pandas as pd
+    from predictor_spark.plans.catalog_models import (
+        _nbeats_literal_params, nbeats_forward_layers)
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(64, 8)) * 50.0  # raw scale; expressions divide by 100
+    p = _nbeats_literal_params()
+    want = nbeats.predict(p, X / 100.0, (1,))[1]
+
+    pdf = pd.DataFrame({f"w{i}": X[:, i] for i in range(8)})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+    for layer in nbeats_forward_layers([f"w{i}" for i in range(8)]):
+        df = df.withColumns({c: F.expr(e) for c, e in layer.items()})
+    got = df.select("y").toPandas()["y"].to_numpy()
+    assert np.allclose(got, want, atol=1e-9)
