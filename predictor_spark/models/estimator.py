@@ -165,3 +165,63 @@ def nbeats_fit_predict_per_series(
                           epochs=epochs, lr=lr, weight_decay=weight_decay),
         mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
     )
+
+
+def transformer_fit_predict_per_series(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    window: int = 8,
+    horizons: tuple[int, ...] = (1,),
+    d_model: int = 8,
+    n_heads: int = 2,
+    d_ff: int = 16,
+    epochs: int = 40,
+    lr: float = 5e-3,
+    weight_decay: float = 3e-2,
+    mc_samples: int = 0,
+    dropout_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Transformer-encoder instantiation of ``fit_predict_per_series``
+    (models/transformer.py; reference predictor_plugin_transformer.py)."""
+    from predictor_spark.models import transformer
+
+    return fit_predict_per_series(
+        df, transformer, value_col, ts_col, series_col, train_end, window,
+        horizons,
+        train_kwargs=dict(d_model=d_model, n_heads=n_heads, d_ff=d_ff,
+                          epochs=epochs, lr=lr, weight_decay=weight_decay),
+        mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
+    )
+
+
+def tft_fit_predict_per_series(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    window: int = 8,
+    horizons: tuple[int, ...] = (1,),
+    d_model: int = 8,
+    conv_taps: int = 3,
+    epochs: int = 40,
+    lr: float = 5e-3,
+    weight_decay: float = 3e-2,
+    mc_samples: int = 0,
+    dropout_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """TFT-lite instantiation of ``fit_predict_per_series``
+    (models/tft.py; reference predictor_plugin_tft.py)."""
+    from predictor_spark.models import tft
+
+    return fit_predict_per_series(
+        df, tft, value_col, ts_col, series_col, train_end, window, horizons,
+        train_kwargs=dict(d_model=d_model, conv_taps=conv_taps,
+                          epochs=epochs, lr=lr, weight_decay=weight_decay),
+        mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
+    )

@@ -123,6 +123,76 @@ def nbeats_forward_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", (F.round("y", 6) + F.lit(0.0)).alias("y"))
 
 
+def _transformer_literal_params() -> dict:
+    import numpy as np
+
+    from predictor_spark.models.transformer import init_params
+
+    return init_params(np.random.default_rng(11), 8, (1,),
+                       d_model=4, n_heads=2, d_ff=8)
+
+
+def _tft_literal_params() -> dict:
+    import numpy as np
+
+    from predictor_spark.models.tft import init_params
+
+    return init_params(np.random.default_rng(13), 8, (1,),
+                       d_model=4, conv_taps=3)
+
+
+def _expr_forward_query(layers_fn, params_fn):
+    from predictor_spark.plans.model_exprs import apply_layers
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from predictor_spark.operators import temporal
+
+        ev = _t(spark, sf_dir, "events")
+        wins = temporal.window_tensorize(ev, ["value"], 8,
+                                         series_col="user_id", inclusive=True)
+        df = wins.select(
+            "event_id",
+            *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
+              for i in range(8)],
+        )
+        df = apply_layers(df, layers_fn([f"w{i}" for i in range(8)], params_fn()))
+        return df.select("event_id", (F.round("y", 6) + F.lit(0.0)).alias("y"))
+
+    return run
+
+
+def _expr_forward_oracle(layers_fn, params_fn) -> str:
+    from predictor_spark.plans.model_exprs import layers_to_oracle
+
+    layers = layers_fn([f"w[{i + 1}]" for i in range(8)], params_fn())
+    return layers_to_oracle(layers, "event_id, round(y, 6) + 0.0 AS y")
+
+
+def _register_forward_companions() -> None:
+    """transformer/TFT forward-pass hard-gate rows, same design as
+    nbeats_forward_pass: literal seeded weights, one shared expression
+    generator (plans/model_exprs.py) feeding both the Spark JVM
+    projection chain and the DuckDB oracle; the attention query is taken
+    at the last window position so only the head-reaching computation is
+    emitted. Training stays pytest-verified (tests/test_models_family.py
+    gradchecks + distributed-vs-local differentials)."""
+    from predictor_spark.plans.model_exprs import (
+        tft_forward_layers, transformer_forward_layers)
+
+    query("transformer_forward_pass",
+          oracle=_expr_forward_oracle(transformer_forward_layers,
+                                      _transformer_literal_params))(
+        _expr_forward_query(transformer_forward_layers,
+                            _transformer_literal_params))
+    query("tft_forward_pass",
+          oracle=_expr_forward_oracle(tft_forward_layers,
+                                      _tft_literal_params))(
+        _expr_forward_query(tft_forward_layers, _tft_literal_params))
+
+
+_register_forward_companions()
+
+
 # NOT @query-registered: full Adam training trajectories are not
 # SQL-replayable, so these rows could never be value-verified (VERDICT r2:
 # de-register; nbeats_forward_pass above is the family's hard-gate row and

@@ -126,3 +126,109 @@ def test_estimator_distributes_any_core(spark):
         params, _ = core.train(Xtr, tg, (1,), seed=(0, 7), **kw)
         want = core.predict(params, Xte, (1,))[1] * sd + mu
         assert np.allclose(got["pred_h1"].to_numpy(), want, atol=1e-9), core.__name__
+
+
+def test_transformer_gradcheck():
+    from predictor_spark.models import transformer
+
+    X, tgts, hs = _toy(d=8)
+    p = transformer.init_params(np.random.default_rng(0), X.shape[1], hs,
+                                d_model=8, n_heads=2, d_ff=8)
+    _gradcheck(transformer, p, X, tgts, hs)
+
+
+def test_tft_gradcheck():
+    from predictor_spark.models import tft
+
+    X, tgts, hs = _toy(d=8)
+    p = tft.init_params(np.random.default_rng(0), X.shape[1], hs, d_model=6)
+    # MAE loss is non-smooth at zero error; the toy targets keep errors
+    # away from 0, and the finite-difference tolerance in _gradcheck
+    # absorbs the elu kink
+    _gradcheck(tft, p, X, tgts, hs)
+
+
+def test_transformer_tft_deterministic_and_learn():
+    from predictor_spark.models import tft, transformer
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(60, 8))
+    y = 0.5 * X[:, -1] - 0.25 * X[:, -2]
+    tgts = {1: y}
+    for core, kw in ((transformer, dict(d_model=8, n_heads=2, d_ff=16)),
+                     (tft, dict(d_model=8))):
+        p1, l1 = core.train(X, tgts, (1,), seed=3, epochs=150, lr=1e-2,
+                            weight_decay=0.0, **kw)
+        p2, l2 = core.train(X, tgts, (1,), seed=3, epochs=150, lr=1e-2,
+                            weight_decay=0.0, **kw)
+        assert l1 == l2
+        assert all(np.array_equal(p1[k], p2[k]) for k in p1)
+        assert l1[-1] < 0.5 * l1[0], core.__name__   # actually learns
+
+
+def test_estimator_distributes_transformer_and_tft(spark):
+    import pandas as pd
+    from predictor_spark.models import tft, transformer
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    rng = np.random.default_rng(11)
+    n = 66
+    ts = pd.date_range("2024-01-01", periods=n, freq="10h")
+    v = np.cumsum(rng.normal(size=n)) + 50.0
+    pdf = pd.DataFrame({"user_id": 7, "ts": ts, "value": v})
+    sdf = spark.createDataFrame(pdf)
+
+    cut = np.datetime64("2024-01-22 00:00:00")
+    W, h = 8, 1
+    X = np.lib.stride_tricks.sliding_window_view(v, W)
+    ends = np.arange(W - 1, n)
+    tr = (ends + h < n) & (ts.values[np.minimum(ends + h, n - 1)] < cut)
+    te = (ts.values[ends] >= cut) & (ends + h < n)
+    ntr = np.searchsorted(ts.values, cut)
+    mu, sd = v[:ntr].mean(), v[:ntr].std()
+    Xtr, Xte = (X[tr] - mu) / sd, (X[te] - mu) / sd
+    tg = {1: (v[ends[tr] + 1] - mu) / sd}
+
+    for core, kw in ((transformer, dict(d_model=8, n_heads=2, d_ff=16,
+                                        epochs=30, lr=5e-3)),
+                     (tft, dict(d_model=6, epochs=30, lr=5e-3))):
+        got = (
+            fit_predict_per_series(
+                sdf, core, train_end="2024-01-22 00:00:00", window=W,
+                horizons=(1,), train_kwargs=kw, seed=0)
+            .toPandas().sort_values("ts").reset_index(drop=True)
+        )
+        params, _ = core.train(Xtr, tg, (1,), seed=(0, 7), **kw)
+        want = core.predict(params, Xte, (1,))[1] * sd + mu
+        assert np.allclose(got["pred_h1"].to_numpy(), want, atol=1e-9), core.__name__
+
+
+def test_forward_expr_layers_match_cores():
+    """The transformer/TFT forward-pass companion queries build the
+    forward pass as SQL expression layers (plans/model_exprs.py); each
+    must compute the same function as its numpy core."""
+    import duckdb
+    import pandas as pd
+
+    from predictor_spark.models import tft, transformer
+    from predictor_spark.plans.catalog_models import (
+        _tft_literal_params, _transformer_literal_params)
+    from predictor_spark.plans.model_exprs import (
+        tft_forward_layers, transformer_forward_layers)
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(32, 8)) * 50.0
+    con = duckdb.connect()
+    con.register("wins", pd.DataFrame({f"w{i}": X[:, i] for i in range(8)}))
+    for layers_fn, params_fn, core in (
+        (transformer_forward_layers, _transformer_literal_params, transformer),
+        (tft_forward_layers, _tft_literal_params, tft),
+    ):
+        p = params_fn()
+        nested = "wins"
+        for idx, layer in enumerate(layers_fn([f"w{i}" for i in range(8)], p)):
+            cols = ", ".join(f"{e} AS {c}" for c, e in layer.items())
+            nested = f"(SELECT *, {cols} FROM {nested}) l{idx}"
+        got = con.execute(f"SELECT y FROM {nested}").df()["y"].to_numpy()
+        want = core.predict(p, X / 100.0, (1,))[1]
+        assert np.allclose(got, want, atol=1e-9), core.__name__
