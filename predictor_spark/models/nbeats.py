@@ -128,9 +128,12 @@ def loss_and_grads(
     X: np.ndarray,
     targets: dict[int, np.ndarray],
     horizons: tuple[int, ...],
+    loss_fn=None,
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Full-batch Huber loss + analytic gradients (finite-difference-checked
-    in tests/test_models_nbeats.py::test_gradcheck)."""
+    in tests/test_models_nbeats.py::test_gradcheck). ``loss_fn`` swaps in a
+    models/losses.py objective: (y_true, y_pred) -> (value, dvalue/dy_pred);
+    None keeps the default Huber path bit-identical."""
     blocks, layers, units, input_dim = (int(x) for x in p["__meta"])
     N = X.shape[0]
     H = len(horizons)
@@ -140,9 +143,14 @@ def loss_and_grads(
     loss = 0.0
     dfacc = np.zeros_like(facc)
     for h in horizons:
-        e = ys[h] - targets[h]
-        loss += float(_huber(e).mean())
-        de = _huber_grad(e) / (N * H)          # d(loss)/d(y_h), (N,)
+        if loss_fn is None:
+            e = ys[h] - targets[h]
+            loss += float(_huber(e).mean())
+            de = _huber_grad(e) / (N * H)      # d(loss)/d(y_h), (N,)
+        else:
+            val, gy = loss_fn(targets[h], ys[h])
+            loss += float(val)
+            de = gy / H
         g[f"Wh{h}"] = facc.T @ de
         g[f"ch{h}"] = np.array(de.sum())
         dfacc += de[:, None] * p[f"Wh{h}"][None, :]
@@ -213,15 +221,17 @@ def train(
     epochs: int = 80,
     lr: float = 1e-2,
     weight_decay: float = 0.0,
+    loss_fn=None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Full-batch AdamW training; returns (params, per-epoch losses).
-    Deterministic: same (data, seed, hyperparams) -> same weights."""
+    Deterministic: same (data, seed, hyperparams) -> same weights.
+    ``loss_fn``: optional models/losses.py objective (default Huber)."""
     rng = np.random.default_rng(seed)
     p = init_params(rng, X.shape[1], tuple(horizons), blocks, layers, units)
     st = adam_init(p)
     losses = []
     for _ in range(epochs):
-        loss, g = loss_and_grads(p, X, targets, tuple(horizons))
+        loss, g = loss_and_grads(p, X, targets, tuple(horizons), loss_fn=loss_fn)
         adam_step(p, g, st, lr=lr, weight_decay=weight_decay)
         losses.append(loss)
     return p, losses

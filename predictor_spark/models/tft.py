@@ -152,7 +152,7 @@ def forward(p, X, horizons, want_cache=False,
     return ys, None
 
 
-def loss_and_grads(p, X, targets, horizons):
+def loss_and_grads(p, X, targets, horizons, loss_fn=None):
     input_dim, dm, taps = (int(v) for v in p["__meta"])
     N, T = X.shape
     nh = len(horizons)
@@ -163,9 +163,14 @@ def loss_and_grads(p, X, targets, horizons):
     loss = 0.0
     dctx = np.zeros_like(ctx)
     for hz in horizons:
-        e = ys[hz] - targets[hz]
-        loss += float(np.abs(e).mean())
-        de = L.mae_grad(e) / (N * nh)
+        if loss_fn is None:
+            e = ys[hz] - targets[hz]
+            loss += float(np.abs(e).mean())
+            de = L.mae_grad(e) / (N * nh)
+        else:
+            val, gy = loss_fn(targets[hz], ys[hz])
+            loss += float(val)
+            de = gy / nh
         Hh, ch = hcaches[hz]
         g[f"Wh{hz}"] += Hh.T @ de
         g[f"ch{hz}"] += np.array(de.sum())
@@ -204,15 +209,16 @@ def loss_and_grads(p, X, targets, horizons):
 
 
 def train(X, targets, horizons=(1,), seed=0, d_model=8, conv_taps=3,
-          epochs=60, lr=5e-3, weight_decay=1e-2):
+          epochs=60, lr=5e-3, weight_decay=1e-2, loss_fn=None):
     """Full-batch AdamW, MAE loss (the reference TFT compiles MAE,
-    tft.py:148); deterministic for a given seed."""
+    tft.py:148); deterministic for a given seed. ``loss_fn``: optional
+    models/losses.py objective (default MAE)."""
     rng = np.random.default_rng(seed)
     p = init_params(rng, X.shape[1], tuple(horizons), d_model, conv_taps)
     st = adam_init(p)
     losses = []
     for _ in range(epochs):
-        loss, g = loss_and_grads(p, X, targets, tuple(horizons))
+        loss, g = loss_and_grads(p, X, targets, tuple(horizons), loss_fn=loss_fn)
         adam_step(p, g, st, lr=lr, weight_decay=weight_decay)
         losses.append(loss)
     return p, losses

@@ -233,3 +233,123 @@ def nbeats_mc_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("unc_h1"), 4).alias("avg_uncertainty"),
         F.round(F.avg(F.abs(F.col("pred_h1"))) / F.avg("unc_h1"), 4).alias("snr"),
     )
+
+
+@query(
+    "loss_family_per_series",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value AS yp,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS yt,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    rows_ AS (SELECT * FROM base WHERE yt IS NOT NULL),
+    diffs AS (
+        SELECT user_id, yt, yp, rn,
+               lead(yt) OVER (PARTITION BY user_id ORDER BY rn) - yt AS dt,
+               lead(yp) OVER (PARTITION BY user_id ORDER BY rn) - yp AS dp
+        FROM rows_
+    ),
+    agg AS (
+        SELECT user_id,
+               count(*) AS n,
+               avg(CASE WHEN abs(yt - yp) <= 1.0
+                        THEN 0.5 * (yt - yp) * (yt - yp)
+                        ELSE abs(yt - yp) - 0.5 END) AS hub,
+               avg(abs(yt - yp)) AS mae,
+               avg(abs(yt)) AS ne,
+               sqrt(var_pop(yt) + 1e-08) AS st,
+               sqrt(var_pop(yp) + 1e-08) AS sp,
+               covar_pop(yt, yp) AS cov,
+               arg_min(yt, rn) AS yt0, arg_max(yt, rn) AS yt1,
+               arg_min(yp, rn) AS yp0, arg_max(yp, rn) AS yp1,
+               avg(CASE WHEN dt IS NULL THEN NULL
+                        WHEN abs(dt - dp) <= 1.0
+                        THEN 0.5 * (dt - dp) * (dt - dp)
+                        ELSE abs(dt - dp) - 0.5 END) AS dhub
+        FROM diffs GROUP BY user_id
+    ),
+    calc AS (
+        SELECT user_id, n, hub, mae, ne, st, sp, cov, dhub,
+               CASE WHEN sign(yt1 - yt0) = sign(yp1 - yp0)
+                    THEN 1.0 ELSE 2.5 END AS w_dir,
+               least(greatest(cov / (st * sp + 1e-08), -1.0), 1.0) AS corr,
+               least(greatest(mae / (ne + 1e-08), 0.0), 1.0) AS ratio
+        FROM agg
+    )
+    SELECT user_id, n,
+           round(CAST(CAST(hub * w_dir + 0.1 * greatest(0.0, st - sp)
+               AS REAL) AS DOUBLE), 6) AS trend_sigma,
+           round(CAST(CAST(mae + 0.5 * (1.0 - corr) AS REAL) AS DOUBLE), 6)
+               AS pearson_structural,
+           round(CAST(CAST(hub + dhub
+               + 0.1 * greatest(0.0, 1.0 - sp / (st + 1e-08)) AS REAL)
+               AS DOUBLE), 6) AS combined_diff,
+           round(CAST(CAST(hub / (CASE WHEN mae <= 1e-08 THEN 1000.0
+                             WHEN mae <= ne THEN 1000.0 - 999.0 * ratio
+                             ELSE 1.0 END) AS REAL) AS DOUBLE), 6) AS incentive
+    FROM calc
+    """,
+)
+def loss_family_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The morphological/composite loss family (models/losses.py;
+    reference predictor_plugins/common/losses.py:134-211,354-407)
+    evaluated per series for the persistence predictor (y_pred = value,
+    y_true = next value) — the loss VALUES are closed-form aggregates, so
+    the whole family gets a hard-gate row even though training under
+    these losses is verified by pytest (tests/test_losses.py gradchecks +
+    plug-into-every-core runs). Spark side runs the actual numpy loss
+    functions per series via applyInPandas; one shuffle on the series
+    key. soft-DTW is pytest-only (its DP recursion has no reasonable
+    closed-form SQL)."""
+    import pandas as pd
+
+    from predictor_spark.models import losses as LO
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    ev = _t(spark, sf_dir, "events")
+
+    schema = ("user_id long, n long, trend_sigma double, "
+              "pearson_structural double, combined_diff double, "
+              "incentive double")
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype="float64")
+        if len(v) < 3:
+            return pd.DataFrame(columns=["user_id", "n", "trend_sigma",
+                                         "pearson_structural",
+                                         "combined_diff", "incentive"])
+        yp, yt = v[:-1], v[1:]
+        return pd.DataFrame([{
+            "user_id": int(pdf["user_id"].iloc[0]),
+            "n": len(yt),
+            # float32-collapse, then round JVM-side with F.round:
+            # Python's round() is half-EVEN while Spark/DuckDB round
+            # half-AWAY, and float32 values land on exact decimal ties
+            # (e.g. x.0078125) often enough to matter
+            "trend_sigma": float(np.float32(LO.trend_sigma_loss(yt, yp)[0])),
+            "pearson_structural": float(np.float32(
+                LO.pearson_structural_loss(yt, yp)[0])),
+            "combined_diff": float(np.float32(
+                LO.combined_diff_loss(yt, yp)[0])),
+            "incentive": float(np.float32(
+                LO.incentive_composite_loss(yt, yp)[0])),
+        }])
+
+    n_part = spark.sparkContext.defaultParallelism
+    out = (
+        ev.select("user_id", "ts", "value")
+        .repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(per_series, schema)
+    )
+    return out.select(
+        "user_id", "n",
+        *[F.round(c, 6).alias(c) for c in
+          ("trend_sigma", "pearson_structural", "combined_diff", "incentive")],
+    )

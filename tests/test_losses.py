@@ -1,0 +1,117 @@
+"""models/losses.py — the reference's morphological/composite loss family.
+
+Gradients are pinned by central finite differences (away from the
+non-differentiable branch points); combined_diff's ordered-batch contract
+(shuffle=False — losses.py:184-189) is a property test: permuting the
+batch changes the loss, while the pure level losses are permutation
+invariant. Training integration: each loss plugs into every core's train()
+and still minimizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from predictor_spark.models import losses as LO
+
+
+def _fd_check(fn, y_true, y_pred, atol=1e-6):
+    loss, g = fn(y_true, y_pred)
+    eps = 1e-6
+    for i in range(len(y_pred)):
+        yp = y_pred.copy(); yp[i] += eps
+        lp = fn(y_true, yp)[0]
+        yp = y_pred.copy(); yp[i] -= eps
+        lm = fn(y_true, yp)[0]
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - g[i]) < atol * max(1.0, abs(num)), (i, num, g[i])
+
+
+@pytest.mark.parametrize("name", ["trend_sigma", "pearson_structural",
+                                  "combined_diff", "soft_dtw", "incentive"])
+def test_gradcheck(name):
+    rng = np.random.default_rng(3)
+    y_true = rng.normal(size=24) * 2.0 + 0.5
+    y_pred = rng.normal(size=24) * 2.0
+    _fd_check(LO.LOSSES[name], y_true, y_pred,
+              atol=1e-4 if name == "soft_dtw" else 1e-5)
+
+
+def test_incentive_mmd_gradcheck():
+    rng = np.random.default_rng(5)
+    y_true = rng.normal(size=16)
+    y_pred = rng.normal(size=16)
+    _fd_check(lambda t, p: LO.incentive_composite_loss(t, p, mmd_lambda=0.3),
+              y_true, y_pred, atol=1e-5)
+
+
+def test_incentive_rewards_beating_naive():
+    """pe < ne => incentive in (1, 1000] shrinks the Huber term; a bad
+    predictor (pe > ne) gets plain Huber."""
+    y_true = np.array([1.0, -1.0, 2.0, -2.0])
+    good = y_true * 0.9
+    bad = -y_true
+    lg, _ = LO.incentive_composite_loss(y_true, good)
+    lb, _ = LO.incentive_composite_loss(y_true, bad)
+    from predictor_spark.models.layers import huber
+    assert lb == pytest.approx(float(huber(y_true - bad).mean()))
+    assert lg < float(huber(y_true - good).mean())  # shrunk by incentive
+
+
+def test_combined_diff_is_order_sensitive():
+    """The shuffle=False contract: first differences are temporal, so a
+    permutation changes the diff component. Level-only losses must be
+    permutation invariant; combined_diff must NOT be."""
+    rng = np.random.default_rng(11)
+    y_true = np.cumsum(rng.normal(size=32))
+    y_pred = y_true + rng.normal(size=32) * 0.1
+    perm = rng.permutation(32)
+
+    base = LO.combined_diff_loss(y_true, y_pred)[0]
+    shuffled = LO.combined_diff_loss(y_true[perm], y_pred[perm])[0]
+    assert abs(base - shuffled) > 1e-6
+
+    lvl = LO.incentive_composite_loss(y_true, y_pred)[0]
+    lvl_s = LO.incentive_composite_loss(y_true[perm], y_pred[perm])[0]
+    assert lvl == pytest.approx(lvl_s, rel=1e-12)
+
+
+def test_combined_diff_penalizes_constant_predictor():
+    """A constant predictor has zero predicted differences -> the diff
+    component equals Huber of the true differences (losses.py:186-189)."""
+    rng = np.random.default_rng(2)
+    y_true = np.cumsum(rng.normal(size=64)) + 10.0
+    const = np.full(64, y_true.mean())
+    wiggly = y_true + rng.normal(size=64) * 0.05
+    assert LO.combined_diff_loss(y_true, const)[0] \
+        > LO.combined_diff_loss(y_true, wiggly)[0]
+
+
+def test_soft_dtw_identity_is_minimal():
+    rng = np.random.default_rng(8)
+    y = rng.normal(size=12)
+    l_same = LO.soft_dtw_loss(y, y.copy())[0]
+    l_diff = LO.soft_dtw_loss(y, y + 0.5)[0]
+    assert l_same < l_diff
+
+
+@pytest.mark.parametrize("loss_name", ["trend_sigma", "pearson_structural",
+                                       "combined_diff", "incentive"])
+def test_losses_plug_into_all_cores(loss_name):
+    """Every core trains under every pluggable loss and the loss
+    decreases — the reference's loss_type dispatch surface
+    (losses.py:279-350) re-expressed as the loss_fn parameter."""
+    from predictor_spark.models import nbeats, tft, transformer
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(48, 8))
+    y = 0.6 * X[:, -1] - 0.2 * X[:, -3] + 0.05
+    tgts = {1: y}
+    fn = LO.LOSSES[loss_name]
+    for core, kw in ((nbeats, dict(blocks=1, layers=1, units=6)),
+                     (transformer, dict(d_model=4, n_heads=1, d_ff=8)),
+                     (tft, dict(d_model=4))):
+        _, hist = core.train(X, tgts, (1,), seed=1, epochs=60, lr=1e-2,
+                             weight_decay=0.0, loss_fn=fn, **kw)
+        assert hist[-1] < hist[0], (core.__name__, loss_name, hist[0], hist[-1])
