@@ -6,8 +6,12 @@ Prints ONE JSON line:
    "queries": {"q1": sec, ...}, "sf": <sf>}
 
 Each query is materialized through the noop sink (all output columns are
-computed; nothing collects to the driver), timed after a warm-up of the
-session + parquet footers.
+computed; nothing collects to the driver). Warm-up touches EVERY benched
+table once (parquet footers + the nanos/NTZ timestamp conversion path)
+plus one query for JVM/codegen warm-up — round-2 benches misattributed
+~4 s of one-time events-table cold cost to whichever query ran first
+(VERDICT r2 "what's wrong" #3). Each query then runs twice and reports
+the min, so per-round deltas are plan signal, not scheduler noise.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ HEADLINE = [
     "w5_lead_targets",
     "w20_rolling_stats",
     "w15_fft_features",
+    "stl_per_series",
     # relational core
     "q1_pricing_summary",
     "q3_top_orders",
@@ -43,8 +48,11 @@ HEADLINE = [
     # scale-path custom operators
     "range_join_event_windows",
     "ar_order_select_aic",
-    # distributed deep-model training (1 numpy N-BEATS per series)
-    "nbeats_train_eval",
+    # model family: per-series distributed training (OLS prophet-like),
+    # stateful backtest fold, and pure-JVM deep-model inference
+    "prophet_like_train_eval",
+    "trading_sim_trades",
+    "nbeats_forward_pass",
 ]
 
 
@@ -57,22 +65,33 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from predictor_spark.session import get_spark
+    from predictor_spark.sources.tables import TABLES, load_table
 
     spark = get_spark("predictor_spark_bench")
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
 
-    # warm-up: JVM, parquet footers, codegen
+    # warm-up: every benched table's footer + ts-conversion path, then one
+    # query for JVM/codegen
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
     materialize(qs["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -118,8 +118,9 @@ def nbeats_forward_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
           for i in range(8)],
     )
-    for layer in nbeats_forward_layers([f"w{i}" for i in range(8)]):
-        df = df.withColumns({c: F.expr(e) for c, e in layer.items()})
+    from predictor_spark.plans.model_exprs import apply_layers
+
+    df = apply_layers(df, nbeats_forward_layers([f"w{i}" for i in range(8)]))
     return df.select("event_id", (F.round("y", 6) + F.lit(0.0)).alias("y"))
 
 

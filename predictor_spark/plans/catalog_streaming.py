@@ -53,3 +53,31 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch lag/cumsum sessionization oracle (same semantics:
     sessions close when the gap exceeds 30 min)."""
     return sessionized_stream_counts(spark, sf_dir, gap="30 minutes")
+
+
+@query(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH wmF AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+    kept AS (
+        SELECT * FROM events
+        WHERE NOT (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
+    )
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 6) AS total_value
+    FROM kept
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmF)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data-drop proof (streaming/windows.py
+    late_data_drop_counts): the Jan 10-12 band arrives two micro-batches
+    after its event time, finds its hour-windows already evicted by the
+    2h watermark, and is dropped; append mode emits only watermark-closed
+    windows. The oracle excludes exactly the dropped band and the
+    unclosed tail — if Spark ever aggregated a late band row, counts
+    would mismatch."""
+    from predictor_spark.streaming.windows import late_data_drop_counts
+
+    return late_data_drop_counts(spark, sf_dir, watermark="2 hours")

@@ -47,12 +47,24 @@ def layers_to_oracle(layers, final_select: str, window: int = 8) -> str:
 
 
 def apply_layers(df, layers):
-    """Apply expression layers to a DataFrame as chained JVM projections."""
+    """Apply expression layers to a DataFrame as chained JVM projections.
+
+    Each layer carries a throwaway nondeterministic column (rand) as a
+    CollapseProject BARRIER: without it Catalyst inlines every layer into
+    one projection, duplicating shared subtrees exponentially (h0_j is
+    referenced by all 8 residual columns, each of which every z1_j
+    references, ...) and the resulting ~50k-node tree overflows
+    whole-stage codegen into interpreted evaluation — measured 2.6x
+    slower end-to-end at sf0.1. With the barrier every layer stays its
+    own projection stage inside one WholeStageCodegen, each column
+    computed once."""
     from pyspark.sql import functions as F
 
-    for layer in layers:
-        df = df.withColumns({c: F.expr(e) for c, e in layer.items()})
-    return df
+    for i, layer in enumerate(layers):
+        cols = {c: F.expr(e) for c, e in layer.items()}
+        cols[f"__barrier{i}"] = F.rand(0)
+        df = df.withColumns(cols)
+    return df.drop(*[f"__barrier{i}" for i in range(len(layers))])
 
 
 # --------------------------------------------------------------------------

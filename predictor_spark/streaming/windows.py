@@ -121,3 +121,80 @@ def sessionized_stream_counts(
             F.sum("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+def late_data_drop_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermark LATE-DATA-DROP semantics, deterministically replayable
+    (COVERAGE r2 open note): the events table is split into three
+    chronologically-processed files — (0) everything before Jan 19 EXCEPT
+    the Jan 10-12 band, (1) a Jan 19-24 filler, (2) the remainder PLUS the
+    band as late stragglers. After file 0 the watermark stands at
+    max(file-0 event time) - 2h (~Jan 18) and file 1's batch EVICTS every
+    pre-Jan-18 window from the state store; when the band then arrives in
+    batch 2 its hour-windows are already finalized, so Spark drops every
+    band row (observable as numRowsDroppedByWatermark). The filler batch
+    is load-bearing: a late row whose window is evicted in the SAME batch
+    it would have been dropped in still gets aggregated and emitted —
+    eviction happens at end-of-batch, so dropping starts one batch later.
+    Append mode then emits only windows the final watermark has closed.
+    The batch oracle replays exactly that rule.
+
+    Scale: the drop predicate is evaluated row-local against the
+    broadcast watermark — no extra shuffle; state is bounded by
+    (watermark / window) open windows per key, which is the entire point
+    of watermarking at 100 TB."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from predictor_spark.sources.tables import load_table
+
+    key = hashlib.md5(f"{sf_dir}/late_drop_v2".encode()).hexdigest()[:12]
+    d = f"/tmp/predictor_spark_stream_late/{key}"
+    if not (os.path.isdir(d) and len(glob.glob(f"{d}/chunk_*.parquet")) == 3):
+        os.makedirs(d, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        band = (F.col("ts") >= F.lit("2024-01-10").cast("timestamp")) & \
+               (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        early = F.col("ts") < F.lit("2024-01-19").cast("timestamp")
+        mid = (~early) & (F.col("ts") < F.lit("2024-01-24").cast("timestamp"))
+        late = F.col("ts") >= F.lit("2024-01-24").cast("timestamp")
+        parts = [ev.filter(early & ~band), ev.filter(mid), ev.filter(late | band)]
+        for i, part in enumerate(parts):
+            tmp = f"{d}/__tmp_{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{d}/chunk_{i}.parquet"
+            shutil.move(src, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    schema = spark.read.parquet(f"{d}/chunk_0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    from predictor_spark.sources.tables import canonical_ts
+
+    stream = canonical_ts(stream)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
