@@ -34,7 +34,8 @@ def _load_catalog():
 
     for mod in ("catalog_streaming", "catalog_multimodal", "catalog_forecast",
                 "catalog_analytics", "catalog_mllib", "catalog_parity",
-                "catalog_models", "catalog_search", "catalog_trading"):
+                "catalog_models", "catalog_search", "catalog_trading",
+                "catalog_e2e"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:
