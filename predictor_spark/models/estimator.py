@@ -225,3 +225,33 @@ def tft_fit_predict_per_series(
                           epochs=epochs, lr=lr, weight_decay=weight_decay),
         mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
     )
+
+
+def lstm_fit_predict_per_series(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    train_end: str = "2024-01-22 00:00:00",
+    window: int = 8,
+    horizons: tuple[int, ...] = (1,),
+    d_model: int = 8,
+    n_heads: int = 2,
+    units: int = 8,
+    epochs: int = 30,
+    lr: float = 5e-3,
+    weight_decay: float = 3e-2,
+    mc_samples: int = 0,
+    dropout_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """BiLSTM+attention instantiation of ``fit_predict_per_series``
+    (models/lstm.py; reference predictor_plugin_lstm.py)."""
+    from predictor_spark.models import lstm
+
+    return fit_predict_per_series(
+        df, lstm, value_col, ts_col, series_col, train_end, window, horizons,
+        train_kwargs=dict(d_model=d_model, n_heads=n_heads, units=units,
+                          epochs=epochs, lr=lr, weight_decay=weight_decay),
+        mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
+    )

@@ -89,6 +89,8 @@ def ngram_jaccard_pairs(
     (see minhash_lsh_pairs); standalone here it is the ground-truth oracle.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
+    sh.count()  # materialize BEFORE fan-out: the self-join's two branches
+    # racing to fill the cache would each recompute the shingling
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -354,3 +354,30 @@ def loss_family_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(c, 6).alias(c) for c in
           ("trend_sigma", "pearson_structural", "combined_diff", "incentive")],
     )
+
+
+def _lstm_literal_params() -> dict:
+    import numpy as np
+
+    from predictor_spark.models.lstm import init_params
+
+    return init_params(np.random.default_rng(17), 8, (1,),
+                       d_model=4, n_heads=2, units=4)
+
+
+def _register_lstm_companion() -> None:
+    """BiLSTM+attention forward-pass hard-gate row: the recurrence is
+    UNROLLED into expression layers (step t references step t-1's hidden
+    columns), attention runs at every position, and tanh is emitted as
+    1 - 2/(e^{2z}+1) because the DuckDB build ships no tanh(). Training
+    stays pytest-verified (gradcheck incl. BPTT + distributed-vs-local
+    differential)."""
+    from predictor_spark.plans.model_exprs import lstm_forward_layers
+
+    query("lstm_forward_pass",
+          oracle=_expr_forward_oracle(lstm_forward_layers,
+                                      _lstm_literal_params))(
+        _expr_forward_query(lstm_forward_layers, _lstm_literal_params))
+
+
+_register_lstm_companion()

@@ -235,3 +235,105 @@ def tft_forward_layers(raw: list[str], p: dict) -> list[dict[str, str]]:
     Ls.append({"y": _dot([(f"gh_{d}", p["Wh1"][d]) for d in range(dm)],
                          float(p["ch1"]))})
     return Ls
+
+
+# --------------------------------------------------------------------------
+# BiLSTM + attention (models/lstm.py forward, recurrence UNROLLED)
+# --------------------------------------------------------------------------
+
+def lstm_forward_layers(raw: list[str], p: dict) -> list[dict[str, str]]:
+    """Unlike the other cores the LSTM needs the attention block at EVERY
+    position (the recurrence consumes the whole sequence), and the
+    recurrence itself is unrolled: step t's gate pre-activations reference
+    step t-1's hidden columns, which is exactly the layered-expression
+    shape. Both engines have sigmoid-free exp and tanh, so the cell math
+    is shared verbatim."""
+    D = len(raw)
+    dm, H, units = int(p["__meta"][1]), int(p["__meta"][2]), int(p["__meta"][3])
+    dk = dm // H
+    from predictor_spark.models.layers import positional_encoding
+
+    pe = positional_encoding(D, dm)
+    Ls: list[dict[str, str]] = []
+    Ls.append({f"x{t}": f"({raw[t]}) / 100.0" for t in range(D)})
+    Ls.append({f"e_{t}_{d}":
+               f"x{t} * {_lit(p['We'][0, d])} + {_lit(p['be'][d] + pe[t, d])}"
+               for t in range(D) for d in range(dm)})
+    kv = {}
+    for h in range(H):
+        for t in range(D):
+            for j in range(dk):
+                kv[f"q{h}_{t}_{j}"] = _dot([(f"e_{t}_{d}", p[f"Wq{h}"][d, j])
+                                            for d in range(dm)])
+                kv[f"k{h}_{t}_{j}"] = _dot([(f"e_{t}_{d}", p[f"Wk{h}"][d, j])
+                                            for d in range(dm)])
+                kv[f"v{h}_{t}_{j}"] = _dot([(f"e_{t}_{d}", p[f"Wv{h}"][d, j])
+                                            for d in range(dm)])
+    Ls.append(kv)
+    scale = 1.0 / np.sqrt(dk)
+    Ls.append({f"s{h}_{t}_{u}":
+               "(" + " + ".join(f"q{h}_{t}_{j} * k{h}_{u}_{j}" for j in range(dk))
+               + f") * {_lit(scale)}"
+               for h in range(H) for t in range(D) for u in range(D)})
+    Ls.append({f"m{h}_{t}":
+               "greatest(" + ", ".join(f"s{h}_{t}_{u}" for u in range(D)) + ")"
+               for h in range(H) for t in range(D)})
+    Ls.append({f"ex{h}_{t}_{u}": f"exp(s{h}_{t}_{u} - m{h}_{t})"
+               for h in range(H) for t in range(D) for u in range(D)})
+    Ls.append({f"den{h}_{t}": " + ".join(f"ex{h}_{t}_{u}" for u in range(D))
+               for h in range(H) for t in range(D)})
+    Ls.append({f"o{h}_{t}_{j}":
+               " + ".join(f"(ex{h}_{t}_{u} / den{h}_{t}) * v{h}_{u}_{j}"
+                          for u in range(D))
+               for h in range(H) for t in range(D) for j in range(dk)})
+    Ls.append({f"r_{t}_{d}":
+               f"e_{t}_{d} + (" + _dot(
+                   [(f"o{h}_{t}_{j}", p["Wo"][h * dk + j, d])
+                    for h in range(H) for j in range(dk)], p["bo"][d]) + ")"
+               for t in range(D) for d in range(dm)})
+    for t in range(D):
+        Ls += _ln_layers(f"ln{t}", [f"r_{t}_{d}" for d in range(dm)],
+                         p["g1"], p["bn1"])
+
+    def unroll(tag: str, Wx, Wh, b, order):
+        for step, t in enumerate(order):
+            z = {}
+            for gi, gate in enumerate(("i", "f", "g", "o")):
+                for u in range(units):
+                    col = gi * units + u
+                    terms = [(f"ln{t}_{d}", Wx[d, col]) for d in range(dm)]
+                    if step > 0:
+                        tprev = order[step - 1]
+                        terms += [(f"{tag}h_{tprev}_{v}", Wh[v, col])
+                                  for v in range(units)]
+                    z[f"{tag}z{gate}_{t}_{u}"] = _dot(terms, b[col])
+            Ls.append(z)
+            Ls.append({
+                **{f"{tag}gi_{t}_{u}":
+                   f"1.0 / (1.0 + exp(-{tag}zi_{t}_{u}))" for u in range(units)},
+                **{f"{tag}gf_{t}_{u}":
+                   f"1.0 / (1.0 + exp(-{tag}zf_{t}_{u}))" for u in range(units)},
+                **{f"{tag}gg_{t}_{u}":
+                   f"(1.0 - 2.0 / (exp(2.0 * {tag}zg_{t}_{u}) + 1.0))"
+                   for u in range(units)},
+                **{f"{tag}go_{t}_{u}":
+                   f"1.0 / (1.0 + exp(-{tag}zo_{t}_{u}))" for u in range(units)},
+            })
+            Ls.append({f"{tag}c_{t}_{u}":
+                       f"{tag}gi_{t}_{u} * {tag}gg_{t}_{u}"
+                       + (f" + {tag}gf_{t}_{u} * {tag}c_{order[step-1]}_{u}"
+                          if step > 0 else "")
+                       for u in range(units)})
+            # tanh via exp: this DuckDB build ships no tanh(); the
+            # identity 1 - 2/(e^{2z}+1) is exact at the ends and loses
+            # only ~1 ulp near zero, and both engines share the string
+            Ls.append({f"{tag}h_{t}_{u}":
+                       f"{tag}go_{t}_{u} * (1.0 - 2.0 / (exp(2.0 * {tag}c_{t}_{u}) + 1.0))"
+                       for u in range(units)})
+
+    unroll("F", p["Wf_x"], p["Wf_h"], p["bf"], list(range(D)))
+    unroll("B", p["Wb_x"], p["Wb_h"], p["bb"], list(range(D - 1, -1, -1)))
+    ctx = [(f"Fh_{D - 1}_{u}", p["Wh1"][u]) for u in range(units)] \
+        + [(f"Bh_0_{u}", p["Wh1"][units + u]) for u in range(units)]
+    Ls.append({"y": _dot(ctx, float(p["ch1"]))})
+    return Ls

@@ -232,3 +232,50 @@ def test_forward_expr_layers_match_cores():
         got = con.execute(f"SELECT y FROM {nested}").df()["y"].to_numpy()
         want = core.predict(p, X / 100.0, (1,))[1]
         assert np.allclose(got, want, atol=1e-9), core.__name__
+
+
+def test_lstm_gradcheck():
+    from predictor_spark.models import lstm
+
+    X, tgts, hs = _toy(d=8)
+    p = lstm.init_params(np.random.default_rng(0), X.shape[1], hs,
+                         d_model=4, n_heads=2, units=4)
+    _gradcheck(lstm, p, X, tgts, hs)
+
+
+def test_lstm_deterministic_learns_and_distributes(spark):
+    import pandas as pd
+
+    from predictor_spark.models import lstm
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(60, 8))
+    y = 0.5 * X[:, -1] - 0.25 * X[:, -2]
+    p1, l1 = lstm.train(X, {1: y}, (1,), seed=3, epochs=120, lr=1e-2,
+                        weight_decay=0.0, d_model=8, units=8)
+    p2, l2 = lstm.train(X, {1: y}, (1,), seed=3, epochs=120, lr=1e-2,
+                        weight_decay=0.0, d_model=8, units=8)
+    assert l1 == l2 and all(np.array_equal(p1[k], p2[k]) for k in p1)
+    assert l1[-1] < 0.5 * l1[0]
+
+    n = 66
+    ts = pd.date_range("2024-01-01", periods=n, freq="10h")
+    v = np.cumsum(np.random.default_rng(11).normal(size=n)) + 50.0
+    sdf = spark.createDataFrame(pd.DataFrame({"user_id": 7, "ts": ts, "value": v}))
+    cut = np.datetime64("2024-01-22 00:00:00")
+    W = 8
+    Xw = np.lib.stride_tricks.sliding_window_view(v, W)
+    ends = np.arange(W - 1, n)
+    tr = (ends + 1 < n) & (ts.values[np.minimum(ends + 1, n - 1)] < cut)
+    te = (ts.values[ends] >= cut) & (ends + 1 < n)
+    ntr = np.searchsorted(ts.values, cut)
+    mu, sd = v[:ntr].mean(), v[:ntr].std()
+    kw = dict(d_model=8, n_heads=2, units=8, epochs=20, lr=5e-3)
+    got = (fit_predict_per_series(sdf, lstm, train_end="2024-01-22 00:00:00",
+                                  window=W, horizons=(1,), train_kwargs=kw, seed=0)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    params, _ = lstm.train((Xw[tr] - mu) / sd, {1: (v[ends[tr] + 1] - mu) / sd},
+                           (1,), seed=(0, 7), **kw)
+    want = lstm.predict(params, (Xw[te] - mu) / sd, (1,))[1] * sd + mu
+    assert np.allclose(got["pred_h1"].to_numpy(), want, atol=1e-9)
