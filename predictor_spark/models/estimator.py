@@ -255,3 +255,36 @@ def lstm_fit_predict_per_series(
                           epochs=epochs, lr=lr, weight_decay=weight_decay),
         mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
     )
+
+
+def mimo_fit_predict_per_series(
+    df: DataFrame,
+    horizons: tuple[int, ...] = (1, 3),
+    **kw,
+) -> DataFrame:
+    """MIMO instantiation (models/mimo.py; reference
+    predictor_plugin_mimo.py): every horizon decoded jointly from one
+    shared encoder via per-horizon cross-attention embeddings."""
+    from predictor_spark.models import mimo
+
+    train_kwargs = {k: kw.pop(k) for k in
+                    ("d_model", "conv_taps", "d_ff", "epochs", "lr",
+                     "weight_decay") if k in kw}
+    return fit_predict_per_series(df, mimo, horizons=horizons,
+                                  train_kwargs=train_kwargs, **kw)
+
+
+def composite_fit_predict_per_series(
+    df: DataFrame,
+    horizons: tuple[int, ...] = (1,),
+    **kw,
+) -> DataFrame:
+    """Composite multi-branch instantiation (models/composite.py;
+    reference predictor_plugin_composite.py)."""
+    from predictor_spark.models import composite
+
+    train_kwargs = {k: kw.pop(k) for k in
+                    ("branch_units", "merged_units", "epochs", "lr",
+                     "weight_decay") if k in kw}
+    return fit_predict_per_series(df, composite, horizons=horizons,
+                                  train_kwargs=train_kwargs, **kw)

@@ -381,3 +381,69 @@ def _register_lstm_companion() -> None:
 
 
 _register_lstm_companion()
+
+
+def _mimo_literal_params() -> dict:
+    import numpy as np
+
+    from predictor_spark.models.mimo import init_params
+
+    return init_params(np.random.default_rng(19), 8, (1, 3),
+                       d_model=4, conv_taps=3, d_ff=8)
+
+
+def _composite_literal_params() -> dict:
+    import numpy as np
+
+    from predictor_spark.models.composite import init_params
+
+    return init_params(np.random.default_rng(23), 8, (1,),
+                       branch_units=6, merged_units=8)
+
+
+def _register_mimo_composite_companions() -> None:
+    """MIMO + composite forward-pass hard-gate rows. The MIMO row emits
+    BOTH horizons from the one shared encoder pass (joint decode is the
+    MIMO contract, predictor_plugin_mimo.py); the composite row runs the
+    three channel branches (trend MA / first-difference / residual,
+    predictor_plugin_composite.py three-branch design) merged to a shared
+    head."""
+    from predictor_spark.plans.model_exprs import (apply_layers,
+                                                   composite_forward_layers,
+                                                   layers_to_oracle,
+                                                   mimo_forward_layers)
+
+    def mimo_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from predictor_spark.operators import temporal
+
+        ev = _t(spark, sf_dir, "events")
+        wins = temporal.window_tensorize(ev, ["value"], 8,
+                                         series_col="user_id", inclusive=True)
+        df = wins.select(
+            "event_id",
+            *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
+              for i in range(8)],
+        )
+        df = apply_layers(df, mimo_forward_layers(
+            [f"w{i}" for i in range(8)], _mimo_literal_params(), (1, 3)))
+        return df.select(
+            "event_id",
+            (F.round("y1", 6) + F.lit(0.0)).alias("y1"),
+            (F.round("y3", 6) + F.lit(0.0)).alias("y3"),
+        )
+
+    mimo_oracle = layers_to_oracle(
+        mimo_forward_layers([f"w[{i + 1}]" for i in range(8)],
+                            _mimo_literal_params(), (1, 3)),
+        "event_id, round(y1, 6) + 0.0 AS y1, round(y3, 6) + 0.0 AS y3",
+    )
+    query("mimo_forward_pass", oracle=mimo_oracle)(mimo_run)
+
+    query("composite_forward_pass",
+          oracle=_expr_forward_oracle(composite_forward_layers,
+                                      _composite_literal_params))(
+        _expr_forward_query(composite_forward_layers,
+                            _composite_literal_params))
+
+
+_register_mimo_composite_companions()

@@ -337,3 +337,109 @@ def lstm_forward_layers(raw: list[str], p: dict) -> list[dict[str, str]]:
         + [(f"Bh_0_{u}", p["Wh1"][units + u]) for u in range(units)]
     Ls.append({"y": _dot(ctx, float(p["ch1"]))})
     return Ls
+
+
+# --------------------------------------------------------------------------
+# MIMO (models/mimo.py forward — joint multi-horizon cross-attention decode)
+# --------------------------------------------------------------------------
+
+def mimo_forward_layers(raw: list[str], p: dict,
+                        horizons: tuple[int, ...] = (1, 3)) -> list[dict[str, str]]:
+    """Emits EVERY horizon from the one shared encoder — the companion
+    row returns (y1, y3) jointly, which is the MIMO contract itself."""
+    D = len(raw)
+    dm, taps = int(p["__meta"][1]), int(p["__meta"][2])
+    dff = int(p["__meta"][3])
+    Ls: list[dict[str, str]] = []
+    Ls.append({f"x{t}": f"({raw[t]}) / 100.0" for t in range(D)})
+    Ls.append({f"e_{t}_{d}": f"x{t} * {_lit(p['We'][0, d])}"
+               + (f" + {_lit(p['be'][d])}" if p["be"][d] != 0.0 else "")
+               for t in range(D) for d in range(dm)})
+    conv = {}
+    for t in range(D):
+        for d in range(dm):
+            terms = []
+            for k in range(taps):
+                if t - k >= 0:
+                    terms += [(f"e_{t-k}_{i}", p[f"Wc{k}"][i, d])
+                              for i in range(dm)]
+            conv[f"zc_{t}_{d}"] = _dot(terms, p["bc"][d])
+    Ls.append(conv)
+    Ls.append({f"c_{t}_{d}":
+               f"CASE WHEN zc_{t}_{d} > 0.0 THEN zc_{t}_{d} "
+               f"ELSE exp(zc_{t}_{d}) - 1.0 END"
+               for t in range(D) for d in range(dm)})
+    kv = {}
+    for t in range(D):
+        for j in range(dm):
+            kv[f"k_{t}_{j}"] = _dot([(f"c_{t}_{d}", p["Wk"][d, j])
+                                     for d in range(dm)])
+            kv[f"v_{t}_{j}"] = _dot([(f"c_{t}_{d}", p["Wv"][d, j])
+                                     for d in range(dm)])
+    Ls.append(kv)
+    scale = 1.0 / np.sqrt(dm)
+    for hz in horizons:
+        q = p[f"q{hz}"]
+        Ls.append({f"s{hz}_{t}":
+                   "(" + " + ".join(f"k_{t}_{j} * {_lit(q[j])}"
+                                    for j in range(dm))
+                   + f") * {_lit(scale)}" for t in range(D)})
+        Ls.append({f"sm{hz}": "greatest(" + ", ".join(f"s{hz}_{t}"
+                                                      for t in range(D)) + ")"})
+        Ls.append({f"ex{hz}_{t}": f"exp(s{hz}_{t} - sm{hz})" for t in range(D)})
+        Ls.append({f"den{hz}": " + ".join(f"ex{hz}_{t}" for t in range(D))})
+        Ls.append({f"ctx{hz}_{j}":
+                   " + ".join(f"(ex{hz}_{t} / den{hz}) * v_{t}_{j}"
+                              for t in range(D))
+                   for j in range(dm)})
+        Ls.append({f"z1{hz}_{j}": _dot([(f"ctx{hz}_{d}", p["W1"][d, j])
+                                        for d in range(dm)], p["b1"][j])
+                   for j in range(dff)})
+        Ls.append({f"a1{hz}_{j}": f"greatest(z1{hz}_{j}, 0.0)"
+                   for j in range(dff)})
+        Ls.append({f"y{hz}": _dot([(f"a1{hz}_{j}", p[f"Wh{hz}"][j])
+                                   for j in range(dff)], float(p[f"ch{hz}"]))})
+    return Ls
+
+
+# --------------------------------------------------------------------------
+# composite (models/composite.py forward — three channel branches merged)
+# --------------------------------------------------------------------------
+
+def composite_forward_layers(raw: list[str], p: dict) -> list[dict[str, str]]:
+    D = len(raw)
+    bu, mu = int(p["__meta"][1]), int(p["__meta"][2])
+    Ls: list[dict[str, str]] = []
+    Ls.append({f"x{t}": f"({raw[t]}) / 100.0" for t in range(D)})
+    # channel split: 3-tap MA (edges clamped), padded diff, residual
+    sm = {}
+    for t in range(D):
+        if t == 0:
+            sm[f"tr_{t}"] = "(x0 + x1 + x2) / 3.0"
+        elif t == D - 1:
+            sm[f"tr_{t}"] = f"(x{D-3} + x{D-2} + x{D-1}) / 3.0"
+        else:
+            sm[f"tr_{t}"] = f"(x{t-1} + x{t} + x{t+1}) / 3.0"
+    Ls.append(sm)
+    Ls.append({
+        **{f"df_{t}": ("0.0" if t == 0 else f"x{t} - x{t-1}") for t in range(D)},
+        **{f"rs_{t}": f"x{t} - tr_{t}" for t in range(D)},
+    })
+    for b in ("tr", "df", "rs"):
+        Ls.append({f"{b}z0_{j}": _dot([(f"{b}_{t}", p[f"{b}W0"][t, j])
+                                       for t in range(D)], p[f"{b}b0"][j])
+                   for j in range(bu)})
+        Ls.append({f"{b}a0_{j}": f"greatest({b}z0_{j}, 0.0)" for j in range(bu)})
+        Ls.append({f"{b}z1_{j}": _dot([(f"{b}a0_{i}", p[f"{b}W1"][i, j])
+                                       for i in range(bu)], p[f"{b}b1"][j])
+                   for j in range(bu)})
+        Ls.append({f"{b}a1_{j}": f"greatest({b}z1_{j}, 0.0)" for j in range(bu)})
+    concat = [(f"{b}a1_{j}", bi * bu + j)
+              for bi, b in enumerate(("tr", "df", "rs")) for j in range(bu)]
+    Ls.append({f"zm_{j}": _dot([(c, p["Wm"][row, j]) for c, row in concat],
+                               p["bm"][j])
+               for j in range(mu)})
+    Ls.append({f"am_{j}": f"greatest(zm_{j}, 0.0)" for j in range(mu)})
+    Ls.append({"y": _dot([(f"am_{j}", p["Wh1"][j]) for j in range(mu)],
+                         float(p["ch1"]))})
+    return Ls

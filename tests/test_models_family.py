@@ -279,3 +279,71 @@ def test_lstm_deterministic_learns_and_distributes(spark):
                            (1,), seed=(0, 7), **kw)
     want = lstm.predict(params, (Xw[te] - mu) / sd, (1,))[1] * sd + mu
     assert np.allclose(got["pred_h1"].to_numpy(), want, atol=1e-9)
+
+
+def test_mimo_composite_gradcheck():
+    from predictor_spark.models import composite, mimo
+
+    X, tgts, hs = _toy(d=8)
+    p = mimo.init_params(np.random.default_rng(0), X.shape[1], hs,
+                         d_model=4, conv_taps=3, d_ff=8)
+    _gradcheck(mimo, p, X, tgts, hs)
+    p = composite.init_params(np.random.default_rng(0), X.shape[1], hs,
+                              branch_units=6, merged_units=8)
+    # zero-init biases can park a whole branch's pre-activations EXACTLY
+    # on the relu kink (dead branch at init -> Z1 == b1 == 0), where the
+    # two-sided finite difference measures the average slope but the
+    # analytic subgradient is relu'(0) = 0; nudge biases off the kink
+    nud = np.random.default_rng(9)
+    for k, v in p.items():
+        if k != "__meta" and v.ndim == 1:
+            p[k] = v + nud.normal(scale=0.01, size=v.shape)
+    _gradcheck(composite, p, X, tgts, hs)
+
+
+def test_mimo_joint_decode_couples_horizons():
+    """The MIMO contract: horizons share the encoder, so training with an
+    extra horizon changes horizon-1 weights (vs independent models)."""
+    from predictor_spark.models import mimo
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(48, 8))
+    y1 = 0.6 * X[:, -1]
+    y3 = -0.4 * X[:, -3]
+    p_single, _ = mimo.train(X, {1: y1}, (1,), seed=2, epochs=20, lr=5e-3)
+    p_joint, _ = mimo.train(X, {1: y1, 3: y3}, (1, 3), seed=2, epochs=20, lr=5e-3)
+    assert not np.allclose(p_single["Wk"], p_joint["Wk"])
+
+
+def test_mimo_composite_distribute(spark):
+    import pandas as pd
+
+    from predictor_spark.models import composite, mimo
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    rng = np.random.default_rng(11)
+    n = 66
+    ts = pd.date_range("2024-01-01", periods=n, freq="10h")
+    v = np.cumsum(rng.normal(size=n)) + 50.0
+    sdf = spark.createDataFrame(pd.DataFrame({"user_id": 7, "ts": ts, "value": v}))
+    cut = np.datetime64("2024-01-22 00:00:00")
+    W = 8
+    X = np.lib.stride_tricks.sliding_window_view(v, W)
+    ends = np.arange(W - 1, n)
+    tr = (ends + 1 < n) & (ts.values[np.minimum(ends + 1, n - 1)] < cut)
+    te = (ts.values[ends] >= cut) & (ends + 1 < n)
+    ntr = np.searchsorted(ts.values, cut)
+    mu, sd = v[:ntr].mean(), v[:ntr].std()
+    Xtr, Xte = (X[tr] - mu) / sd, (X[te] - mu) / sd
+    tg = {1: (v[ends[tr] + 1] - mu) / sd}
+    for core, kw in ((mimo, dict(d_model=8, conv_taps=3, d_ff=16,
+                                 epochs=30, lr=5e-3)),
+                     (composite, dict(branch_units=8, merged_units=16,
+                                      epochs=30, lr=5e-3))):
+        got = (fit_predict_per_series(
+            sdf, core, train_end="2024-01-22 00:00:00", window=W,
+            horizons=(1,), train_kwargs=kw, seed=0)
+            .toPandas().sort_values("ts").reset_index(drop=True))
+        params, _ = core.train(Xtr, tg, (1,), seed=(0, 7), **kw)
+        want = core.predict(params, Xte, (1,))[1] * sd + mu
+        assert np.allclose(got["pred_h1"].to_numpy(), want, atol=1e-9), core.__name__
