@@ -122,6 +122,11 @@ def fit_predict_per_series(
                 out_cols[f"unc_h{h}"] = list(uncs[h] * sd)
         return pd.DataFrame(out_cols)
 
+    # ship the package zip: fit_group references the core module, which a
+    # vanilla driver session's workers cannot import otherwise
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
     # Explicit numbered repartition on the grouping key: the training shuffle
     # carries only a few MB, so AQE would coalesce it to ONE partition and
     # serialize all N model fits on a single core (the CPU-heavy/small-data

@@ -184,6 +184,11 @@ def simulate_heuristic_strategy(
         out.insert(0, "user_id", sid)
         return out
 
+    # ship the package zip: the closure references this module, which a
+    # vanilla driver session's workers cannot import otherwise
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(series_col, ts_col, price_col)
