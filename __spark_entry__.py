@@ -52,6 +52,13 @@ def _load_catalog():
 # (tools/graded_green.json, written by its --record flag after a full local
 # sweep). Any edit to a query or its oracle invalidates the hash and moves
 # it to the front for driver re-grading.
+#
+# Granularity caveat: the hash covers the query FUNCTION's source, not its
+# transitive imports — an edit to a shared operator module does not by
+# itself invalidate dependent queries. The discipline that keeps the record
+# honest: --record is only ever run as a FULL sweep of the current tree
+# (so every recorded hash corresponds to a verified-green run of exactly
+# this code), re-run after any engine change before snapshot.
 def _query_hash(fn, oracle: str | None) -> str:
     import hashlib
     import inspect
@@ -75,15 +82,44 @@ def _green_hashes() -> dict[str, str]:
         return {}
 
 
+def _driver_green() -> frozenset[str]:
+    """Queries the DRIVER has already graded fully green (rows+schema+hash
+    all true) in ANY recorded round — parsed from the committed
+    CORRECTNESS_r*.json files, so the set updates itself as rounds land.
+    Only these are eligible to rotate out of the grading window: a query
+    that is merely locally-verified still needs its first driver grade."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("rows_match") \
+                    and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    return frozenset(green)
+
+
 def _ordered(queries, oracle) -> list[str]:
     green = _green_hashes()
+    driver_green = _driver_green()
 
     def verified(n: str) -> bool:
-        return green.get(n) == _query_hash(queries[n], oracle.get(n))
+        # rotate back only if the driver graded it green AND the local
+        # full-sweep hash still matches the current (source + oracle) —
+        # new queries and changed queries both stay in the window
+        return (n in driver_green
+                and green.get(n) == _query_hash(queries[n], oracle.get(n)))
 
     def rank(n: str) -> int:
         if not verified(n):
-            # unverified/changed/new first; oracle-backed before rows-only
+            # ungraded/changed/new first; oracle-backed before rows-only
             return 0 if n in oracle else 1
         return 2 if n in oracle else 3
     return sorted(queries, key=lambda n: (rank(n),))  # stable: keeps reg order
