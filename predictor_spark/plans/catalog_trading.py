@@ -172,10 +172,10 @@ tr AS (SELECT user_id, unnest(all_trades) AS t FROM withfc)
     "trading_sim_trades",
     oracle=_SIM_CTE + """
     SELECT user_id, t.e_ts AS entry_ts, t.x_ts AS exit_ts, t.dir AS direction,
-           round(t.entry, 6) AS entry, round(t.ex, 6) AS exit,
-           round(t.sz, 6) AS size, round(t.pnl, 6) AS pnl,
-           round(t.pips, 6) AS pips, round(t.mdd, 6) AS max_dd,
-           round(t.bal, 6) AS balance, t.dur AS duration
+           round(t.entry, 6) + 0.0 AS entry, round(t.ex, 6) + 0.0 AS exit,
+           round(t.sz, 6) + 0.0 AS size, round(t.pnl, 6) + 0.0 AS pnl,
+           round(t.pips, 6) + 0.0 AS pips, round(t.mdd, 6) + 0.0 AS max_dd,
+           round(t.bal, 6) + 0.0 AS balance, t.dur AS duration
     FROM tr
     """,
 )
@@ -189,7 +189,10 @@ def trading_sim_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = simulate_heuristic_strategy(ev, horizon=6)
     return tr.select(
         "user_id", "entry_ts", "exit_ts", "direction",
-        *[F.round(c, 6).alias(c) for c in
+        # + 0.0 normalizes IEEE -0.0 (short force-close with extreme == entry
+        # yields -1.0 * 0 / pip = -0.0); the oracle applies the same + 0.0 so
+        # both sides agree on the sign bit of zero.
+        *[(F.round(c, 6) + F.lit(0.0)).alias(c) for c in
           ("entry", "exit", "size", "pnl", "pips", "max_dd", "balance")],
         "duration",
     )

@@ -39,6 +39,10 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NULL"
+            if v == 0.0 and math.copysign(1.0, v) < 0:
+                # signed zero: the driver's value hash sees the sign bit, so
+                # the local sweep must too (r3 trading_sim_trades miss)
+                return "-0"
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
             return repr(v)
