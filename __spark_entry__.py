@@ -53,12 +53,57 @@ def _load_catalog():
 # sweep). Any edit to a query or its oracle invalidates the hash and moves
 # it to the front for driver re-grading.
 #
-# Granularity caveat: the hash covers the query FUNCTION's source, not its
-# transitive imports — an edit to a shared operator module does not by
-# itself invalidate dependent queries. The discipline that keeps the record
-# honest: --record is only ever run as a FULL sweep of the current tree
-# (so every recorded hash corresponds to a verified-green run of exactly
-# this code), re-run after any engine change before snapshot.
+# The hash covers the query FUNCTION's source, its oracle SQL, AND the
+# transitive predictor_spark module closure of the module defining the
+# function (ADVICE r3): an edit to a shared operator (e.g. trading.py)
+# automatically invalidates every dependent query's recorded hash and
+# moves it back into the driver's grading window — the rotation no longer
+# rests solely on the re-run-full---record discipline.
+_CLOSURE_CACHE: dict[str, str] = {}
+
+
+def _module_closure_hash(mod_name: str) -> str:
+    """sha256 over the source bytes of every predictor_spark module
+    transitively imported (statically, via regex over import statements —
+    catches function-local imports too) from mod_name."""
+    import hashlib
+    import re
+
+    if mod_name in _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[mod_name]
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def mod_path(name: str) -> str | None:
+        rel = name.replace(".", "/")
+        for cand in (f"{here}/{rel}.py", f"{here}/{rel}/__init__.py"):
+            if os.path.isfile(cand):
+                return cand
+        return None
+
+    seen: set[str] = set()
+    stack = [mod_name]
+    blobs: list[bytes] = []
+    pat = re.compile(r"(?:from|import)\s+(predictor_spark(?:\.\w+)*)")
+    while stack:
+        name = stack.pop()
+        if name in seen:
+            continue
+        seen.add(name)
+        path = mod_path(name)
+        if path is None:
+            continue
+        with open(path, "rb") as fh:
+            src = fh.read()
+        blobs.append(src)
+        stack.extend(pat.findall(src.decode(errors="replace")))
+    h = hashlib.sha256()
+    for b in sorted(blobs):
+        h.update(b)
+        h.update(b"\x00")
+    _CLOSURE_CACHE[mod_name] = h.hexdigest()
+    return _CLOSURE_CACHE[mod_name]
+
+
 def _query_hash(fn, oracle: str | None) -> str:
     import hashlib
     import inspect
@@ -67,7 +112,10 @@ def _query_hash(fn, oracle: str | None) -> str:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = repr(fn)
-    return hashlib.sha256((src + "\n\x00\n" + (oracle or "")).encode()).hexdigest()
+    closure = _module_closure_hash(getattr(fn, "__module__", "") or "")
+    return hashlib.sha256(
+        (src + "\n\x00\n" + (oracle or "") + "\n\x00\n" + closure).encode()
+    ).hexdigest()
 
 
 def _green_hashes() -> dict[str, str]:

@@ -47,10 +47,23 @@ def solve_normal_gauss(X: np.ndarray, y: np.ndarray, ridge: float = 0.0) -> np.n
         for i in range(p):
             A[i, i] = A[i, i] + ridge
     for k in range(p - 1):
+        if abs(A[k, k]) < 1e-300:
+            # an all-zero indicator column (holiday outside the data range,
+            # constant regressor) with ridge=0 would divide by a zero pivot
+            # and emit silent NaN predictions — fail loudly instead and tell
+            # the caller the fix (ADVICE r3)
+            raise ValueError(
+                f"zero pivot at column {k} in normal equations — a regressor/"
+                "holiday indicator is degenerate for this series; pass "
+                "ridge > 0 (e.g. 1e-6)")
         for i in range(k + 1, p):
             f = A[i, k] / A[k, k]
             A[i, k + 1:] = A[i, k + 1:] - f * A[k, k + 1:]
             b[i] = b[i] - f * b[k]
+    if abs(A[p - 1, p - 1]) < 1e-300:
+        raise ValueError(
+            "zero pivot in final back-substitution — a regressor/holiday "
+            "indicator is degenerate for this series; pass ridge > 0")
     theta = np.empty(p)
     for i in range(p - 1, -1, -1):
         s = 0.0
@@ -108,7 +121,11 @@ def fit_predict_series(pdf: pd.DataFrame, value_col: str, ts_col: str,
                       .astype(np.float64))
     if regressor_col:
         r = pdf[regressor_col].to_numpy(np.float64).copy()
-        r[~train] = r[train][-1]  # last-step fill (sorted by ts)
+        # last-step fill, deterministic under tied timestamps: among train
+        # rows at the max ts, take the max value (matches the oracle's
+        # max(struct(sec, reg)) rule; ADVICE r3)
+        tr_sec, r_tr = sec[train], r[train]
+        r[~train] = r_tr[tr_sec == tr_sec.max()].max()
         extras.append(r)
     if extras:
         X = np.concatenate([X, np.stack(extras, axis=1)], axis=1)

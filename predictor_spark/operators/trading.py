@@ -213,5 +213,8 @@ def trading_summary(trades: DataFrame, initial_balance: float = 10_000.0) -> Dat
         F.round(F.avg("duration"), 4).alias("avg_duration"),
         F.round(F.avg("max_dd"), 4).alias("avg_max_dd"),
         F.round(F.least(F.min("balance"), F.lit(initial_balance)), 4).alias("min_balance"),
-        F.round(F.max_by("balance", "exit_ts"), 4).alias("final_balance"),
+        # struct ordering breaks exit_ts ties by balance — deterministic on
+        # both engine and oracle sides (ADVICE r3)
+        F.round(F.max_by("balance", F.struct("exit_ts", "balance")), 4)
+        .alias("final_balance"),
     )

@@ -39,9 +39,10 @@ _TYPES = ("click", "view", "purchase", "signup", "error")
 
 
 def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
-    from predictor_spark.sources.tables import load_table
+    from predictor_spark.sources.tables import load_table, table_fingerprint
 
-    key = hashlib.md5(f"{sf_dir}/e2e_csv".encode()).hexdigest()[:12]
+    fp = table_fingerprint(sf_dir, "events")
+    key = hashlib.md5(f"{sf_dir}/e2e_csv/{fp}".encode()).hexdigest()[:12]
     d = f"/tmp/predictor_spark_e2e/{key}"
     if os.path.isdir(d) and glob.glob(f"{d}/*.csv"):
         return d

@@ -270,6 +270,9 @@ def nbeats_mc_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 0.5 * (dt - dp) * (dt - dp)
                         ELSE abs(dt - dp) - 0.5 END) AS dhub
         FROM diffs GROUP BY user_id
+        -- match the engine's len(v) < 3 guard: a series with only one
+        -- prediction pair (2 events) emits no row on either side
+        HAVING count(*) >= 2
     ),
     calc AS (
         SELECT user_id, n, hub, mae, ne, st, sp, cov, dhub,

@@ -828,7 +828,10 @@ def _prophet_oracle(holidays: tuple[str, ...] = (),
     for idx, layer in enumerate(layers):
         nested = "(" + layer.replace("__PREV__", nested) + f") e{idx}"
 
-    reg_stat = (", arg_max(reg_raw, sec) FILTER (is_train) AS reg_last"
+    # deterministic under tied timestamps (ADVICE r3): among rows at the max
+    # train sec, take the max regressor value — same rule as the engine
+    reg_stat = (", struct_extract(max(struct_pack(s := sec, r := reg_raw)) "
+                "FILTER (is_train), 'r') AS reg_last"
                 if regressor else "")
     reg_des = (", CASE WHEN r.is_train THEN r.reg_raw ELSE s.reg_last END AS reg"
                if regressor else "")

@@ -209,7 +209,8 @@ def trading_sim_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(t.dur), 4) AS avg_duration,
            round(avg(t.mdd), 4) AS avg_max_dd,
            round(least(min(t.bal), 10000.0), 4) AS min_balance,
-           round(arg_max(t.bal, t.x_ts), 4) AS final_balance
+           round(struct_extract(max(struct_pack(x := t.x_ts, b := t.bal)), 'b'),
+                 4) AS final_balance
     FROM tr GROUP BY user_id
     """,
 )

@@ -42,6 +42,27 @@ def canonical_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     return df
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint (mtime+size, recursive for directory parquet) of
+    a source table, for keying derived /tmp fixtures: if the parquet at
+    sf_dir is regenerated, every cache keyed with this moves, instead of
+    silently serving stale chunks while the oracle reads fresh data
+    (ADVICE r3)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Some generators write TIMESTAMP(NANOS) parquet (pandas datetime64[ns]),
     # which Spark rejects by default; nanosAsLong lets those read as long for

@@ -153,9 +153,10 @@ def late_data_drop_counts(
 
     from pyspark.sql import functions as F
 
-    from predictor_spark.sources.tables import load_table
+    from predictor_spark.sources.tables import load_table, table_fingerprint
 
-    key = hashlib.md5(f"{sf_dir}/late_drop_v2".encode()).hexdigest()[:12]
+    fp = table_fingerprint(sf_dir, "events")
+    key = hashlib.md5(f"{sf_dir}/late_drop_v2/{fp}".encode()).hexdigest()[:12]
     d = f"/tmp/predictor_spark_stream_late/{key}"
     if not (os.path.isdir(d) and len(glob.glob(f"{d}/chunk_*.parquet")) == 3):
         os.makedirs(d, exist_ok=True)
