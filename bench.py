@@ -55,6 +55,21 @@ HEADLINE = [
     "nbeats_forward_pass",
 ]
 
+# Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full
+# distributed training job, so a second run would double bench time for
+# no extra signal. champion_tcn_e2e is the reference's production shape
+# (window 79 x ~50 features, TCN 19 filters/3 layers/kernel 3, horizons
+# {9..24}, champion_1d_config.json) trained per event-type series; the
+# reference spends ~25 min per candidate of this shape (BASELINE.md) —
+# this row IS the baseline comparison for the model family.
+def _champion_row(spark, sf_dir):
+    from predictor_spark.plans.champion import champion_tcn_run
+
+    return champion_tcn_run(spark, sf_dir, bar_seconds=3600, epochs=10)
+
+
+SINGLE_RUN = {"champion_tcn_e2e": _champion_row}
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -92,6 +107,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    for name, fn in SINGLE_RUN.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -46,6 +46,7 @@ def fit_predict_per_series(
     mc_samples: int = 0,
     dropout_rate: float = 0.1,
     seed: int = 0,
+    feature_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fit one deterministic numpy model per series on the train slice
     (windows whose TARGET timestamp is still before the cutoff — the same
@@ -65,6 +66,14 @@ def fit_predict_per_series(
     targets are z-normalized by TRAIN stats inside the task (fit-on-train
     only, reference phase2_6_preprocessor.py:346-349), predictions are
     denormalized back.
+
+    ``feature_cols``: extra per-timestep feature columns. When given, X
+    becomes channels-last (N, window, 1 + len(feature_cols)) with the
+    value channel first, each channel z-normalized by its OWN train
+    stats — the multivariate frame the reference preprocessor feeds its
+    Conv1D models (phase2_6_preprocessor.py:615-617, ~54 columns). The
+    core must accept 3-D X (models.tcn does); univariate callers are
+    unchanged.
     """
     core = core if core is not None else nbeats
     train_kwargs = dict(train_kwargs or {})
@@ -84,7 +93,13 @@ def fit_predict_per_series(
         v = pdf[value_col].to_numpy(dtype=np.float64)
         ts = pdf[ts_col]
         n = len(v)
-        X = _windows(v, window)                  # rows end at index window-1+i
+        if feature_cols:
+            chans = [v] + [pdf[c].to_numpy(dtype=np.float64)
+                           for c in feature_cols]
+            # (N, window, C) channels-last stack of per-channel windows
+            X = np.stack([_windows(ch, window) for ch in chans], axis=-1)
+        else:
+            X = _windows(v, window)              # rows end at index window-1+i
         ends = np.arange(window - 1, n)          # window-end index per X row
         out_cols = {series_col: [], ts_col: [], "value": [], "baseline": []}
         for h in hs:
@@ -98,16 +113,26 @@ def fit_predict_per_series(
         # test rows: window end at/after cutoff, all targets exist
         te = (ts.iloc[ends].to_numpy() >= np.datetime64(cutoff)) & (ends + max_h < n)
         if tr.sum() >= 4 and te.sum() > 0:
-            mu = float(v[: np.searchsorted(ts.to_numpy(), np.datetime64(cutoff))].mean())
-            sd = float(v[: np.searchsorted(ts.to_numpy(), np.datetime64(cutoff))].std())
+            cut = int(np.searchsorted(ts.to_numpy(), np.datetime64(cutoff)))
+            mu = float(v[:cut].mean())
+            sd = float(v[:cut].std())
             sd = sd if abs(sd) > 1e-8 else 1.0   # N1 std guard
-            Xtr = (X[tr] - mu) / sd
+            if feature_cols:
+                # per-channel train stats (channel 0 is the value channel)
+                ch_mu = np.array([ch[:cut].mean() for ch in chans])
+                ch_sd = np.array([ch[:cut].std() for ch in chans])
+                ch_sd[np.abs(ch_sd) < 1e-8] = 1.0
+                ch_mu[0], ch_sd[0] = mu, sd
+                Xtr = (X[tr] - ch_mu) / ch_sd
+                Xte_norm = (X[te] - ch_mu) / ch_sd
+            else:
+                Xtr = (X[tr] - mu) / sd
+                Xte_norm = (X[te] - mu) / sd
             tgts = {h: (v[ends[tr] + h] - mu) / sd for h in hs}
             params, _ = core.train(Xtr, tgts, hs, seed=(seed, sid),
                                    **train_kwargs)
-            Xte = (X[te] - mu) / sd
             preds, uncs = core.predict_with_uncertainty(
-                params, Xte, hs, mc_samples=mc_samples,
+                params, Xte_norm, hs, mc_samples=mc_samples,
                 dropout_rate=dropout_rate, seed=(seed, sid, 1),
             )
             e_te = ends[te]

@@ -49,18 +49,24 @@ def init_params(
     layers: int = 2,
     channels: int = 8,
     kernel: int = 2,
+    in_channels: int = 1,
 ) -> dict[str, np.ndarray]:
-    """Glorot-uniform init over the (kernel*c_in, c_out) fan, seeded."""
+    """Glorot-uniform init over the (kernel*c_in, c_out) fan, seeded.
+
+    ``in_channels`` > 1 is the multivariate-feature case: X arrives as
+    (N, T, C0) and layer 0 maps C0 input channels, exactly the reference
+    TCN's Conv1D over a (window, n_features) frame
+    (predictor_plugin_tcn.py:50-236 with ~54 preprocessor features)."""
 
     def glorot(shape, n_in, n_out):
         lim = np.sqrt(6.0 / (n_in + n_out))
         return rng.uniform(-lim, lim, size=shape)
 
     p: dict[str, np.ndarray] = {
-        "__meta": np.array([layers, channels, kernel, input_dim])
+        "__meta": np.array([layers, channels, kernel, input_dim, in_channels])
     }
     for layer in range(layers):
-        c_in = 1 if layer == 0 else channels
+        c_in = in_channels if layer == 0 else channels
         p[f"W{layer}"] = glorot((kernel, c_in, channels),
                                 kernel * c_in, channels)
         p[f"c{layer}"] = np.zeros(channels)
@@ -87,14 +93,22 @@ def forward(
     dropout_rate: float = 0.0,
     dropout_rng: np.random.Generator | None = None,
 ):
-    layers, channels, kernel, input_dim = (int(x) for x in p["__meta"])
-    h = X[:, :, None]                       # (N, T, 1)
+    layers, channels, kernel = (int(x) for x in p["__meta"][:3])
+    h = X[:, :, None] if X.ndim == 2 else X  # (N, T, C0)
     zs, hs = [], [h]
     for layer in range(layers):
         d = 2 ** layer
-        z = np.zeros((X.shape[0], X.shape[1], channels)) + p[f"c{layer}"]
+        # slice-accumulate instead of materializing shifted copies: the
+        # causal zero-pad rows contribute nothing, so z[:, s:, :] +=
+        # h[:, :-s, :] @ W[j] is the same conv at ~half the memory traffic
+        z = np.empty((h.shape[0], h.shape[1], channels))
+        z[:] = p[f"c{layer}"]
         for j in range(kernel):
-            z += _shift_right(h, j * d) @ p[f"W{layer}"][j]
+            s = j * d
+            if s == 0:
+                z += h @ p[f"W{layer}"][j]
+            elif s < h.shape[1]:
+                z[:, s:, :] += h[:, :-s, :] @ p[f"W{layer}"][j]
         h = _swish(z)
         if dropout_rate > 0.0 and dropout_rng is not None:
             mask = (dropout_rng.random(h.shape) >= dropout_rate)
@@ -116,7 +130,7 @@ def loss_and_grads(
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Full-batch Huber loss + analytic gradients (finite-difference-
     checked in tests/test_models_family.py::test_tcn_gradcheck)."""
-    layers, channels, kernel, input_dim = (int(x) for x in p["__meta"])
+    layers, channels, kernel = (int(x) for x in p["__meta"][:3])
     N = X.shape[0]
     H = len(horizons)
     ys, (hs, zs, top) = forward(p, X, horizons, want_cache=True)
@@ -142,14 +156,19 @@ def loss_and_grads(
         x_in = hs[layer]                    # (N, T, c_in)
         dh = np.zeros_like(x_in)
         for j in range(kernel):
-            xs = _shift_right(x_in, j * d)
-            g[f"W{layer}"][j] = np.einsum("nti,nto->io", xs, dz)
-            # un-shift: gradient flows to x[:, t, :] from dz[:, t + j*d, :]
-            dxs = dz @ p[f"W{layer}"][j].T
-            if j * d == 0:
-                dh += dxs
-            else:
-                dh[:, :-j * d, :] += dxs[:, j * d:, :]
+            s = j * d
+            # shifted-in zero rows drop out of the contraction, so slice
+            # both operands instead of materializing a shifted copy; the
+            # (N, T) contraction runs as one BLAS matmul via tensordot
+            if s == 0:
+                g[f"W{layer}"][j] = np.tensordot(x_in, dz,
+                                                 axes=([0, 1], [0, 1]))
+                dh += dz @ p[f"W{layer}"][j].T
+            elif s < x_in.shape[1]:
+                g[f"W{layer}"][j] = np.tensordot(
+                    x_in[:, :-s, :], dz[:, s:, :], axes=([0, 1], [0, 1]))
+                # gradient flows to x[:, t, :] from dz[:, t + s, :]
+                dh[:, :-s, :] += dz[:, s:, :] @ p[f"W{layer}"][j].T
     return loss, g
 
 
@@ -165,9 +184,12 @@ def train(
     lr: float = 1e-2,
     weight_decay: float = 0.0,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
-    """Full-batch AdamW training; deterministic given (data, seed)."""
+    """Full-batch AdamW training; deterministic given (data, seed).
+    X: (N, T) univariate or (N, T, C0) multivariate channels-last."""
     rng = np.random.default_rng(seed)
-    p = init_params(rng, X.shape[1], tuple(horizons), layers, channels, kernel)
+    in_ch = X.shape[2] if X.ndim == 3 else 1
+    p = init_params(rng, X.shape[1], tuple(horizons), layers, channels,
+                    kernel, in_channels=in_ch)
     st = adam_init(p)
     losses = []
     for _ in range(epochs):
