@@ -112,3 +112,28 @@ def test_star_schema_upsert_idempotent(spark, tmp_path):
     v = wh.query("SELECT avg_value FROM fact_performance WHERE split='Train'").collect()[0][0]
     assert v == pytest.approx(0.42)
     assert wh.query("SELECT count(*) AS n FROM dim_experiment").collect()[0]["n"] == 1
+
+
+def test_star_schema_backend_selection(spark, tmp_path):
+    from predictor_spark.sources.olap import delta_available
+
+    # this image ships no delta jars: auto must resolve to parquet
+    wh = StarSchemaWarehouse(spark, str(tmp_path / "wh"), backend="auto")
+    assert wh.backend == ("delta" if delta_available(spark) else "parquet")
+    with pytest.raises(ValueError):
+        StarSchemaWarehouse(spark, str(tmp_path / "wh2"), backend="iceberg")
+
+
+def test_star_schema_delta_merge(spark, tmp_path):
+    """True MERGE INTO path — runs only where delta-spark + jars exist
+    (skipped in this image; the seam is what is under test elsewhere)."""
+    from predictor_spark.sources.olap import delta_available
+
+    if not delta_available(spark):
+        pytest.skip("delta-spark not installed in this image")
+    wh = StarSchemaWarehouse(spark, str(tmp_path / "dwh"), backend="delta")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    wh.upsert("t", df, ["k"])
+    wh.upsert("t", spark.createDataFrame([(1, "b"), (2, "c")], "k int, v string"), ["k"])
+    rows = {r["k"]: r["v"] for r in wh._read("t").collect()}
+    assert rows == {1: "b", 2: "c"}
