@@ -615,18 +615,21 @@ def ar2_yule_walker_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-table as-of join (operators/asof.py): each click joined to the
-    user's latest purchase at-or-before it, within a 2-day tolerance.
-    Union + one window pass — no row replication, one shuffle on the by
-    key. Oracle: DuckDB's native ASOF LEFT JOIN with the tolerance as a
-    post-predicate."""
-    from predictor_spark.operators.asof import asof_join
+    """As-of join (operators/asof.py): each click joined to the user's
+    latest purchase at-or-before it, within a 2-day tolerance. Both sides
+    are predicates over ONE table, so this uses the single-scan
+    ``asof_self_join`` (tag-in-one-scan, VERDICT r3 #4): one events scan,
+    one window pass, no row replication — the two-table ``asof_join``
+    remains for genuinely distinct tables. Oracle: DuckDB's native ASOF
+    LEFT JOIN with the tolerance as a post-predicate."""
+    from predictor_spark.operators.asof import asof_self_join
 
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    out = asof_join(
-        clicks, purchases, ts_col="ts", by=["user_id"],
+    out = asof_self_join(
+        ev,
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        ts_col="ts", by=["user_id"],
         right_cols=["ts", "value"], tolerance=F.expr("INTERVAL 2 DAYS"),
     )
     return out.select(

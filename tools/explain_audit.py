@@ -78,11 +78,13 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
     "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct", "Window ["]},
     "text_token_bpe": {"must": [], "not": ["Exchange"]},  # pure projection
-    # as-of join: ONE window pass over the union — never a join operator
+    # same-table as-of join: ONE scan of events (tag-in-one-scan variant),
+    # one window pass — never a join operator, never a second scan
     "asof_join_purchases": {
         "must": [],
         "not": ["Join", "CartesianProduct"],
         "max_window_execs": 1,
+        "max_scans": 1,
     },
     "rollup_time_hierarchy": {"must": ["partial_", "Expand"], "not": []},
     "kmeans_one_step": {"must": ["partial_"], "not": ["Join"]},
@@ -120,6 +122,8 @@ def main() -> int:
         # scan width: ReadSchema column count for parquet scans
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widths = [len(s.split(",")) if s else 0 for s in scans]
+        if "max_scans" in exp and len(scans) > exp["max_scans"]:
+            probs.append(f"{len(scans)} table scans (max {exp['max_scans']})")
         # under AQE the pre-execution plan hides codegen stage markers;
         # report AQE + exchange count instead (shuffle budget per query)
         n_exchange = plan.count("Exchange")
