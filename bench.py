@@ -68,7 +68,20 @@ def _champion_row(spark, sf_dir):
     return champion_tcn_run(spark, sf_dir, bar_seconds=3600, epochs=10)
 
 
-SINGLE_RUN = {"champion_tcn_e2e": _champion_row}
+# ga_nbeats_search is the optimizer-over-predictor composition (reference
+# §3.2): 2 generations x 4 candidates = 8 full distributed N-BEATS
+# training jobs scored by the reference fitness law, champion reported.
+# The reference spends ~25 min PER candidate at this scale (BASELINE.md).
+def _ga_search_row(spark, sf_dir):
+    from predictor_spark.plans.model_search import nbeats_ga_search_report
+
+    return nbeats_ga_search_report(
+        spark, sf_dir, pop_size=4, n_generations=2, epochs=10,
+        max_series=150, seed=0)
+
+
+SINGLE_RUN = {"champion_tcn_e2e": _champion_row,
+              "ga_nbeats_search": _ga_search_row}
 
 
 def materialize(df) -> None:

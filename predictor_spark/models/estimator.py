@@ -47,6 +47,7 @@ def fit_predict_per_series(
     dropout_rate: float = 0.1,
     seed: int = 0,
     feature_cols: tuple[str, ...] = (),
+    emit_train: bool = False,
 ) -> DataFrame:
     """Fit one deterministic numpy model per series on the train slice
     (windows whose TARGET timestamp is still before the cutoff — the same
@@ -67,6 +68,12 @@ def fit_predict_per_series(
     only, reference phase2_6_preprocessor.py:346-349), predictions are
     denormalized back.
 
+    ``emit_train``: also emit one row per TRAIN window (in-sample
+    predictions, uncertainty zeroed), flagged by an extra ``is_train``
+    boolean column — the reference reports Train metrics alongside
+    Validation/Test (results long format, FIXTURES F7), and the GA
+    fitness needs the in-sample delta (candidate_worker.py:344-359).
+
     ``feature_cols``: extra per-timestep feature columns. When given, X
     becomes channels-last (N, window, 1 + len(feature_cols)) with the
     value channel first, each channel z-normalized by its OWN train
@@ -85,6 +92,8 @@ def fit_predict_per_series(
               "value double", "baseline double"]
     for h in hs:
         fields += [f"target_h{h} double", f"pred_h{h} double", f"unc_h{h} double"]
+    if emit_train:
+        fields.append("is_train boolean")
     schema = ", ".join(fields)
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -106,6 +115,8 @@ def fit_predict_per_series(
             out_cols[f"target_h{h}"] = []
             out_cols[f"pred_h{h}"] = []
             out_cols[f"unc_h{h}"] = []
+        if emit_train:
+            out_cols["is_train"] = []
         # train rows: every horizon target exists AND lands before cutoff
         tr = ends + max_h < n
         tr_end_ts = ts.iloc[np.minimum(ends + max_h, n - 1)].to_numpy()
@@ -137,14 +148,26 @@ def fit_predict_per_series(
             )
             e_te = ends[te]
             k = len(e_te)
-            out_cols[series_col] = [sid] * k
-            out_cols[ts_col] = list(ts.iloc[e_te])
-            out_cols["value"] = list(v[e_te])
-            out_cols["baseline"] = list(v[e_te])
+            if emit_train:
+                tr_preds = core.predict(params, Xtr, hs)  # in-sample, no MC
+                e_tr = ends[tr]
+                out_cols[series_col] = [sid] * len(e_tr)
+                out_cols[ts_col] = list(ts.iloc[e_tr])
+                out_cols["value"] = list(v[e_tr])
+                out_cols["baseline"] = list(v[e_tr])
+                for h in hs:
+                    out_cols[f"target_h{h}"] = list(v[e_tr + h])
+                    out_cols[f"pred_h{h}"] = list(tr_preds[h] * sd + mu)
+                    out_cols[f"unc_h{h}"] = [0.0] * len(e_tr)
+                out_cols["is_train"] = [True] * len(e_tr) + [False] * k
+            out_cols[series_col] += [sid] * k
+            out_cols[ts_col] += list(ts.iloc[e_te])
+            out_cols["value"] += list(v[e_te])
+            out_cols["baseline"] += list(v[e_te])
             for h in hs:
-                out_cols[f"target_h{h}"] = list(v[e_te + h])
-                out_cols[f"pred_h{h}"] = list(preds[h] * sd + mu)
-                out_cols[f"unc_h{h}"] = list(uncs[h] * sd)
+                out_cols[f"target_h{h}"] += list(v[e_te + h])
+                out_cols[f"pred_h{h}"] += list(preds[h] * sd + mu)
+                out_cols[f"unc_h{h}"] += list(uncs[h] * sd)
         return pd.DataFrame(out_cols)
 
     # ship the package zip: fit_group references the core module, which a
@@ -182,6 +205,7 @@ def nbeats_fit_predict_per_series(
     mc_samples: int = 0,
     dropout_rate: float = 0.1,
     seed: int = 0,
+    emit_train: bool = False,
 ) -> DataFrame:
     """N-BEATS instantiation of ``fit_predict_per_series``. Defaults are
     tuned for short noisy series: the AdamW weight decay is the
@@ -194,6 +218,7 @@ def nbeats_fit_predict_per_series(
         train_kwargs=dict(blocks=blocks, layers=layers, units=units,
                           epochs=epochs, lr=lr, weight_decay=weight_decay),
         mc_samples=mc_samples, dropout_rate=dropout_rate, seed=seed,
+        emit_train=emit_train,
     )
 
 

@@ -43,12 +43,15 @@ from collections.abc import Callable, Mapping, Sequence
 
 import numpy as np
 
+import json
+import os
+
 from predictor_spark.plans.search import (
     SearchResult,
     _params_key,
     append_meta_log,
     evaluate_candidates,
-    save_search_checkpoint,
+    load_search_checkpoint,
 )
 
 Bounds = Mapping[str, tuple[float, float]]
@@ -143,7 +146,16 @@ def ga_search(
 ) -> SearchResult:
     """Seeded generational GA minimizing ``evaluate``; every generation's
     unevaluated candidates fan out as concurrent Spark jobs. history holds
-    one entry per generation: population, fitnesses, champion so far."""
+    one entry per generation: population, fitnesses, champion so far.
+
+    ``checkpoint_path`` makes the search RESUMABLE (reference
+    resume_operations.py): after every generation the full GA state —
+    post-variation population, fitness cache, champion, history, and the
+    numpy bit-generator state — is written atomically. A rerun with the
+    same checkpoint path continues exactly where the previous process
+    stopped, bit-identical to an uninterrupted run (variation runs before
+    the checkpoint, so the restored rng replays the same draw order); a
+    finished search returns its champion immediately."""
     rng = np.random.default_rng(seed)
     keys = _gene_keys(bounds)
     pop = init_population(rng, bounds, pop_size)
@@ -153,7 +165,58 @@ def ga_search(
     best_f = math.inf
     history: list[dict] = []
     stale = 0
-    for gen in range(n_generations):
+    start_gen = 0
+    bounds_key = _params_key({k: list(bounds[k]) for k in keys})
+    if checkpoint_path:
+        ck = load_search_checkpoint(checkpoint_path)
+        gs = (ck or {}).get("ga_state")
+        if gs and gs.get("bounds_key") == bounds_key and gs.get("seed") == seed:
+            pop = [list(ind) for ind in gs["population"]]
+            fits = [None if f is None else float(f) for f in gs["fits"]]
+            cache = {k: float(v) for k, v in gs["cache"].items()}
+            best_p = dict(gs["best_params"])
+            best_f = math.inf if gs["best_fitness"] is None else gs["best_fitness"]
+            history = gs["history"]
+            stale = gs["stale"]
+            start_gen = gs["next_gen"]
+            rng.bit_generator.state = gs["rng_state"]
+            if gs.get("done") or start_gen >= n_generations:
+                return SearchResult(best_p, best_f, history)
+
+    def save_state(next_gen: int, done: bool) -> None:
+        if not checkpoint_path:
+            return
+        state = {
+            # same outer shape as plans/search.save_search_checkpoint
+            "generation": len(history),
+            "history": [{"params": e["best_params"],
+                         "fitness": e["best_fitness"]} for e in history],
+            "optimizer_state": {
+                "best_params": best_p,
+                "best_fitness": None if math.isinf(best_f) else best_f,
+            },
+            "ga_state": {
+                "bounds_key": bounds_key,
+                "seed": seed,
+                "population": [list(ind) for ind in pop],
+                "fits": [None if f is None or math.isinf(f) else f for f in fits],
+                "cache": {k: (1e308 if math.isinf(v) else v)
+                          for k, v in cache.items()},
+                "best_params": best_p,
+                "best_fitness": None if math.isinf(best_f) else best_f,
+                "history": history,
+                "stale": stale,
+                "next_gen": next_gen,
+                "done": done,
+                "rng_state": rng.bit_generator.state,
+            },
+        }
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, default=str)
+        os.replace(tmp, checkpoint_path)
+
+    for gen in range(start_gen, n_generations):
         todo = [i for i, f in enumerate(fits) if f is None]
         fresh = []
         fresh_idx = []
@@ -189,16 +252,16 @@ def ga_search(
                 {"params": p, "fitness": f}
                 for p, f in zip(entry["population"], fits)
             ])
-        if checkpoint_path:
-            save_search_checkpoint(checkpoint_path,
-                                   [{"params": e["best_params"],
-                                     "fitness": e["best_fitness"]} for e in history],
-                                   best_p, best_f)
         if patience is not None and stale >= patience:
+            save_state(gen + 1, done=True)
             break
-        if gen == n_generations - 1:
+        if gen == n_generations - 1 and not checkpoint_path:
             break
         # --- variation (selection -> crossover -> mutation) ---
+        # With a checkpoint, variation runs on EVERY generation (including
+        # the last) BEFORE the state is saved, so a resumed run — even one
+        # extended to more generations — replays the identical rng draw
+        # order as an uninterrupted run.
         pop = tournament_select(rng, pop, fits, tournsize)
         fits = [cache[_params_key(_to_params(ind, bounds))] for ind in pop]
         for i in range(1, pop_size, 2):
@@ -209,4 +272,7 @@ def ga_search(
             if rng.random() < mutpb:
                 mutate(rng, pop[i], bounds, indpb)
                 fits[i] = None
+        save_state(gen + 1, done=False)
+        if gen == n_generations - 1:
+            break
     return SearchResult(best_p, best_f, history)

@@ -1,0 +1,121 @@
+"""Optimizer-over-predictor: GA hyperparameter search driving the real
+distributed model cores (VERDICT r3 #5; reference §3.2 —
+default_optimizer.py:113 evolves predictor-plugin hyperparameters,
+candidate_worker.py:154-410 trains/scores one candidate per worker).
+
+Each GA candidate is a FULL distributed training job
+(nbeats_fit_predict_per_series over every series in the slice) scored by
+the reference's exact fitness law (plans/search.candidate_fitness,
+candidate_worker.py:344-359): weighted train/validation MAE deltas vs
+the naive baseline with asymmetric worse-than-naive penalties. The
+driver only ever sees 4 scalars per candidate (train/val MAE + naive
+MAE); a crashed candidate scores inf (crash isolation,
+default_optimizer.py:560-574); generations checkpoint/resume through
+plans/ga.ga_search's full-state checkpoint.
+
+Scale: one generation = pop_size concurrent Spark jobs sharing the
+executors (FIFO), each a per-series applyInPandas fan-out — at 1000
+executors a generation of 8 candidates over 10^5 series keeps every
+core busy with zero driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from predictor_spark.models.estimator import nbeats_fit_predict_per_series
+from predictor_spark.plans.ga import ga_search
+from predictor_spark.plans.search import SearchResult, candidate_fitness
+
+#: hyperparameter bounds — int bounds inclusive, float bounds uniform
+#: (the log10-lr gene mirrors the reference's learning_rate search space)
+NBEATS_BOUNDS = {
+    "units": (4, 16),
+    "blocks": (1, 3),
+    "lr_log10": (-3.0, -1.5),
+    "wd_log10": (-3.0, -1.0),
+}
+
+
+def _candidate_metrics(scored: DataFrame) -> tuple[float, float, float, float]:
+    """(train_mae, train_naive, val_mae, val_naive) — ONE aggregate job,
+    4 scalars to the driver."""
+    p, t, b = F.col("pred_h1"), F.col("target_h1"), F.col("baseline")
+    row = scored.groupBy("is_train").agg(
+        F.avg(F.abs(p - t)).alias("mae"),
+        F.avg(F.abs(b - t)).alias("naive"),
+    ).collect()
+    by = {r["is_train"]: r for r in row}
+    if True not in by or False not in by:
+        raise ValueError("candidate produced no train or no val rows")
+    return (by[True]["mae"], by[True]["naive"],
+            by[False]["mae"], by[False]["naive"])
+
+
+def nbeats_ga_search(
+    spark: SparkSession,
+    sf_dir: str,
+    pop_size: int = 4,
+    n_generations: int = 2,
+    epochs: int = 12,
+    max_series: int | None = 150,
+    seed: int = 0,
+    checkpoint_path: str | None = None,
+    meta_log_path: str | None = None,
+) -> SearchResult:
+    """Evolve N-BEATS hyperparameters over the events table. ``max_series``
+    bounds the per-candidate slice (the reference optimizes on ONE
+    instrument; a modulo slice keeps candidate cost flat while the full
+    table stays the inference surface)."""
+    from predictor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    if max_series is not None:
+        ev = ev.filter(F.col("user_id") < max_series)
+    ev = ev.select("user_id", "ts", "value")
+
+    def evaluate(params: dict) -> float:
+        scored = nbeats_fit_predict_per_series(
+            ev, window=8, horizons=(1,),
+            units=int(params["units"]), blocks=int(params["blocks"]),
+            epochs=epochs, lr=10.0 ** params["lr_log10"],
+            weight_decay=10.0 ** params["wd_log10"],
+            seed=seed, emit_train=True,
+        )
+        tm, tn, vm, vn = _candidate_metrics(scored)
+        return candidate_fitness(tm, tn, vm, vn)
+
+    return ga_search(
+        NBEATS_BOUNDS, evaluate, pop_size=pop_size,
+        n_generations=n_generations, seed=seed,
+        max_parallel=pop_size, checkpoint_path=checkpoint_path,
+        meta_log_path=meta_log_path,
+    )
+
+
+def nbeats_ga_search_report(
+    spark: SparkSession,
+    sf_dir: str,
+    **kw,
+) -> DataFrame:
+    """Bench surface: run the search, return a one-row frame with the
+    champion's genes, fitness, and evaluation count."""
+    res = nbeats_ga_search(spark, sf_dir, **kw)
+    n_evals = sum(
+        1 for e in res.history for f in e["fitnesses"] if f is not None)
+    bf = None if math.isinf(res.best_fitness) else float(res.best_fitness)
+    return spark.createDataFrame(
+        [(
+            int(res.best_params.get("units", -1)),
+            int(res.best_params.get("blocks", -1)),
+            float(res.best_params.get("lr_log10", float("nan"))),
+            float(res.best_params.get("wd_log10", float("nan"))),
+            bf,
+            len(res.history),
+            n_evals,
+        )],
+        "units int, blocks int, lr_log10 double, wd_log10 double, "
+        "best_fitness double, generations int, n_evals int",
+    )

@@ -120,3 +120,45 @@ def test_ga_crash_isolation_and_patience(tmp_path):
     assert math.isinf(res.best_fitness)
     assert len(res.history) <= 3
     assert (tmp_path / "ck.json").exists()
+
+
+def test_ga_checkpoint_resume_bit_identical(tmp_path):
+    """2 generations + resume-to-5 must equal an uninterrupted 5-gen run
+    (population, fitnesses, champion — the full history), and a rerun of
+    a finished search must return its champion without re-evaluating."""
+    ck = str(tmp_path / "resume.json")
+    straight = ga_search(BOUNDS, _fitness, pop_size=6, n_generations=5,
+                         seed=7, checkpoint_path=str(tmp_path / "straight.json"))
+    ga_search(BOUNDS, _fitness, pop_size=6, n_generations=2, seed=7,
+              checkpoint_path=ck)
+    resumed = ga_search(BOUNDS, _fitness, pop_size=6, n_generations=5,
+                        seed=7, checkpoint_path=ck)
+    assert len(resumed.history) == len(straight.history) == 5
+    for a, b in zip(straight.history, resumed.history):
+        assert a["population"] == b["population"]
+        assert a["fitnesses"] == b["fitnesses"]
+        assert a["best_fitness"] == b["best_fitness"]
+    assert resumed.best_params == straight.best_params
+    calls = []
+
+    def counting(params):
+        calls.append(params)
+        return _fitness(params)
+
+    done = ga_search(BOUNDS, counting, pop_size=6, n_generations=5,
+                     seed=7, checkpoint_path=ck)
+    assert calls == []                        # finished search: no re-evals
+    assert done.best_params == straight.best_params
+    assert done.best_fitness == straight.best_fitness
+
+
+def test_ga_checkpoint_ignored_on_mismatch(tmp_path):
+    """A checkpoint from different bounds/seed must not be resumed."""
+    ck = str(tmp_path / "ck.json")
+    ga_search(BOUNDS, _fitness, pop_size=4, n_generations=2, seed=3,
+              checkpoint_path=ck)
+    other = ga_search(BOUNDS, _fitness, pop_size=4, n_generations=2, seed=4,
+                      checkpoint_path=ck)
+    fresh = ga_search(BOUNDS, _fitness, pop_size=4, n_generations=2, seed=4)
+    assert other.best_params == fresh.best_params
+    assert other.best_fitness == fresh.best_fitness
