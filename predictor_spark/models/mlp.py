@@ -87,9 +87,13 @@ def loss_and_grads(
     X: np.ndarray,
     targets: dict[int, np.ndarray],
     horizons: tuple[int, ...],
+    loss_fn=None,
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Full-batch Huber loss + analytic gradients (finite-difference-
-    checked in tests/test_models_family.py::test_mlp_gradcheck)."""
+    checked in tests/test_models_family.py::test_mlp_gradcheck).
+    ``loss_fn`` swaps in a models/losses.py objective: (y_true, y_pred)
+    -> (value, dvalue/dy_pred); None keeps the default Huber path
+    bit-identical (same contract as models/nbeats.py)."""
     layers, units, input_dim = (int(x) for x in p["__meta"])
     N = X.shape[0]
     H = len(horizons)
@@ -100,9 +104,14 @@ def loss_and_grads(
     top = hs[-1]
     dtop = np.zeros_like(top)
     for hz in horizons:
-        e = ys[hz] - targets[hz]
-        loss += float(_huber(e).mean())
-        de = _huber_grad(e) / (N * H)
+        if loss_fn is None:
+            e = ys[hz] - targets[hz]
+            loss += float(_huber(e).mean())
+            de = _huber_grad(e) / (N * H)
+        else:
+            val, gy = loss_fn(targets[hz], ys[hz])
+            loss += float(val)
+            de = gy / H
         g[f"Wh{hz}"] = top.T @ de
         g[f"ch{hz}"] = np.array(de.sum())
         dtop += de[:, None] * p[f"Wh{hz}"][None, :]
@@ -127,14 +136,17 @@ def train(
     epochs: int = 80,
     lr: float = 1e-2,
     weight_decay: float = 0.0,
+    loss_fn=None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
-    """Full-batch AdamW training; deterministic given (data, seed)."""
+    """Full-batch AdamW training; deterministic given (data, seed).
+    ``loss_fn``: optional models/losses.py objective (default Huber)."""
     rng = np.random.default_rng(seed)
     p = init_params(rng, X.shape[1], tuple(horizons), layers, units)
     st = adam_init(p)
     losses = []
     for _ in range(epochs):
-        loss, g = loss_and_grads(p, X, targets, tuple(horizons))
+        loss, g = loss_and_grads(p, X, targets, tuple(horizons),
+                                 loss_fn=loss_fn)
         adam_step(p, g, st, lr=lr, weight_decay=weight_decay)
         losses.append(loss)
     return p, losses

@@ -102,7 +102,7 @@ def test_losses_plug_into_all_cores(loss_name):
     """Every core trains under every pluggable loss and the loss
     decreases — the reference's loss_type dispatch surface
     (losses.py:279-350) re-expressed as the loss_fn parameter."""
-    from predictor_spark.models import nbeats, tft, transformer
+    from predictor_spark.models import mlp, nbeats, tcn, tft, transformer
 
     rng = np.random.default_rng(4)
     X = rng.normal(size=(48, 8))
@@ -111,7 +111,91 @@ def test_losses_plug_into_all_cores(loss_name):
     fn = LO.LOSSES[loss_name]
     for core, kw in ((nbeats, dict(blocks=1, layers=1, units=6)),
                      (transformer, dict(d_model=4, n_heads=1, d_ff=8)),
-                     (tft, dict(d_model=4))):
+                     (tft, dict(d_model=4)),
+                     (mlp, dict(layers=2, units=8)),
+                     (tcn, dict(layers=2, channels=6, kernel=2))):
         _, hist = core.train(X, tgts, (1,), seed=1, epochs=60, lr=1e-2,
                              weight_decay=0.0, loss_fn=fn, **kw)
         assert hist[-1] < hist[0], (core.__name__, loss_name, hist[0], hist[-1])
+
+
+@pytest.mark.parametrize("loss_name", ["trend_sigma", "combined_diff"])
+def test_loss_fn_gradcheck_mlp_tcn(loss_name):
+    """Finite-difference check THROUGH model + pluggable loss for the two
+    cores that gained loss_fn this round (VERDICT r3 #6)."""
+    from predictor_spark.models import mlp, tcn
+    from tests.test_models_family import _gradcheck
+
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(20, 7))
+    tgts = {1: np.cumsum(rng.normal(size=20)), 2: rng.normal(size=20)}
+    hs = (1, 2)
+    fn = LO.LOSSES[loss_name]
+
+    class _Shim:
+        """core with loss_fn baked in, for the shared gradcheck helper"""
+
+        def __init__(self, core):
+            self.core = core
+
+        def loss_and_grads(self, p, X, tgts, hs):
+            return self.core.loss_and_grads(p, X, tgts, hs, loss_fn=fn)
+
+    p = mlp.init_params(np.random.default_rng(0), 7, hs, layers=2, units=5)
+    _gradcheck(_Shim(mlp), p, X, tgts, hs)
+    p = tcn.init_params(np.random.default_rng(0), 7, hs, layers=2,
+                        channels=4, kernel=2)
+    _gradcheck(_Shim(tcn), p, X, tgts, hs)
+
+
+@pytest.mark.parametrize("loss_name", ["trend_sigma", "combined_diff"])
+def test_distributed_training_under_loss_matches_local(spark, loss_name):
+    """fit_predict_per_series(train_kwargs={'loss_fn': ...}) trains every
+    series under the morphological loss bit-identically to a local numpy
+    run — on BOTH the TCN and MLP cores (VERDICT r3 #6: the loss family
+    wired into the distributed training rows, not just the hard gate).
+    The estimator feeds time-sorted full-batch windows, satisfying
+    combined_diff's shuffle=False ordering contract."""
+    import pandas as pd
+
+    from predictor_spark.models import mlp, tcn
+    from predictor_spark.models.estimator import (
+        _windows,
+        fit_predict_per_series,
+    )
+
+    fn = LO.LOSSES[loss_name]
+    rng = np.random.default_rng(13)
+    frames = []
+    for uid in range(3):
+        n = 50
+        ts = pd.date_range("2024-01-01", periods=n, freq="12h")
+        v = np.cumsum(rng.normal(size=n)) + 20.0
+        frames.append(pd.DataFrame({"user_id": uid, "ts": ts, "value": v}))
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    window, hs, cutoff = 6, (1,), "2024-01-15 00:00:00"
+    for core, kw in ((tcn, dict(layers=2, channels=4, kernel=2)),
+                     (mlp, dict(layers=2, units=6))):
+        out = fit_predict_per_series(
+            sdf, core, train_end=cutoff, window=window, horizons=hs,
+            train_kwargs=dict(epochs=5, lr=5e-3, loss_fn=fn, **kw), seed=0,
+        ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+        assert len(out) > 0
+        for uid in range(3):
+            g = pdf[pdf["user_id"] == uid].reset_index(drop=True)
+            v = g["value"].to_numpy()
+            tsv = g["ts"].to_numpy()
+            cut = np.datetime64(cutoff.replace(" ", "T"))
+            X = _windows(v, window)
+            ends = np.arange(window - 1, len(v))
+            tr = (ends + 1 < len(v)) & (tsv[np.minimum(ends + 1, len(v) - 1)] < cut)
+            te = (tsv[ends] >= cut) & (ends + 1 < len(v))
+            cuti = int(np.searchsorted(tsv, cut))
+            mu, sd = v[:cuti].mean(), v[:cuti].std()
+            tgts = {1: (v[ends[tr] + 1] - mu) / sd}
+            params, _ = core.train((X[tr] - mu) / sd, tgts, hs, seed=(0, uid),
+                                   epochs=5, lr=5e-3, loss_fn=fn, **kw)
+            want = core.predict(params, (X[te] - mu) / sd, hs)[1] * sd + mu
+            got = out[out["user_id"] == uid]["pred_h1"].to_numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-12)
