@@ -70,9 +70,18 @@ def main() -> int:
     passed: list[str] = []
 
     spark = get_spark("check_correctness")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh_con():
+        # one connection PER ORACLE: the unrolled expression oracles
+        # (LSTM/TFT forward passes) are compile-heavy, and a single
+        # long-lived connection accumulated enough allocator state over 99
+        # queries to OOM late in the sweep (r4: mimo_forward_pass "Failed
+        # to allocate block"); a fresh connection frees everything between
+        # queries at negligible view-registration cost
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     n_pass = n_fail = n_noracle = 0
     for name, fn in qs.items():
@@ -90,7 +99,9 @@ def main() -> int:
             n_noracle += 1
             continue
         try:
+            con = fresh_con()
             odf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
