@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from predictor_spark.plans.catalog import query
 from predictor_spark.sources.tables import load_table
 
 CHAMPION_WINDOW = 79
@@ -136,6 +137,122 @@ def champion_features(bars: DataFrame) -> tuple[DataFrame, tuple[str, ...]]:
     return d, tuple(feats)
 
 
+def _champion_feature_oracle(bar_seconds: int = 3600) -> str:
+    """DuckDB replay of champion_bar_series + champion_features, built
+    from the SAME span/lag constants so the two can never drift. Every
+    stage is ANSI-SQL: bucket-avg bars, complete grid (generate_series),
+    forward fill (last_value IGNORE NULLS), then the ~50 feature
+    expressions over one ordered window. dayofweek: DuckDB is 0=Sunday,
+    Spark is 1=Sunday — the oracle adds 1."""
+    two_pi = "6.283185307179586"
+    w = "PARTITION BY sid ORDER BY bts"
+
+    def out(c: str) -> str:
+        # float32-collapse before rounding (the catalog_models recipe):
+        # DuckDB evaluates sliding aggregates with a segment tree while
+        # Spark keeps a running sum, so running means differ by ~1e-15
+        # and flip .5-ulp rounding boundaries at 6 dp without the collapse
+        return f"round(CAST(CAST({c} AS REAL) AS DOUBLE), 6) + 0.0 AS {c}"
+
+    cols = ["sid", "bts", out("v"), out("f_log1p"), out("f_ret"),
+            out("f_logret")]
+    exprs = []
+    for s in _ROLL_SPANS:
+        win = f"OVER ({w} ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW)"
+        exprs.append(f"avg(v) {win} AS f_mean{s}")
+        exprs.append(f"coalesce(stddev_samp(v) {win}, 0.0) AS f_std{s}")
+        cols += [out(f"f_mean{s}"), out(f"f_std{s}")]
+    for s in _MINMAX_SPANS:
+        win = f"OVER ({w} ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW)"
+        exprs.append(f"min(v) {win} AS f_min{s}")
+        exprs.append(f"max(v) {win} AS f_max{s}")
+        cols += [out(f"f_min{s}"), out(f"f_max{s}")]
+    phases = (("hod", "(hour(bts) + minute(bts) / 60.0)", "24.0"),
+              ("dow", "CAST(dayofweek(bts) + 1 AS DOUBLE)", "7.0"),
+              ("dom", "CAST(dayofmonth(bts) AS DOUBLE)", "31.0"))
+    for nm, phase, period in phases:
+        exprs.append(f"sin({two_pi} * {phase} / {period}) AS f_sin_{nm}")
+        exprs.append(f"cos({two_pi} * {phase} / {period}) AS f_cos_{nm}")
+        cols += [out(f"f_sin_{nm}"), out(f"f_cos_{nm}")]
+    for k in range(1, _RET_LAGS + 1):
+        exprs.append(f"coalesce(lag(f_ret, {k}) OVER ({w}), 0.0)"
+                     f" AS f_retlag{k}")
+        cols.append(out(f"f_retlag{k}"))
+    for s in _RET_ROLL_SPANS:
+        win = f"OVER ({w} ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW)"
+        exprs.append(f"avg(f_ret) {win} AS f_retmean{s}")
+        exprs.append(f"coalesce(stddev_samp(f_ret) {win}, 0.0) AS f_retstd{s}")
+        cols += [out(f"f_retmean{s}"), out(f"f_retstd{s}")]
+    return f"""
+    WITH bars AS (
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / {bar_seconds}) * {bar_seconds})
+                   ::TIMESTAMP AS bts,
+               avg(value) AS raw_v
+        FROM events GROUP BY event_type, bts
+    ),
+    span AS (
+        SELECT event_type, min(bts) AS lo, max(bts) AS hi
+        FROM bars GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi,
+                   INTERVAL {bar_seconds} SECOND)) AS bts
+        FROM span
+    ),
+    filled AS (
+        SELECT g.event_type, g.bts,
+               last_value(b.raw_v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        FROM grid g LEFT JOIN bars b USING (event_type, bts)
+    ),
+    sids AS (
+        SELECT event_type,
+               dense_rank() OVER (ORDER BY event_type) - 1 AS sid
+        FROM (SELECT DISTINCT event_type FROM filled)
+    ),
+    base0 AS (
+        SELECT s.sid, f.bts, f.v
+        FROM filled f JOIN sids s USING (event_type)
+        WHERE f.v IS NOT NULL
+    ),
+    base AS (
+        SELECT sid, bts, v,
+               ln(1.0 + abs(v)) * sign(v) AS f_log1p,
+               coalesce(v - lag(v, 1) OVER ({w}), 0.0) AS f_ret,
+               coalesce(ln(1.0 + abs(v)) * sign(v)
+                        - lag(ln(1.0 + abs(v)) * sign(v), 1) OVER ({w}),
+                        0.0) AS f_logret
+        FROM base0
+    ),
+    feat AS (
+        SELECT *, {', '.join(exprs)}
+        FROM base
+    )
+    SELECT {', '.join(cols)} FROM feat
+    """
+
+
+@query("champion_feature_frame", oracle=_champion_feature_oracle())
+def champion_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The champion pipeline's full data path up to the model boundary —
+    hourly bar series per event type (complete grid, forward-filled) with
+    all ~50 feature channels — as a hard-gated oracle row: the training
+    rows themselves are bench+pytest surfaces (the gate cannot replay 15
+    epochs of AdamW), but every JVM expression FEEDING them is exactly
+    SQL-replayable, so the feature frame gets the strong check. One
+    shuffle (bar agg) + one window family; the grid explode never leaves
+    the JVM."""
+    bars, feats = champion_features(champion_bar_series(spark, sf_dir, 3600))
+    return bars.select(
+        "sid", "bts",
+        *[(F.round(F.col(c).cast("float").cast("double"), 6) + F.lit(0.0))
+          .alias(c) for c in ("v", *feats)],
+    )
+
+
 def champion_tcn_run(
     spark: SparkSession,
     sf_dir: str,
@@ -143,25 +260,35 @@ def champion_tcn_run(
     train_end: str = "2024-01-22 00:00:00",
     epochs: int = 15,
     seed: int = 0,
+    use_champion_loss: bool = True,
 ) -> DataFrame:
     """End-to-end champion-shaped run: bars -> ~50 features -> one
     multi-channel TCN (79 x 50 input, 19 filters, 3 layers, kernel 3)
     per event-type series, horizons {9..24}, scored on post-cutoff
-    windows vs the persistence baseline. Returns one row per series:
-    n test windows, mae, naive_mae, beats_floor (mae <= naive * 1.05 —
-    the reference's fitness floor, candidate_worker.py:344-359)."""
+    windows vs the persistence baseline. Trains under the champion
+    config's ACTUAL objective — ``loss_type: combined_diff`` with
+    diff_weight 1.0 (champion_1d_config.json) — through the pluggable
+    loss seam; the estimator's time-sorted full-batch windows satisfy
+    combined_diff's shuffle=False ordering contract. Returns one row per
+    series: n test windows, mae, naive_mae, beats_floor (mae <= naive *
+    1.05 — the reference's fitness floor, candidate_worker.py:344-359)."""
     from predictor_spark.models import tcn
     from predictor_spark.models.estimator import fit_predict_per_series
 
+    train_kwargs = dict(layers=CHAMPION_LAYERS, channels=CHAMPION_FILTERS,
+                        kernel=CHAMPION_KERNEL, epochs=epochs, lr=5e-3,
+                        weight_decay=1e-2)
+    if use_champion_loss:
+        from predictor_spark.models.losses import combined_diff_loss
+
+        train_kwargs["loss_fn"] = combined_diff_loss
     bars, feats = champion_features(
         champion_bar_series(spark, sf_dir, bar_seconds))
     scored = fit_predict_per_series(
         bars, tcn, value_col="v", ts_col="bts", series_col="sid",
         train_end=train_end, window=CHAMPION_WINDOW,
         horizons=CHAMPION_HORIZONS, feature_cols=feats,
-        train_kwargs=dict(layers=CHAMPION_LAYERS, channels=CHAMPION_FILTERS,
-                          kernel=CHAMPION_KERNEL, epochs=epochs, lr=5e-3,
-                          weight_decay=1e-2),
+        train_kwargs=train_kwargs,
         seed=seed,
     )
     err = None
