@@ -48,6 +48,7 @@ def fit_predict_per_series(
     seed: int = 0,
     feature_cols: tuple[str, ...] = (),
     emit_train: bool = False,
+    flatten_features: bool = False,
 ) -> DataFrame:
     """Fit one deterministic numpy model per series on the train slice
     (windows whose TARGET timestamp is still before the cutoff — the same
@@ -80,7 +81,10 @@ def fit_predict_per_series(
     stats — the multivariate frame the reference preprocessor feeds its
     Conv1D models (phase2_6_preprocessor.py:615-617, ~54 columns). The
     core must accept 3-D X (models.tcn does); univariate callers are
-    unchanged.
+    unchanged. ``flatten_features`` reshapes that stack to
+    (N, window * channels) for the dense cores (mlp / nbeats /
+    transformer take 2-D input — the reference flattens windows the same
+    way for its dense plugins, predictor_plugin_ann.py input reshape).
     """
     core = core if core is not None else nbeats
     train_kwargs = dict(train_kwargs or {})
@@ -136,6 +140,11 @@ def fit_predict_per_series(
                 ch_mu[0], ch_sd[0] = mu, sd
                 Xtr = (X[tr] - ch_mu) / ch_sd
                 Xte_norm = (X[te] - ch_mu) / ch_sd
+                if flatten_features:
+                    # per-channel norm FIRST, then (N, window * C) for the
+                    # dense cores
+                    Xtr = Xtr.reshape(Xtr.shape[0], -1)
+                    Xte_norm = Xte_norm.reshape(Xte_norm.shape[0], -1)
             else:
                 Xtr = (X[tr] - mu) / sd
                 Xte_norm = (X[te] - mu) / sd

@@ -26,6 +26,16 @@ def get_spark(app_name: str = "predictor_spark", cpus: int | None = None) -> Spa
     - Session timezone UTC: parity with DuckDB-oracle timestamp semantics.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Cap BLAS threading in Python workers: numpy's OpenBLAS defaults to
+    # one thread PER CORE, so N concurrent applyInPandas training tasks
+    # spawn N x cores GEMM threads and thrash the box (the per-series
+    # model family is the CPU-heavy path). 4 threads keeps a lone big
+    # task fast while bounding full-slot oversubscription. Set via env
+    # BEFORE the JVM forks the python worker daemon so workers inherit;
+    # spark.executorEnv covers real clusters where the env is not shared.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "4")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,6 +50,10 @@ def get_spark(app_name: str = "predictor_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ["OMP_NUM_THREADS"])
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

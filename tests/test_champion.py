@@ -101,6 +101,53 @@ def test_estimator_feature_cols_matches_local(spark):
             out[f"pred_h{h}"].to_numpy(), preds[h] * sd + mu, rtol=1e-12)
 
 
+def test_estimator_flatten_features_for_dense_cores(spark):
+    """flatten_features lets the 2-D cores (MLP here) consume the same
+    multivariate frame: per-channel z-norm first, then (N, window * C).
+    Differential vs a local numpy replay."""
+    import pandas as pd
+
+    from predictor_spark.models import mlp
+    from predictor_spark.models.estimator import (
+        _windows,
+        fit_predict_per_series,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 60
+    ts = pd.date_range("2024-01-01", periods=n, freq="6h")
+    v = np.cumsum(rng.normal(size=n)) + 30.0
+    f1 = rng.normal(size=n)
+    pdf = pd.DataFrame({"user_id": 1, "ts": ts, "value": v, "f1": f1})
+    window, hs, cutoff = 5, (1,), "2024-01-10 00:00:00"
+    kw = dict(layers=1, units=6, epochs=5, lr=5e-3)
+    out = fit_predict_per_series(
+        spark.createDataFrame(pdf), mlp, train_end=cutoff, window=window,
+        horizons=hs, feature_cols=("f1",), flatten_features=True,
+        train_kwargs=kw, seed=0,
+    ).toPandas().sort_values("ts")
+    assert len(out) > 0
+
+    cut = np.datetime64(cutoff.replace(" ", "T"))
+    chans = [v, f1]
+    X = np.stack([_windows(c, window) for c in chans], axis=-1)
+    ends = np.arange(window - 1, n)
+    tsv = ts.to_numpy()
+    tr = (ends + 1 < n) & (tsv[np.minimum(ends + 1, n - 1)] < cut)
+    te = (tsv[ends] >= cut) & (ends + 1 < n)
+    cuti = int(np.searchsorted(tsv, cut))
+    ch_mu = np.array([c[:cuti].mean() for c in chans])
+    ch_sd = np.array([c[:cuti].std() for c in chans])
+    ch_sd[np.abs(ch_sd) < 1e-8] = 1.0
+    mu, sd = ch_mu[0], ch_sd[0]
+    Xtr = ((X[tr] - ch_mu) / ch_sd).reshape(tr.sum(), -1)
+    Xte = ((X[te] - ch_mu) / ch_sd).reshape(te.sum(), -1)
+    tgts = {1: (v[ends[tr] + 1] - mu) / sd}
+    params, _ = mlp.train(Xtr, tgts, hs, seed=(0, 1), **kw)
+    want = mlp.predict(params, Xte, hs)[1] * sd + mu
+    np.testing.assert_allclose(out["pred_h1"].to_numpy(), want, rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_champion_shape_beats_naive_floor(spark):
     """The full champion-shaped run (79 x 50 TCN, horizons {9..24}) on
