@@ -1,0 +1,105 @@
+"""Per-series model store (models/registry.py): fit once -> weights
+DataFrame -> predict later, pinned bit-identical to the one-shot
+fit_predict_per_series path, through a parquet round-trip, including the
+multivariate/flatten variants and true-future (NaN-target) windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from predictor_spark.models import mlp, tcn
+from predictor_spark.models.estimator import fit_predict_per_series
+from predictor_spark.models.registry import (
+    deserialize_params,
+    fit_per_series,
+    load_model_store,
+    predict_from_weights,
+    save_model_store,
+    serialize_params,
+)
+
+_CUT = "2024-01-10 00:00:00"
+
+
+def _frame(n_series=3, n=60, seed=17):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for uid in range(n_series):
+        ts = pd.date_range("2024-01-01", periods=n, freq="6h")
+        v = np.cumsum(rng.normal(size=n)) + 40.0
+        frames.append(pd.DataFrame(
+            {"user_id": uid, "ts": ts, "value": v,
+             "f1": rng.normal(size=n)}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_serialize_roundtrip():
+    params = {"W0": np.arange(6.0).reshape(2, 3), "__meta": np.array([1, 2]),
+              "ch0": np.array(0.5)}
+    stats = {"mu": 1.5, "sd": 2.0, "horizons": np.array([1, 3]),
+             "ch_mu": np.array([0.1, 0.2])}
+    p2, s2 = deserialize_params(serialize_params(params, stats))
+    assert set(p2) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(p2[k], params[k])
+    assert float(s2["mu"]) == 1.5
+    np.testing.assert_array_equal(s2["ch_mu"], stats["ch_mu"])
+
+
+@pytest.mark.parametrize("core,kw,feats,flat", [
+    (tcn, dict(layers=2, channels=4, kernel=2), (), False),
+    (tcn, dict(layers=2, channels=4, kernel=2), ("f1",), False),
+    (mlp, dict(layers=1, units=6), ("f1",), True),
+])
+def test_store_matches_one_shot(spark, tmp_path, core, kw, feats, flat):
+    """fit_per_series -> parquet -> predict_from_weights(score_from=cutoff)
+    equals fit_predict_per_series' test rows bit-for-bit."""
+    pdf = _frame()
+    sdf = spark.createDataFrame(pdf)
+    common = dict(value_col="value", ts_col="ts", series_col="user_id",
+                  window=6, feature_cols=feats)
+    tkw = dict(epochs=4, lr=5e-3, **kw)
+    want = fit_predict_per_series(
+        sdf, core, train_end=_CUT, horizons=(1, 2), train_kwargs=tkw,
+        seed=0, flatten_features=flat, **common,
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    store = fit_per_series(
+        sdf, core, train_end=_CUT, horizons=(1, 2), train_kwargs=tkw,
+        seed=0, flatten_features=flat, **common,
+    )
+    path = str(tmp_path / "store")
+    save_model_store(store, path)
+    loaded = load_model_store(spark, path)
+    assert loaded.count() == 3
+
+    pred_kw = {k: v for k, v in common.items() if k != "window"}
+    got = predict_from_weights(
+        sdf, loaded, core, score_from=_CUT, seed=0, **pred_kw,
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    # the one-shot path drops windows whose targets don't exist; the store
+    # path scores them too (true inference) with NaN targets — compare on
+    # the common subset
+    both = got[got["target_h2"].notna()].reset_index(drop=True)
+    assert len(both) == len(want) > 0
+    for c in ("user_id", "pred_h1", "pred_h2", "target_h1", "target_h2"):
+        np.testing.assert_array_equal(both[c].to_numpy(), want[c].to_numpy())
+
+    # future windows (no h2 target yet) exist and carry real predictions
+    fut = got[got["target_h2"].isna()]
+    assert len(fut) > 0
+    assert fut["pred_h1"].notna().all()
+
+
+def test_short_series_emit_no_weights(spark):
+    pdf = _frame(n_series=1, n=8)  # too short to pass the train guard
+    store = fit_per_series(
+        spark.createDataFrame(pdf), tcn, train_end=_CUT, window=6,
+        horizons=(1,), train_kwargs=dict(layers=1, channels=3, kernel=2,
+                                         epochs=2),
+    )
+    assert store.count() == 0
