@@ -66,6 +66,12 @@ def champion_bar_series(
                               * bar_seconds).cast("timestamp"))
         .groupBy("event_type", "bts")
         .agg(F.avg("value").alias("raw_v"))
+        # bars is TINY after aggregation (types x buckets rows) but its
+        # lineage is the full events scan; it feeds three consumers (grid
+        # derivation, the fill join, the sid map) — cache it so events is
+        # scanned ONCE instead of once per consumer. At 100 TB this is
+        # the difference between one pass and three.
+        .cache()
     )
     # complete grid per type, then forward-fill bar gaps
     span = bars.groupBy("event_type").agg(
@@ -82,8 +88,9 @@ def champion_bar_series(
         .withColumn("v", F.last("raw_v", ignorenulls=True).over(w_fill))
         .filter(F.col("v").isNotNull())
     )
-    types = filled.select("event_type").distinct() \
-        .withColumn("sid", sid.cast("long"))
+    # span already holds one row per type — no need to re-derive from
+    # filled (which would replay the whole fill subtree for 5 rows)
+    types = span.select("event_type").withColumn("sid", sid.cast("long"))
     return (
         filled.join(F.broadcast(types), "event_type")
         .select("sid", "bts", "v")
