@@ -103,3 +103,28 @@ def test_short_series_emit_no_weights(spark):
                                          epochs=2),
     )
     assert store.count() == 0
+
+
+def test_stream_score_model_matches_batch(spark):
+    """Streaming deep-model inference (window state across micro-batches)
+    equals batch predict_from_weights bit-for-bit on every scored row."""
+    from predictor_spark.sources.tables import load_table
+    from predictor_spark.streaming.inference import stream_score_model
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    store = fit_per_series(
+        ev, tcn, train_end="2024-01-22 00:00:00", window=6, horizons=(1,),
+        train_kwargs=dict(layers=1, channels=3, kernel=2, epochs=3), seed=0,
+    )
+    assert store.count() > 0
+    streamed = stream_score_model(spark, sf, store, tcn, n_chunks=3) \
+        .toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    batch = predict_from_weights(
+        ev, store, tcn, seed=0,
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(streamed) == len(batch) > 0
+    np.testing.assert_array_equal(streamed["user_id"].to_numpy(),
+                                  batch["user_id"].to_numpy())
+    np.testing.assert_array_equal(streamed["pred_h1"].to_numpy(),
+                                  batch["pred_h1"].to_numpy())
