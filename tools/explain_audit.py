@@ -88,6 +88,13 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
     "rollup_time_hierarchy": {"must": ["partial_", "Expand"], "not": []},
     "kmeans_one_step": {"must": ["partial_"], "not": ["Join"]},
+    # champion bar/feature pipeline: grid + fill + sid joins must all
+    # broadcast (the non-events sides are tiny), features stay in window
+    # execs — never a sort-merge join or cartesian
+    "champion_feature_frame": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["SortMergeJoin", "CartesianProduct"],
+    },
 }
 
 
