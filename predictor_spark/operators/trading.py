@@ -64,9 +64,19 @@ def simulate_series(
     initial_balance: float = 10_000.0,
     max_trades_per_window: int = 3,
     freq_window_days: int = 5,
+    pred_matrix: np.ndarray | None = None,
 ) -> list[dict]:
     """Sequential fold over one series; returns closed-trade dicts.
-    Pure numpy/python — the unit the pandas oracle replays."""
+    Pure numpy/python — the unit the pandas oracle replays.
+
+    ``pred_matrix``: optional (n, horizon) array of MODEL-predicted
+    prices for ticks t+1..t+horizon — the reference's production loop
+    feeds the strategy its predictor's output CSV
+    (app/main.py predictions -> heuristic_strategy.py), not the future
+    slice; NaN entries (windows without forecasts) are dropped, which
+    disables entries at those ticks exactly like a short future slice.
+    None keeps the self-contained perfect-foresight path bit-identical.
+    """
     n = len(price)
     balance = initial_balance
     pos = None  # dict(direction, entry, entry_ts, entry_i, size, tp, sl, extreme)
@@ -75,7 +85,11 @@ def simulate_series(
     for i in range(n):
         p = float(price[i])
         t = pd.Timestamp(ts[i])
-        preds = price[i + 1: i + 1 + horizon]
+        if pred_matrix is not None:
+            row = pred_matrix[i]
+            preds = row[np.isfinite(row)]
+        else:
+            preds = price[i + 1: i + 1 + horizon]
         if pos is not None:
             if pos["direction"] == "long":
                 pos["extreme"] = min(pos["extreme"], p)
@@ -192,6 +206,54 @@ def simulate_heuristic_strategy(
     n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(series_col, ts_col, price_col)
+        .repartition(n_part, series_col)
+        .groupBy(series_col).applyInPandas(run, TRADE_SCHEMA)
+    )
+
+
+def simulate_model_strategy(
+    scored: DataFrame,
+    horizons: tuple[int, ...],
+    price_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    **params,
+) -> DataFrame:
+    """The reference's PRODUCTION composition: per-series model
+    predictions drive the heuristic strategy (app/main.py writes the
+    predictor's multi-horizon output, heuristic_strategy.py trades on
+    it). ``scored`` is the estimator/registry output — one row per
+    (series, tick) carrying ``pred_h{h}`` predicted prices — and each
+    series' fold reads its (n, |horizons|) prediction matrix instead of
+    the future slice. Ticks without forecasts (NaN rows from the window
+    warm-up or series edges) cannot open trades, exactly like the
+    reference skipping rows absent from the predictions CSV.
+
+    Same topology as simulate_heuristic_strategy: one fold per series,
+    one shuffle on the series key."""
+    hs = tuple(int(h) for h in horizons)
+    pred_cols = [f"pred_h{h}" for h in hs]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sid = int(pdf[series_col].iloc[0])
+        m = pdf[pred_cols].to_numpy(np.float64)
+        trades = simulate_series(
+            pdf[ts_col].to_numpy(), pdf[price_col].to_numpy(np.float64),
+            horizon=len(hs), pred_matrix=m, **params,
+        )
+        cols = ["entry_ts", "exit_ts", "direction", "entry", "exit", "size",
+                "pnl", "pips", "duration", "max_dd", "balance"]
+        out = pd.DataFrame(trades, columns=cols)
+        out.insert(0, "user_id", sid)
+        return out
+
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(scored.sparkSession)
+    n_part = scored.sparkSession.sparkContext.defaultParallelism
+    return (
+        scored.select(series_col, ts_col, price_col, *pred_cols)
         .repartition(n_part, series_col)
         .groupBy(series_col).applyInPandas(run, TRADE_SCHEMA)
     )

@@ -128,3 +128,51 @@ def test_stream_score_model_matches_batch(spark):
                                   batch["user_id"].to_numpy())
     np.testing.assert_array_equal(streamed["pred_h1"].to_numpy(),
                                   batch["pred_h1"].to_numpy())
+
+
+def test_model_predictions_drive_strategy(spark):
+    """The production composition: registry predictions -> heuristic
+    strategy. The distributed fold equals a local pandas replay of
+    simulate_series with the same prediction matrix, and perfect
+    predictions reproduce the perfect-foresight backtest."""
+    from predictor_spark.operators.trading import (
+        simulate_heuristic_strategy,
+        simulate_model_strategy,
+        simulate_series,
+    )
+    from predictor_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    hs = (1, 2, 3)
+    store = fit_per_series(
+        ev, mlp, train_end="2024-01-10 00:00:00", window=5, horizons=hs,
+        train_kwargs=dict(layers=1, units=5, epochs=3), seed=0,
+    )
+    scored = predict_from_weights(ev, store, mlp, seed=0)
+    trades = simulate_model_strategy(scored, hs) \
+        .toPandas().sort_values(["user_id", "entry_ts"]).reset_index(drop=True)
+
+    # local replay per series
+    sc = scored.toPandas()
+    import pandas as pd
+
+    reps = []
+    for uid, g in sc.groupby("user_id"):
+        g = g.sort_values("ts").reset_index(drop=True)
+        m = g[[f"pred_h{h}" for h in hs]].to_numpy(np.float64)
+        reps += [{**t, "user_id": uid} for t in simulate_series(
+            g["ts"].to_numpy(), g["value"].to_numpy(np.float64),
+            horizon=len(hs), pred_matrix=m)]
+    want = pd.DataFrame(reps).sort_values(["user_id", "entry_ts"]) \
+        .reset_index(drop=True)
+    assert len(trades) == len(want)
+    if len(trades):
+        np.testing.assert_array_equal(trades["pnl"].to_numpy(),
+                                      want["pnl"].to_numpy())
+        np.testing.assert_array_equal(trades["balance"].to_numpy(),
+                                      want["balance"].to_numpy())
+
+    # sanity: the default (perfect-foresight) path is untouched
+    pf = simulate_heuristic_strategy(ev, horizon=3)
+    assert pf.count() > 0
