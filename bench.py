@@ -63,9 +63,12 @@ HEADLINE = [
 # reference spends ~25 min per candidate of this shape (BASELINE.md) —
 # this row IS the baseline comparison for the model family.
 def _champion_row(spark, sf_dir):
-    from predictor_spark.plans.champion import champion_tcn_run
+    # the COMPLETE reference loop: features -> champion TCN (combined_diff)
+    # -> predictions -> model-driven strategy -> metrics + trading summary;
+    # one training pass feeds both legs
+    from predictor_spark.plans.champion import champion_full_pipeline
 
-    return champion_tcn_run(spark, sf_dir, bar_seconds=3600, epochs=10)
+    return champion_full_pipeline(spark, sf_dir, bar_seconds=3600, epochs=10)
 
 
 # ga_nbeats_search is the optimizer-over-predictor composition (reference

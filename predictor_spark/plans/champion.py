@@ -260,6 +260,40 @@ def champion_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def champion_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    bar_seconds: int = 600,
+    train_end: str = "2024-01-22 00:00:00",
+    epochs: int = 15,
+    seed: int = 0,
+    use_champion_loss: bool = True,
+) -> DataFrame:
+    """Train the champion-shaped TCN per series and return the scored
+    frame (one row per post-cutoff bar: v, baseline, per-horizon
+    target/pred/unc) — the input to both the metrics aggregate and the
+    trading leg."""
+    from predictor_spark.models import tcn
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    train_kwargs = dict(layers=CHAMPION_LAYERS, channels=CHAMPION_FILTERS,
+                        kernel=CHAMPION_KERNEL, epochs=epochs, lr=5e-3,
+                        weight_decay=1e-2)
+    if use_champion_loss:
+        from predictor_spark.models.losses import combined_diff_loss
+
+        train_kwargs["loss_fn"] = combined_diff_loss
+    bars, feats = champion_features(
+        champion_bar_series(spark, sf_dir, bar_seconds))
+    return fit_predict_per_series(
+        bars, tcn, value_col="v", ts_col="bts", series_col="sid",
+        train_end=train_end, window=CHAMPION_WINDOW,
+        horizons=CHAMPION_HORIZONS, feature_cols=feats,
+        train_kwargs=train_kwargs,
+        seed=seed,
+    )
+
+
 def champion_tcn_run(
     spark: SparkSession,
     sf_dir: str,
@@ -282,22 +316,8 @@ def champion_tcn_run(
     from predictor_spark.models import tcn
     from predictor_spark.models.estimator import fit_predict_per_series
 
-    train_kwargs = dict(layers=CHAMPION_LAYERS, channels=CHAMPION_FILTERS,
-                        kernel=CHAMPION_KERNEL, epochs=epochs, lr=5e-3,
-                        weight_decay=1e-2)
-    if use_champion_loss:
-        from predictor_spark.models.losses import combined_diff_loss
-
-        train_kwargs["loss_fn"] = combined_diff_loss
-    bars, feats = champion_features(
-        champion_bar_series(spark, sf_dir, bar_seconds))
-    scored = fit_predict_per_series(
-        bars, tcn, value_col="v", ts_col="bts", series_col="sid",
-        train_end=train_end, window=CHAMPION_WINDOW,
-        horizons=CHAMPION_HORIZONS, feature_cols=feats,
-        train_kwargs=train_kwargs,
-        seed=seed,
-    )
+    scored = champion_scored(spark, sf_dir, bar_seconds, train_end, epochs,
+                             seed, use_champion_loss)
     err = None
     nerr = None
     for h in CHAMPION_HORIZONS:
@@ -314,5 +334,59 @@ def champion_tcn_run(
         )
         .withColumn("beats_floor",
                     F.col("mae") <= F.col("naive_mae") * 1.05)
+        .orderBy("sid")
+    )
+
+
+def champion_full_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    bar_seconds: int = 600,
+    train_end: str = "2024-01-22 00:00:00",
+    epochs: int = 15,
+    seed: int = 0,
+) -> DataFrame:
+    """The reference's COMPLETE phase-1 loop in one program (app/main.py:
+    preprocess -> train champion -> write predictions ->
+    heuristic_strategy backtest -> summary): bars -> ~50 features ->
+    champion TCN under combined_diff -> multi-horizon price predictions
+    -> model-driven strategy fold -> per-series forecast metrics JOINED
+    with the trading summary. ONE training pass feeds both legs (the
+    scored frame is cached — it is tiny, one row per post-cutoff bar).
+    Returns per series: n, mae, naive_mae, beats_floor, n_trades,
+    avg_pnl, final_balance."""
+    from predictor_spark.operators.trading import (
+        simulate_model_strategy,
+        trading_summary,
+    )
+
+    scored = champion_scored(spark, sf_dir, bar_seconds, train_end, epochs,
+                             seed).cache()
+    err = None
+    nerr = None
+    for h in CHAMPION_HORIZONS:
+        e = F.abs(F.col(f"pred_h{h}") - F.col(f"target_h{h}"))
+        ne = F.abs(F.col("baseline") - F.col(f"target_h{h}"))
+        err = e if err is None else err + e
+        nerr = ne if nerr is None else nerr + ne
+    k = float(len(CHAMPION_HORIZONS))
+    metrics = (
+        scored.groupBy("sid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(err / k), 4).alias("mae"),
+            F.round(F.avg(nerr / k), 4).alias("naive_mae"),
+        )
+        .withColumn("beats_floor", F.col("mae") <= F.col("naive_mae") * 1.05)
+    )
+    # the estimator's scored frame always emits the price as "value"
+    trades = simulate_model_strategy(
+        scored, CHAMPION_HORIZONS,
+        price_col="value", ts_col="bts", series_col="sid",
+    )
+    summ = trading_summary(trades).select(
+        F.col("user_id").alias("sid"), "n_trades", "avg_pnl", "final_balance")
+    return (
+        metrics.join(summ, "sid", "left")
+        .fillna({"n_trades": 0})
         .orderBy("sid")
     )

@@ -169,6 +169,24 @@ def test_champion_shape_beats_naive_floor(spark):
         assert r["mae"] <= r["naive_mae"] * 1.05, r.asDict()
 
 
+@pytest.mark.slow
+def test_champion_full_pipeline(spark):
+    """The complete reference phase-1 loop: features -> champion TCN ->
+    predictions -> model-driven strategy -> joined metrics + trading
+    summary. Every series must beat the fitness floor and the strategy
+    must produce trades from the model's forecasts."""
+    from predictor_spark.plans.champion import champion_full_pipeline
+
+    rows = champion_full_pipeline(
+        spark, "/root/testdata/sf0.01", bar_seconds=3600, epochs=8,
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["beats_floor"], r.asDict()
+        assert r["n_trades"] > 0
+        assert r["final_balance"] is not None
+
+
 def test_champion_feature_count():
     """The feature frame carries ~50 channels (value + 49 features),
     mirroring the reference preprocessor's ~54-column frame."""
