@@ -134,3 +134,46 @@ def mc_uncertainty(
         lambda a, x: a + (x - F.col(mean_col)) * (x - F.col(mean_col)),
     )
     return df.withColumn(std_col, F.sqrt(m2 / F.lit(float(k - 1))))
+
+
+def masked_moments(
+    df: DataFrame,
+    value_col: str,
+    mask_col: str,
+    group_cols: Sequence[str] = (),
+    eps: float = 1e-8,
+) -> DataFrame:
+    """A10 — weighted/masked moments with the reference's gap-mask
+    semantics (predictor_plugins/common/losses.py:66-69 _masked_mean,
+    :128-131 _weighted_std):
+
+        masked_mean(x, m) = sum(x*m) / (sum(m) + eps)
+        weighted_std(x,m) = sqrt(masked_mean(m*(x-mu)^2) + eps)
+
+    The centered second moment expands algebraically so the whole family
+    is ONE groupBy pass (map-side partial aggregation, single shuffle):
+
+        sum(m*(x-mu)^2) = sum(m*x^2) - 2*mu*sum(m*x) + mu^2*sum(m)
+
+    Output per group: n (row count), mask_sum, masked_mean, masked_std.
+    At 100 TB this is the same shuffle profile as any built-in agg — three
+    partial sums per group, no second pass over the data.
+    """
+    x = F.col(value_col).cast("double")
+    m = F.col(mask_col).cast("double")
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("mask_sum"),
+        F.sum(m * x).alias("_sxm"),
+        F.sum(m * x * x).alias("_sx2m"),
+    )
+    s = F.col("mask_sum") + F.lit(eps)
+    mu = F.col("_sxm") / s
+    var = (F.col("_sx2m") - F.lit(2.0) * mu * F.col("_sxm") + mu * mu * F.col("mask_sum")) / s
+    return agg.select(
+        *group_cols,
+        "n",
+        "mask_sum",
+        mu.alias("masked_mean"),
+        F.sqrt(var + F.lit(eps)).alias("masked_std"),
+    )

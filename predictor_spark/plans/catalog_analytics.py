@@ -319,3 +319,46 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
     )
+
+
+@query(
+    "a10_masked_moments",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, value,
+               CASE WHEN value > 50 THEN 0.0 ELSE 1.0 END AS gap_mask
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(gap_mask) AS mask_sum,
+               SUM(gap_mask * value) AS sxm,
+               SUM(gap_mask * value * value) AS sx2m
+        FROM m GROUP BY event_type
+    )
+    SELECT event_type, n, mask_sum,
+           round(sxm / (mask_sum + 1e-8), 6) AS masked_mean,
+           round(sqrt((sx2m
+                       - 2 * (sxm / (mask_sum + 1e-8)) * sxm
+                       + (sxm / (mask_sum + 1e-8)) * (sxm / (mask_sum + 1e-8)) * mask_sum)
+                      / (mask_sum + 1e-8) + 1e-8), 6) AS masked_std
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def a10_masked_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — weighted/masked moments (losses.py:61-131 _masked_mean /
+    _weighted_std gap-mask semantics) as one distributed groupBy pass.
+    The gap mask here marks extreme spikes (value > 50) as gaps, the same
+    role the reference's is_gap_mask plays for holiday/missing bars."""
+    from predictor_spark.operators.metrics import masked_moments
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "gap_mask", F.when(F.col("value") > 50, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    out = masked_moments(ev, "value", "gap_mask", ["event_type"])
+    return out.select(
+        "event_type", "n", "mask_sum",
+        F.round("masked_mean", 6).alias("masked_mean"),
+        F.round("masked_std", 6).alias("masked_std"),
+    ).orderBy("event_type")

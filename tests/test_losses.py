@@ -16,9 +16,8 @@ import pytest
 from predictor_spark.models import losses as LO
 
 
-def _fd_check(fn, y_true, y_pred, atol=1e-6):
+def _fd_check(fn, y_true, y_pred, atol=1e-6, eps=1e-6):
     loss, g = fn(y_true, y_pred)
-    eps = 1e-6
     for i in range(len(y_pred)):
         yp = y_pred.copy(); yp[i] += eps
         lp = fn(y_true, yp)[0]
@@ -199,3 +198,90 @@ def test_distributed_training_under_loss_matches_local(spark, loss_name):
             want = core.predict(params, (X[te] - mu) / sd, hs)[1] * sd + mu
             got = out[out["user_id"] == uid]["pred_h1"].to_numpy()
             np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+# --- A10: gap-mask semantics (reference losses.py:61-131, masked branches) ---
+
+@pytest.mark.parametrize("name", ["trend_sigma", "pearson_structural",
+                                  "combined_diff", "soft_dtw"])
+def test_masked_gradcheck(name):
+    """Finite-diff check of the masked branch with a nontrivial 0/1 mask."""
+    rng = np.random.default_rng(11)
+    y_true = rng.normal(size=24) * 2.0 + 0.5
+    y_pred = rng.normal(size=24) * 2.0
+    mask = (rng.random(24) > 0.3).astype(float)
+    mask[0] = mask[-1] = 1.0  # keep the endpoint-direction branch stable
+    fn = lambda t, p: LO.LOSSES[name](t, p, mask=mask)
+    # soft_dtw: masked cells carry 1e6 cost (reference losses.py:230-233),
+    # so the loss is huge and tiny FD steps drown in cancellation — use a
+    # larger step (FD converges to the analytic gradient there).
+    _fd_check(fn, y_true, y_pred,
+              atol=1e-4 if name == "soft_dtw" else 1e-5,
+              eps=1e-4 if name == "soft_dtw" else 1e-6)
+
+
+@pytest.mark.parametrize("name", ["trend_sigma", "pearson_structural",
+                                  "combined_diff", "soft_dtw"])
+def test_masked_rows_do_not_move_loss(name):
+    """Perturbing y_pred ONLY at masked-out interior positions leaves the
+    loss unchanged (that is the point of a gap mask). soft_dtw's masked
+    cost matrix makes gap columns cost-free against every row."""
+    rng = np.random.default_rng(7)
+    n = 20
+    y_true = rng.normal(size=n)
+    y_pred = rng.normal(size=n)
+    mask = np.ones(n)
+    mask[5] = mask[6] = mask[13] = 0.0
+    l0, g0 = LO.LOSSES[name](y_true, y_pred, mask=mask)
+    yp = y_pred.copy()
+    yp[5] += 3.0
+    yp[13] -= 2.0
+    l1, _ = LO.LOSSES[name](y_true, yp, mask=mask)
+    assert l1 == pytest.approx(l0, abs=1e-9)
+    assert abs(g0[5]) < 1e-9 and abs(g0[13]) < 1e-9
+
+
+def test_all_ones_mask_matches_reference_masked_formulas():
+    """mask=ones is NOT bit-identical to mask=None (the reference divides
+    by sum(mask)+eps, the unmasked fast path by exact n) but must agree to
+    ~eps — pins that the masked branch implements the same math."""
+    rng = np.random.default_rng(13)
+    y_true = rng.normal(size=16)
+    y_pred = rng.normal(size=16)
+    ones = np.ones(16)
+    for name in ("trend_sigma", "pearson_structural", "combined_diff", "soft_dtw"):
+        l_plain, g_plain = LO.LOSSES[name](y_true, y_pred)
+        l_mask, g_mask = LO.LOSSES[name](y_true, y_pred, mask=ones)
+        assert l_mask == pytest.approx(l_plain, rel=1e-6, abs=1e-6)
+        np.testing.assert_allclose(g_mask, g_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_all_masked_soft_dtw_is_zero():
+    """Reference losses.py:232-233: an all-masked batch contributes 0."""
+    y = np.arange(8, dtype=float)
+    l, g = LO.soft_dtw_loss(y, y + 1.0, mask=np.zeros(8))
+    assert l == 0.0 and np.all(g == 0.0)
+
+
+def test_masked_moments_operator_matches_numpy(spark):
+    """A10 operator — one-pass masked mean/std equals the reference
+    formulas computed in numpy on the same grouped data."""
+    from predictor_spark.operators.metrics import masked_moments
+
+    rng = np.random.default_rng(17)
+    rows = [(("a" if i % 2 else "b"), float(rng.normal() * 10),
+             float(rng.random() > 0.25)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, x double, m double")
+    out = {r["grp"]: r for r in masked_moments(df, "x", "m", ["grp"]).collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, x, m in rows:
+        by[g].append((x, m))
+    for g, vals in by.items():
+        x = np.array([v[0] for v in vals]); m = np.array([v[1] for v in vals])
+        mu = LO._masked_mean(x, m)
+        sd = LO._weighted_std(x, m)
+        assert out[g]["n"] == len(vals)
+        assert out[g]["mask_sum"] == pytest.approx(m.sum())
+        assert out[g]["masked_mean"] == pytest.approx(mu, rel=1e-9)
+        assert out[g]["masked_std"] == pytest.approx(sd, rel=1e-9)
