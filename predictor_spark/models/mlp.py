@@ -137,18 +137,25 @@ def train(
     lr: float = 1e-2,
     weight_decay: float = 0.0,
     loss_fn=None,
+    on_epoch_end=None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Full-batch AdamW training; deterministic given (data, seed).
-    ``loss_fn``: optional models/losses.py objective (default Huber)."""
+    ``loss_fn``: optional models/losses.py objective (default Huber).
+    ``on_epoch_end(epoch, logs)``: optional per-epoch callback — the seam
+    the S12 resource loggers (sources/resource_log.py) attach to, the
+    analog of Keras callbacks in the reference
+    (predictor_plugins/common/callbacks.py)."""
     rng = np.random.default_rng(seed)
     p = init_params(rng, X.shape[1], tuple(horizons), layers, units)
     st = adam_init(p)
     losses = []
-    for _ in range(epochs):
+    for epoch in range(epochs):
         loss, g = loss_and_grads(p, X, targets, tuple(horizons),
                                  loss_fn=loss_fn)
         adam_step(p, g, st, lr=lr, weight_decay=weight_decay)
         losses.append(loss)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, {"loss": loss})
     return p, losses
 
 
