@@ -81,3 +81,22 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from predictor_spark.streaming.windows import late_data_drop_counts
 
     return late_data_drop_counts(spark, sf_dir, watermark="2 hours")
+
+
+@query(
+    "streaming_dedup_unique",
+    oracle="""
+    SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_unique
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def streaming_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup: first-seen-wins on (lang, md5(text)) with
+    state carried across >=3 micro-batches — the stream replays every
+    10th first-band document as an injected "refetch" duplicate two
+    batches later, so matching batch COUNT(DISTINCT text) on the RAW
+    table proves the cross-batch drops happened. Set-cardinality output
+    makes the streaming result deterministic."""
+    from predictor_spark.streaming.dedup import stream_dedup_unique_counts
+
+    return stream_dedup_unique_counts(spark, sf_dir).orderBy("lang")

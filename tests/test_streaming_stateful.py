@@ -87,3 +87,32 @@ def test_foreachbatch_inference_matches_batch_scoring(spark):
     got = {(r["user_id"], r["ts"]): r["pred"] for r in scored.collect()}
     want = {(r["user_id"], r["ts"]): r["pred"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_drops_cross_batch_refetches(spark):
+    """The chunked stream injects refetch duplicates of first-band docs
+    into the LAST micro-batch; the deduped per-lang counts must equal the
+    raw table's COUNT(DISTINCT text) — only possible if the dedup state
+    survives across batches. Also pins that the injection is real (the
+    stream carries strictly more rows than the table)."""
+    from predictor_spark.sources.tables import load_table
+    from predictor_spark.streaming.dedup import (
+        _chunked_docs_dir, stream_dedup_unique_counts)
+
+    d = _chunked_docs_dir(spark, SF_DIR)
+    streamed = spark.read.parquet(f"{d}/chunk_0.parquet", f"{d}/chunk_1.parquet",
+                                  f"{d}/chunk_2.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    n_raw, n_stream = docs.count(), streamed.count()
+    assert n_stream > n_raw  # refetch rows really are in the stream
+    # and they are true content duplicates of first-band docs
+    dup_texts = streamed.filter(F.col("doc_id") >= 1_000_000).select("text")
+    orig = docs.select("text")
+    assert dup_texts.exceptAll(orig).count() == 0
+
+    got = {r["lang"]: r["n_unique"]
+           for r in stream_dedup_unique_counts(spark, SF_DIR).collect()}
+    want = {r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(
+                F.count_distinct("text").alias("n")).collect()}
+    assert got == want
