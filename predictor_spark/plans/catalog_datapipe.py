@@ -133,3 +133,49 @@ def mixture_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, summary = datapipe.mixture_sample(docs, "lang", "n_tokens", "doc_id", mod=1000)
     return summary.orderBy("lang")
+
+
+@query(
+    "bm25_search_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ), lengths AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lengths
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term, ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf, c.avgdl
+        FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), corpus c
+    ), scores AS (
+        SELECT t.doc_id,
+               SUM(i.idf * t.tf * 2.2
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / i.avgdl))) AS score
+        FROM tf t JOIN idf i USING (term) JOIN lengths l USING (doc_id)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (query: "hash join scan"), top-20 by score.
+    Three aggregations over one corpus scan; the exploded token stream is
+    filtered to the query terms BEFORE any shuffle and the corpus/idf
+    scalars are broadcast. Deterministic cut: rounded score desc, doc_id."""
+    from predictor_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["hash", "join", "scan"], "doc_id", "text")
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -111,3 +111,33 @@ def test_mixture_sample_deterministic_and_budgeted(spark):
                                        "doc_id", mod=1000)
     assert sorted(r["doc_id"] for r in kept.collect()) == \
         sorted(r["doc_id"] for r in kept2.collect())
+
+
+def test_bm25_matches_hand_formula(spark):
+    """BM25 on a 3-doc corpus vs the closed form computed in numpy."""
+    import math
+
+    from predictor_spark.operators import retrieval
+
+    texts = {
+        1: "hash join hash scan filter",
+        2: "join order by value",
+        3: "scan scan scan scan",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           retrieval.bm25_scores(docs, ["hash", "scan"]).collect()}
+    # doc 2 has neither query term -> absent
+    assert set(got) == {1, 3}
+
+    k1, b = 1.2, 0.75
+    n_docs, avgdl = 3.0, (5 + 4 + 4) / 3.0
+    def idf(df): return math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    def part(tf, dl, df):
+        return idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want1 = part(2, 5, 1) + part(1, 5, 2)   # hash(df=1) + scan(df=2)
+    want3 = part(4, 4, 2)                   # scan only
+    assert got[1] == pytest.approx(want1, rel=1e-12)
+    assert got[3] == pytest.approx(want3, rel=1e-12)
+    # more occurrences of a rarer term outranks common-term spam
+    assert got[1] > got[3]
