@@ -95,6 +95,25 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin"],
         "not": ["SortMergeJoin", "CartesianProduct"],
     },
+    # round-4 additions: masked moments is a single partial-agg pass; the
+    # datapipe family must keep its tiny sides broadcast (benchmark
+    # shingles, rate table, corpus/idf scalars) and never cartesian
+    "a10_masked_moments": {"must": ["partial_"], "not": ["Join"]},
+    "pack_sequences_summary": {
+        "must": ["partial_"], "not": ["Join"], "max_window_execs": 1,
+    },
+    "contamination_ngram_overlap": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "mixture_stratified_sample": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "bm25_search_topk": {
+        "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "not": ["CartesianProduct"],
+    },
 }
 
 
