@@ -285,3 +285,31 @@ def test_masked_moments_operator_matches_numpy(spark):
         assert out[g]["mask_sum"] == pytest.approx(m.sum())
         assert out[g]["masked_mean"] == pytest.approx(mu, rel=1e-9)
         assert out[g]["masked_std"] == pytest.approx(sd, rel=1e-9)
+
+
+def test_masked_loss_shields_training_from_gap_rows():
+    """Train the MLP core on targets where 20% of rows are corrupted
+    gaps: with the gap mask the model still fits the clean signal; with
+    the unmasked loss the same corruption visibly degrades the fit. This
+    is the A10 contract end-to-end through a training loop."""
+    from predictor_spark.models import mlp
+
+    rng = np.random.default_rng(21)
+    n = 120
+    X = rng.normal(size=(n, 3))
+    beta = np.array([1.0, -0.5, 0.25])
+    y_clean = X @ beta
+    y = y_clean.copy()
+    gap = rng.random(n) < 0.2
+    y[gap] += rng.normal(scale=25.0, size=gap.sum())  # wild corruption
+    mask = (~gap).astype(float)
+
+    masked_fn = lambda t, p: LO.combined_diff_loss(t, p, mask=mask)
+    p_masked, _ = mlp.train(X, {1: y}, (1,), seed=3, epochs=300, lr=3e-2,
+                            loss_fn=masked_fn)
+    p_plain, _ = mlp.train(X, {1: y}, (1,), seed=3, epochs=300, lr=3e-2,
+                           loss_fn=LO.combined_diff_loss)
+    mae_masked = np.abs(mlp.predict(p_masked, X, (1,))[1] - y_clean)[~gap].mean()
+    mae_plain = np.abs(mlp.predict(p_plain, X, (1,))[1] - y_clean)[~gap].mean()
+    assert mae_masked < 0.5 * mae_plain
+    assert mae_masked < 0.5
