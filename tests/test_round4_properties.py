@@ -140,3 +140,68 @@ def test_combined_diff_gradient_property(n, seed):
         lm = combined_diff_loss(y_true, yp)[0]
         num = (lp - lm) / (2 * eps)
         assert abs(num - g[i]) < 1e-4 * max(1.0, abs(num)), (i, num, g[i])
+
+
+@given(
+    n=st.integers(1, 80),
+    budget=st.integers(5, 200),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_grid_law_property(spark, n, budget, seed):
+    """pack_sequences == the per-shard cumulative-sum grid law for
+    arbitrary token sizes (including docs far above the budget)."""
+    from predictor_spark.operators.datapipe import pack_sequences
+
+    rng = np.random.default_rng(seed)
+    toks = rng.integers(1, 3 * budget, size=n)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "shard": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+        "n_tok": toks,
+    })
+    out = pack_sequences(spark.createDataFrame(pdf), "doc_id", "n_tok",
+                         "shard", budget).toPandas()
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        cum_before = grp["n_tok"].cumsum().shift(fill_value=0)
+        want = (cum_before // budget).to_numpy()
+        assert (grp["seq_id"].to_numpy() == want).all()
+
+
+@given(
+    masks=st.lists(st.integers(0, 1), min_size=4, max_size=24),
+    seed=st.integers(0, 10_000),
+    name=st.sampled_from(["trend_sigma", "pearson_structural",
+                          "combined_diff"]),
+)
+@settings(**SETTINGS)
+def test_masked_loss_equals_trimmed_view_property(masks, seed, name):
+    """For LEVEL-only components the gap mask must behave like deleting
+    the masked rows: compare against the loss recomputed on the kept rows
+    with matching denominators. Checked via the analytic gradient being
+    zero exactly at masked positions and FD agreement at kept positions —
+    on arbitrary 0/1 masks (all-masked included)."""
+    from predictor_spark.models import losses as LO
+
+    m = np.array(masks, dtype=float)
+    n = len(m)
+    rng = np.random.default_rng(seed)
+    y_true = rng.normal(size=n)
+    y_pred = rng.normal(size=n)
+    loss, g = LO.LOSSES[name](y_true, y_pred, mask=m)
+    assert np.isfinite(loss)
+    # masked interior positions never carry gradient
+    for i in range(1, n - 1):
+        if m[i] == 0.0 and (name != "combined_diff" or True):
+            assert abs(g[i]) < 1e-9, (i, g[i])
+    # spot FD check on up to 3 kept positions
+    kept = [i for i in range(n) if m[i] == 1.0][:3]
+    eps = 1e-6
+    for i in kept:
+        yp = y_pred.copy(); yp[i] += eps
+        lp = LO.LOSSES[name](y_true, yp, mask=m)[0]
+        yp = y_pred.copy(); yp[i] -= eps
+        lm = LO.LOSSES[name](y_true, yp, mask=m)[0]
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - g[i]) < 1e-4 * max(1.0, abs(num)), (i, num, g[i])
