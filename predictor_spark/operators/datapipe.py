@@ -75,22 +75,27 @@ def contamination_pairs(
     through one scan + one partial-agg shuffle keyed on the (corpus,
     bench) pair — never on raw shingles.
     """
+    # one shingle evaluation per corpus doc: carry |set| alongside the
+    # exploded shingles (an int per row) instead of re-shingling the
+    # corpus in a second branch — shingling is the md5/regex-bound cost
     c_sh = _doc_shingles(corpus, id_col, text_col, n).select(
-        F.col(id_col).alias("corpus_id"), F.explode("sh").alias("shingle")
+        F.col(id_col).alias("corpus_id"),
+        F.size("sh").alias("set_size"),
+        F.explode("sh").alias("shingle"),
     )
     b_sh = _doc_shingles(benchmark, id_col, text_col, n).select(
         F.col(id_col).alias("bench_id"), F.explode("sh").alias("shingle")
     )
-    sizes = _doc_shingles(corpus, id_col, text_col, n).select(
-        F.col(id_col).alias("corpus_id"), F.size("sh").alias("set_size")
-    )
     common = (
         c_sh.join(broadcast(b_sh), "shingle")
         .groupBy("corpus_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("set_size").alias("set_size"),
+        )
         .filter(F.col("n_common") >= min_common)
     )
-    return common.join(sizes, "corpus_id").select(
+    return common.select(
         "corpus_id",
         "bench_id",
         "n_common",
