@@ -35,7 +35,8 @@ def _load_catalog():
     for mod in ("catalog_streaming", "catalog_multimodal", "catalog_forecast",
                 "catalog_analytics", "catalog_mllib", "catalog_parity",
                 "catalog_models", "catalog_search", "catalog_trading",
-                "catalog_e2e", "champion", "catalog_datapipe"):
+                "catalog_e2e", "champion", "catalog_datapipe",
+                "catalog_behavior"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:
