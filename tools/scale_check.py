@@ -1,8 +1,13 @@
 """Scaling evidence — run the bench headline at every available scale
-factor and report per-query wall-clock plus the sf0.01 -> sf0.1 growth
-ratio (data grows 10x; a scan-bound operator should grow well under 10x
-at these tiny sizes where fixed overhead dominates, and must never grow
-super-linearly).
+factor and report per-query wall-clock plus 10x growth ratios (a
+scan-bound operator should grow well under 10x at sizes where fixed
+overhead dominates, and must never grow super-linearly).
+
+Scale factors: the three driver-provided dirs (sf0.001/0.01/0.1) plus a
+synthesized sf1 (tools/make_sf1.py: 10 key-offset replicas of sf0.1 —
+6M lineitem / 1M events — built on demand in /tmp). The sf1 column is
+the load-bearing one: at sf0.1 fixed overhead still dominates most rows,
+at sf1 the x10 ratio starts reflecting the actual plan.
 
 Usage: python tools/scale_check.py [out_md]
 Writes SCALING.md (or out_md) with one table, and prints it.
@@ -15,7 +20,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SF1_DIR = "/tmp/predictor_spark_sf1"
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+       SF1_DIR]
 
 
 def main() -> None:
@@ -23,6 +30,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bench import HEADLINE, materialize
 
+    from tools.make_sf1 import build
+
+    build(SF1_DIR)  # no-op when already present
     spark = get_spark("scale_check")
     qs = entry_mod.queries()
     # warm-up once per sf dir (parquet footers), plus codegen warm-up
@@ -50,16 +60,21 @@ def main() -> None:
     lines = [
         "# SCALING — headline wall-clock by scale factor",
         "",
-        "Same plans, 100x data range. `x10 ratio` = sf0.1 / sf0.01 time for",
-        "10x the rows (fixed overhead keeps it far below 10 at these sizes;",
-        "anything >10 would flag a super-linear plan).",
+        "Same plans, 1000x data range (sf1 = synthesized 10x sf0.1:",
+        "6M lineitem / 1M events / 50k docs, tools/make_sf1.py). Ratios are",
+        "time multipliers for 10x the rows; fixed overhead keeps them far",
+        "below 10 at the small end, and the 0.1->1 column is the honest",
+        "plan signal — anything approaching/exceeding 10 there flags a",
+        "super-linear plan.",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | x10 ratio |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | x10 (.01->.1) | x10 (.1->1) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, ts in timings.items():
-        ratio = round(ts[2] / ts[1], 2) if ts[1] > 0 else float("nan")
-        lines.append(f"| {name} | {ts[0]} | {ts[1]} | {ts[2]} | {ratio} |")
+        r1 = round(ts[2] / ts[1], 2) if ts[1] > 0 else float("nan")
+        r2 = round(ts[3] / ts[2], 2) if ts[2] > 0 else float("nan")
+        lines.append(
+            f"| {name} | {ts[0]} | {ts[1]} | {ts[2]} | {ts[3]} | {r1} | {r2} |")
     out = "\n".join(lines) + "\n"
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALING.md"
     with open(path, "w") as f:
