@@ -11,7 +11,7 @@ checked as an algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.operators import dedup, similarity, text
 from predictor_spark.plans.catalog import query, _t
@@ -547,3 +547,69 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
                                       k=5, n_planes=6, dim=64)
+
+
+@query(
+    "knn_label_vote_accuracy",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 100),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+            FROM q, c WHERE query_id != neighbor_id
+        ) WHERE rank <= 5
+    ), votes AS (
+        SELECT t.query_id, e.label AS nb_label, count(*) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT query_id, nb_label AS pred_label FROM (
+            SELECT query_id, nb_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, nb_label) AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT e.label AS true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: 5-NN majority-vote label prediction for the
+    first 100 vectors, per-class hit counts. Votes and prediction ties
+    resolve deterministically ((n_votes desc, label asc)); the kNN stage
+    reuses the broadcast-query brute-force operator. This is the eval
+    loop a curation pipeline runs to decide whether an embedding space is
+    good enough to drive semantic dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
+    nb = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("query_id", "nb_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("nb_label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("bigint").alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
