@@ -147,3 +147,53 @@ def remote_log(
     except requests.RequestException as e:
         print(f"Failed to log remote information: {e}", file=sys.stderr)
         return False
+
+
+def process_unknown_args(unknown_args: list[str]) -> dict[str, str]:
+    """config_merger.py:6-7 — pair up ``--key value`` residue from the
+    CLI parser."""
+    return {
+        unknown_args[i].lstrip("-"): unknown_args[i + 1]
+        for i in range(0, len(unknown_args) - 1, 2)
+    }
+
+
+def convert_type(value: str):
+    """config_merger.py:9-16 — int, else float, else string."""
+    try:
+        return int(value)
+    except ValueError:
+        try:
+            return float(value)
+        except ValueError:
+            return value
+
+
+def merge_config(
+    defaults: dict[str, Any],
+    plugin_params1: dict[str, Any],
+    plugin_params2: dict[str, Any],
+    file_config: dict[str, Any],
+    cli_args: dict[str, Any],
+    unknown_args: dict[str, str],
+    cli_keys: list[str] | None = None,
+) -> dict[str, Any]:
+    """config_merger.py:18-77 — precedence merge of the six config
+    sources: plugin1 < plugin2 < app defaults < file < CLI. CLI keys are
+    applied only for flags actually present on the command line
+    (``cli_keys``; the reference reads sys.argv — passed explicitly here
+    so the merge is a pure function), known argparse keys win over
+    unknown ones, and unknown values get int/float coercion."""
+    merged: dict[str, Any] = {}
+    merged.update(plugin_params1)
+    merged.update(plugin_params2)
+    merged.update(defaults)
+    merged.update(file_config)
+    if cli_keys is None:
+        cli_keys = list(cli_args) + list(unknown_args)
+    for key in cli_keys:
+        if key in cli_args:
+            merged[key] = cli_args[key]
+        elif key in unknown_args:
+            merged[key] = convert_type(unknown_args[key])
+    return merged

@@ -117,3 +117,31 @@ def test_remote_load_config(http_server):
     cfg = cs.remote_load_config(http_server + "/cfg", "u", "p")
     assert cfg == {"plugin": "tcn", "window_size": 79}
     assert cs.remote_load_config("http://127.0.0.1:9/") is None
+
+
+def test_merge_config_precedence():
+    """config_merger.py:18-77 — plugin1 < plugin2 < defaults < file < CLI,
+    CLI applied only for present flags, unknown values type-coerced."""
+    merged = cs.merge_config(
+        defaults={"epochs": 100, "plugin": "ann"},
+        plugin_params1={"filters": 8, "epochs": 1},
+        plugin_params2={"filters": 19},
+        file_config={"plugin": "tcn", "window": 79},
+        cli_args={"epochs": 200, "lr": 0.001},
+        unknown_args={"mmd_lambda": "0.5", "tag": "run7"},
+        cli_keys=["epochs", "mmd_lambda", "tag"],
+    )
+    assert merged["filters"] == 19        # plugin2 over plugin1
+    assert merged["plugin"] == "tcn"      # file over defaults
+    assert merged["window"] == 79
+    assert merged["epochs"] == 200        # CLI (present flag) wins
+    assert "lr" not in merged             # parsed but flag not on argv
+    assert merged["mmd_lambda"] == 0.5    # unknown arg, float-coerced
+    assert merged["tag"] == "run7"        # unknown arg, stays string
+
+
+def test_process_unknown_args_and_convert():
+    assert cs.process_unknown_args(["--a", "1", "--b", "x"]) == {"a": "1", "b": "x"}
+    assert cs.convert_type("3") == 3
+    assert cs.convert_type("3.5") == 3.5
+    assert cs.convert_type("abc") == "abc"
