@@ -116,3 +116,50 @@ def test_streaming_dedup_drops_cross_batch_refetches(spark):
             for r in docs.groupBy("lang").agg(
                 F.count_distinct("text").alias("n")).collect()}
     assert got == want
+
+
+def test_streaming_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the dedup stream after two micro-batches, then restart from
+    its checkpoint with the third (duplicate-carrying) chunk now present:
+    the restarted query must restore the dropDuplicates state store and
+    still drop the refetches. If state were lost on restart, the per-lang
+    counts would overcount by the injected duplicates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from predictor_spark.sources.tables import load_table
+    from predictor_spark.streaming.dedup import _chunked_docs_dir
+
+    chunks = _chunked_docs_dir(spark, SF_DIR)
+    src = str(tmp_path / "arriving")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(src)
+    shutil.copy(f"{chunks}/chunk_0.parquet", f"{src}/chunk_0.parquet")
+    shutil.copy(f"{chunks}/chunk_1.parquet", f"{src}/chunk_1.parquet")
+
+    schema = spark.read.parquet(f"{src}/chunk_0.parquet").schema
+
+    def run(name):
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        ded = stream.withColumn("h", F.md5("text")).dropDuplicates(["lang", "h"])
+        agg = ded.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["lang"]: r["n_unique"] for r in spark.table(name).collect()}
+
+    partial = run("sdd_ckpt_a")          # chunks 0+1, then stop
+    shutil.copy(f"{chunks}/chunk_2.parquet", f"{src}/chunk_2.parquet")
+    final = run("sdd_ckpt_b")            # restart from checkpoint
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("n")).collect()}
+    assert final == want                  # refetches dropped across restart
+    assert sum(partial.values()) < sum(final.values())  # run 1 really stopped early
