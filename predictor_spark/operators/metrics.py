@@ -169,7 +169,13 @@ def masked_moments(
     )
     s = F.col("mask_sum") + F.lit(eps)
     mu = F.col("_sxm") / s
-    var = (F.col("_sx2m") - F.lit(2.0) * mu * F.col("_sxm") + mu * mu * F.col("mask_sum")) / s
+    # clamp: the expanded second moment can cancel slightly negative for
+    # near-constant large-magnitude groups; the reference's two-pass
+    # _weighted_std is >= 0 by construction, so floor at 0 before sqrt
+    var = F.greatest(
+        (F.col("_sx2m") - F.lit(2.0) * mu * F.col("_sxm") + mu * mu * F.col("mask_sum")) / s,
+        F.lit(0.0),
+    )
     return agg.select(
         *group_cols,
         "n",

@@ -338,10 +338,10 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n, mask_sum,
            round(sxm / (mask_sum + 1e-8), 6) AS masked_mean,
-           round(sqrt((sx2m
+           round(sqrt(greatest((sx2m
                        - 2 * (sxm / (mask_sum + 1e-8)) * sxm
                        + (sxm / (mask_sum + 1e-8)) * (sxm / (mask_sum + 1e-8)) * mask_sum)
-                      / (mask_sum + 1e-8) + 1e-8), 6) AS masked_std
+                      / (mask_sum + 1e-8), 0) + 1e-8), 6) AS masked_std
     FROM agg
     ORDER BY event_type
     """,

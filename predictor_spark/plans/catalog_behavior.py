@@ -49,7 +49,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = ev.filter(F.col("event_type") == kind)
         if prev is not None:
             cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
-        return cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        # each stage frame feeds BOTH the next stage and its own count —
+        # cache the tiny per-user frame so the chain executes once, not
+        # once per downstream consumer (3 counts would otherwise re-scan
+        # events ~6x)
+        return cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")).cache()
 
     v = stage("view", None)
     c = stage("click", v)

@@ -183,14 +183,27 @@ def merge_config(
     applied only for flags actually present on the command line
     (``cli_keys``; the reference reads sys.argv — passed explicitly here
     so the merge is a pure function), known argparse keys win over
-    unknown ones, and unknown values get int/float coercion."""
+    unknown ones, and unknown values get int/float coercion.
+
+    ``cli_keys`` is REQUIRED whenever cli_args is non-empty: an argparse
+    namespace contains a default for every flag NOT typed on the command
+    line, and applying those would silently override the file config —
+    the exact precedence inversion the reference's sys.argv filter
+    prevents (config_merger.py:62). unknown_args need no key list: they
+    exist only because they were typed."""
     merged: dict[str, Any] = {}
     merged.update(plugin_params1)
     merged.update(plugin_params2)
     merged.update(defaults)
     merged.update(file_config)
     if cli_keys is None:
-        cli_keys = list(cli_args) + list(unknown_args)
+        if cli_args:
+            raise ValueError(
+                "merge_config: cli_keys (the flags actually present on the "
+                "command line) is required when cli_args is non-empty — "
+                "argparse defaults would otherwise override the file config"
+            )
+        cli_keys = list(unknown_args)
     for key in cli_keys:
         if key in cli_args:
             merged[key] = cli_args[key]

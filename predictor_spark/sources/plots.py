@@ -37,7 +37,10 @@ def loss_curve_frame(spark: SparkSession, history: dict[str, Sequence[float]]) -
     """Epoch-indexed train/val loss table from a training history dict
     (the engine cores' train() return shape; reference history.history)."""
     train = [float(v) for v in history.get("loss", [])]
-    val = list(history.get("val_loss", [])) or [None] * len(train)
+    val = list(history.get("val_loss", []))
+    # pad (don't zip-truncate) when validation ran on fewer epochs: the
+    # full train curve must survive a partial val history
+    val += [None] * (len(train) - len(val))
     rows = [(i, t, None if v is None else float(v))
             for i, (t, v) in enumerate(zip(train, val))]
     return spark.createDataFrame(rows, "epoch int, loss double, val_loss double")

@@ -45,21 +45,28 @@ def _chunked_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> st
     original arrived two micro-batches earlier, proving the state store
     carries across batches. Cache keyed by content fingerprint (ADVICE r3)."""
     fp = table_fingerprint(sf_dir, "documents")
-    key = hashlib.md5(f"{sf_dir}/docs_chunks_v2/{fp}/{n_chunks}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}/docs_chunks_v3/{fp}/{n_chunks}".encode()).hexdigest()[:12]
     d = f"/tmp/predictor_spark_stream_docs/{key}"
     if not (os.path.isdir(d) and len(glob.glob(f"{d}/chunk_*.parquet")) == n_chunks):
         os.makedirs(d, exist_ok=True)
         docs = load_table(spark, sf_dir, "documents")
-        n = docs.count()
-        band = max(1, (n + n_chunks - 1) // n_chunks)
+        # band over the ACTUAL id range, not [0, count): offset or sparse
+        # doc_ids (e.g. the synthesized sf1 replicas) must still land every
+        # row in exactly one chunk
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = int(hi) - int(lo) + 1
+        band = max(1, (span + n_chunks - 1) // n_chunks)
+        # refetch ids start past max(doc_id) so they can never collide
+        # with a genuine document id
         refetch = (
-            docs.filter((F.col("doc_id") < band) & (F.col("doc_id") % 10 == 0))
-            .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+            docs.filter((F.col("doc_id") < lo + band) & (F.col("doc_id") % 10 == 0))
+            .withColumn("doc_id", F.col("doc_id") - F.lit(int(lo)) + F.lit(int(hi) + 1))
         )
         for i in range(n_chunks):
             part = docs.filter(
-                (F.col("doc_id") >= i * band) & (F.col("doc_id") < (i + 1) * band)
-            )
+                (F.col("doc_id") >= lo + i * band)
+                & ((F.col("doc_id") < lo + (i + 1) * band) | F.lit(i == n_chunks - 1))
+            ).filter(F.col("doc_id") <= hi)
             if i == n_chunks - 1:
                 part = part.unionByName(refetch)
             tmp = f"{d}/__tmp_{i}"
@@ -98,7 +105,9 @@ def stream_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches = len(q.recentProgress)
     finally:
         q.stop()
-    out = spark.table(name)
+    from predictor_spark.streaming.windows import drain_memory_sink
+
+    out = drain_memory_sink(spark, name, agg.schema)
     # the multi-batch contract is load-bearing for the cross-batch-state
     # claim; fail loudly if the source collapsed into one trigger
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"

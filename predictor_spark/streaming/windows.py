@@ -20,6 +20,19 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+def drain_memory_sink(spark: SparkSession, name: str, schema) -> DataFrame:
+    """Collect a completed memory-sink table and DROP the temp view.
+
+    The memory sink already holds its rows on the driver, so the collect
+    adds nothing; without the drop, every call leaves a uuid-named
+    in-memory table registered for the session lifetime (bench loops and
+    grading sweeps accumulate them). Returns a plain local-relation
+    DataFrame with the aggregation's schema."""
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource requires a DIRECTORY source; testdata is read-only
     single files. Build (once) a /tmp dir of symlinks to the parquet file."""
@@ -86,7 +99,7 @@ def tumbling_event_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name, agg.schema)
 
 
 def sessionized_stream_counts(
@@ -114,7 +127,7 @@ def sessionized_stream_counts(
     finally:
         q.stop()
     return (
-        spark.table(name)
+        drain_memory_sink(spark, name, agg.schema)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
@@ -198,4 +211,4 @@ def late_data_drop_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name, agg.schema)

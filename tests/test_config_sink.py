@@ -145,3 +145,13 @@ def test_process_unknown_args_and_convert():
     assert cs.convert_type("3") == 3
     assert cs.convert_type("3.5") == 3.5
     assert cs.convert_type("abc") == "abc"
+
+
+def test_merge_config_requires_cli_keys_for_cli_args():
+    """Without the present-flag list, argparse defaults would silently
+    override the file config — merge_config refuses instead."""
+    with pytest.raises(ValueError, match="cli_keys"):
+        cs.merge_config({}, {}, {}, {"epochs": 6}, {"epochs": 100}, {})
+    # unknown args alone need no key list: they exist because typed
+    out = cs.merge_config({}, {}, {}, {"epochs": 6}, {}, {"lr": "0.1"})
+    assert out == {"epochs": 6, "lr": 0.1}

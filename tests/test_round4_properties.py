@@ -193,7 +193,7 @@ def test_masked_loss_equals_trimmed_view_property(masks, seed, name):
     assert np.isfinite(loss)
     # masked interior positions never carry gradient
     for i in range(1, n - 1):
-        if m[i] == 0.0 and (name != "combined_diff" or True):
+        if m[i] == 0.0:
             assert abs(g[i]) < 1e-9, (i, g[i])
     # spot FD check on up to 3 kept positions
     kept = [i for i in range(n) if m[i] == 1.0][:3]

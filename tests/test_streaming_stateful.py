@@ -105,8 +105,11 @@ def test_streaming_dedup_drops_cross_batch_refetches(spark):
     docs = load_table(spark, SF_DIR, "documents")
     n_raw, n_stream = docs.count(), streamed.count()
     assert n_stream > n_raw  # refetch rows really are in the stream
-    # and they are true content duplicates of first-band docs
-    dup_texts = streamed.filter(F.col("doc_id") >= 1_000_000).select("text")
+    # and they are true content duplicates of first-band docs (refetch
+    # ids start past the real max id)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    dup_texts = streamed.filter(F.col("doc_id") > hi).select("text")
+    assert dup_texts.count() == n_stream - n_raw
     orig = docs.select("text")
     assert dup_texts.exceptAll(orig).count() == 0
 
