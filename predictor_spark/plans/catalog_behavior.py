@@ -132,3 +132,22 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+@query(
+    "skewed_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def skewed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the skew-proof two-stage
+    form (operators/skew.py): dedupe on the full (key, payload) tuple —
+    a shuffle that balances no matter how hot a key is — then count per
+    key. Result-identical to count_distinct; at 100 TB it is the
+    difference between one whale reducer and an even spread."""
+    from predictor_spark.operators.skew import two_stage_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return two_stage_count_distinct(ev, "event_type", "user_id").orderBy("event_type")
