@@ -613,3 +613,130 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+def _curation_oracle() -> str:
+    """Composed curation-pipeline oracle: quality gate -> exact dedup ->
+    LSH near-dup clusters -> benchmark contamination screen -> per-lang
+    survivor report. Reuses the minhash pair fragment re-pointed at the
+    filtered corpus."""
+    pairs_sql = _minhash_oracle(num_perm=16, bands=4, threshold=0.1).replace(
+        "FROM documents", "FROM corpus"
+    )
+    return rf"""
+    WITH RECURSIVE
+    qdocs AS (
+        SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOKS}, t -> lower(t) IN
+                       ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                       / len({_TOKS}) AS stopword_ratio,
+                   (CAST(length(text) AS DOUBLE) - (len({_TOKS}) - 1)) / len({_TOKS})
+                       AS mean_word_len,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n_tok
+            FROM documents
+        ), LATERAL (
+            SELECT ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END)
+                  + least(punct_ratio * 10.0, 1.0)) / 4.0 AS quality_score
+        )
+        WHERE quality_score > 0.5
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
+    corpus AS (
+        SELECT q.doc_id, q.text, q.lang FROM qdocs q
+        JOIN ex ON ex.doc_id = q.doc_id
+        WHERE q.doc_id % 50 <> 0
+    ),
+    pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    drops AS (
+        SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)
+    ),
+    survivors AS (
+        SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) - 1),
+                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                  FROM survivors)
+        )
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) - 1),
+                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                  FROM documents WHERE doc_id % 50 = 0)
+        )
+    ),
+    cont AS (
+        SELECT DISTINCT corpus_id FROM (
+            SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id
+            FROM csh c JOIN bsh b ON c.shingle = b.shingle
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+    ),
+    final AS (
+        SELECT * FROM survivors WHERE doc_id NOT IN (SELECT corpus_id FROM cont)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM final GROUP BY lang ORDER BY lang
+    """
+
+
+@query("curation_e2e_report", oracle=_curation_oracle())
+def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation program a training-data pipeline runs,
+    composed from the engine's operators in one plan: Gopher-style
+    quality gate (> 0.5) -> exact dedup (min-id per content hash) ->
+    MinHash-LSH near-dup clusters with canonical-min survivors ->
+     3-gram contamination screen against the benchmark set (every 50th
+    doc) -> per-lang survivor counts + token budget. The report is what
+    a mixture/packing stage consumes next (pack_sequences_summary /
+    mixture_stratified_sample run the same frames)."""
+    from predictor_spark.operators import datapipe
+
+    docs = _t(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs).filter(F.col("quality_score") > 0.5) \
+        .select("doc_id", "text", "lang")
+    keep_ids = dedup.exact_dedup(q, ["text"], "doc_id").select("doc_id")
+    corpus = q.join(keep_ids, "doc_id").filter(F.col("doc_id") % 50 != 0).cache()
+    pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                    n=3, num_perm=16, bands=4, threshold=0.1)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    drops = cc.filter(F.col("vertex") != F.col("component")) \
+        .select(F.col("vertex").alias("doc_id"))
+    survivors = corpus.join(drops, "doc_id", "left_anti")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cont = datapipe.contamination_pairs(survivors, bench, "doc_id", "text",
+                                        n=3, min_common=2) \
+        .select(F.col("corpus_id").alias("doc_id")).distinct()
+    final = survivors.join(cont, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(text.tokens_col("text"))).cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
