@@ -45,10 +45,11 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "text_quality_score",
     "text_winnow_fingerprint",
-    # curation layer (round 4): packing / contamination / retrieval
+    # curation layer (round 4): packing / contamination / retrieval / e2e
     "pack_sequences_summary",
     "contamination_ngram_overlap",
     "bm25_search_topk",
+    "curation_e2e_report",
     # scale-path custom operators
     "range_join_event_windows",
     "ar_order_select_aic",

@@ -64,6 +64,7 @@ def contamination_pairs(
     text_col: str,
     n: int = 3,
     min_common: int = 2,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing >= min_common distinct word n-grams
     with any benchmark document (train/eval contamination screening).
@@ -77,8 +78,13 @@ def contamination_pairs(
     """
     # one shingle evaluation per corpus doc: carry |set| alongside the
     # exploded shingles (an int per row) instead of re-shingling the
-    # corpus in a second branch — shingling is the md5/regex-bound cost
-    c_sh = _doc_shingles(corpus, id_col, text_col, n).select(
+    # corpus in a second branch — shingling is the md5/regex-bound cost.
+    # corpus_shingles: a composing caller (curation pipeline) passes a
+    # pre-computed (id, sh) frame so earlier stages' shingle work is
+    # reused instead of re-derived from text.
+    base = (corpus_shingles if corpus_shingles is not None
+            else _doc_shingles(corpus, id_col, text_col, n))
+    c_sh = base.select(
         F.col(id_col).alias("corpus_id"),
         F.size("sh").alias("set_size"),
         F.explode("sh").alias("shingle"),

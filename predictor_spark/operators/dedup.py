@@ -189,6 +189,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    doc_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -205,9 +206,16 @@ def minhash_lsh_pairs(
     assert rows_per_band * bands == num_perm
     # per-doc shingle arrays, computed ONCE and cached (three consumers:
     # signatures + both verify sides); .count() materializes the cache
-    # before the branches fan out so none of them re-tokenizes
-    doc = _doc_shingles(df, id_col, text_col, n).cache()
-    doc.count()
+    # before the branches fan out so none of them re-tokenizes.
+    # doc_shingles: a caller composing several shingle consumers (e.g.
+    # the curation pipeline's LSH + contamination stages) passes its own
+    # (id, sh) frame so the corpus is shingled once across ALL stages —
+    # the caller owns that frame's caching.
+    if doc_shingles is not None:
+        doc = doc_shingles
+    else:
+        doc = _doc_shingles(df, id_col, text_col, n).cache()
+        doc.count()
     sig = doc.select(F.col(id_col), _sig_array(F.col("sh"), num_perm).alias("sig"))
 
     band_structs = F.array(*[

@@ -714,21 +714,29 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mixture/packing stage consumes next (pack_sequences_summary /
     mixture_stratified_sample run the same frames)."""
     from predictor_spark.operators import datapipe
+    from predictor_spark.operators.dedup import _doc_shingles
 
     docs = _t(spark, sf_dir, "documents")
     q = text.with_quality_score(docs).filter(F.col("quality_score") > 0.5) \
         .select("doc_id", "text", "lang")
     keep_ids = dedup.exact_dedup(q, ["text"], "doc_id").select("doc_id")
     corpus = q.join(keep_ids, "doc_id").filter(F.col("doc_id") % 50 != 0).cache()
+    # shingle the corpus ONCE for both downstream consumers (LSH minhash
+    # + contamination screen) — shingling is the scan-bound cost at scale
+    corpus_sh = _doc_shingles(corpus, "doc_id", "text", 3).cache()
+    corpus_sh.count()
     pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text",
-                                    n=3, num_perm=16, bands=4, threshold=0.1)
+                                    n=3, num_perm=16, bands=4, threshold=0.1,
+                                    doc_shingles=corpus_sh)
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     drops = cc.filter(F.col("vertex") != F.col("component")) \
         .select(F.col("vertex").alias("doc_id"))
     survivors = corpus.join(drops, "doc_id", "left_anti")
+    surv_sh = corpus_sh.join(drops, "doc_id", "left_anti")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     cont = datapipe.contamination_pairs(survivors, bench, "doc_id", "text",
-                                        n=3, min_common=2) \
+                                        n=3, min_common=2,
+                                        corpus_shingles=surv_sh) \
         .select(F.col("corpus_id").alias("doc_id")).distinct()
     final = survivors.join(cont, "doc_id", "left_anti")
     return (
