@@ -519,3 +519,79 @@ def stl_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.round(F.col(c).cast("float").cast("double"), 6) + F.lit(0.0)).alias(c)
           for c in ("value", "trend", "seasonal", "resid")],
     )
+
+
+_WF_FOLDS = [
+    ("2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    ("2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+    ("2024-01-29 00:00:00", None),
+]
+
+
+def _walk_forward_oracle() -> str:
+    """One UNION ALL branch per fold; train leads are full-series leads
+    restricted to pairs fully inside the train slice (tgt_ts < cutoff,
+    identical to the engine's range-scan leads), eval leads are computed
+    WITHIN the fold window (the engine's eval slice is a bounded range
+    scan, so its last row per series has no target — the window-scoped
+    lead drops the same row)."""
+    branches = []
+    for i, (lo, hi) in enumerate(_WF_FOLDS):
+        hi_pred = f"AND ts < TIMESTAMP '{hi}'" if hi else ""
+        branches.append(f"""
+    SELECT {i} AS fold, event_type, count(*) AS n,
+           round(avg(abs(intercept + slope * value - target)), 6) AS mae,
+           round(avg(abs(value - target)), 6) AS naive_mae
+    FROM (
+        SELECT user_id, event_type, value,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target
+        FROM events WHERE ts >= TIMESTAMP '{lo}' {hi_pred}
+    ) ev JOIN (
+        SELECT user_id, regr_slope(target, value) AS slope,
+               regr_intercept(target, value) AS intercept
+        FROM (
+            SELECT user_id, ts, value,
+                   lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS target,
+                   lead(ts, 1)    OVER (PARTITION BY user_id ORDER BY ts) AS tgt_ts
+            FROM events
+        ) WHERE target IS NOT NULL
+              AND ts < TIMESTAMP '{lo}' AND tgt_ts < TIMESTAMP '{lo}'
+        GROUP BY user_id
+    ) c USING (user_id)
+    WHERE ev.target IS NOT NULL AND c.slope IS NOT NULL
+    GROUP BY event_type""")
+        # noqa: the engine mirrors this fold loop exactly
+    return " UNION ALL ".join(branches) + " ORDER BY fold, event_type"
+
+
+@query("walk_forward_ar1_eval", oracle=_walk_forward_oracle())
+def walk_forward_ar1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (rolling-origin) evaluation — the backtest protocol a
+    real forecasting deployment uses instead of one fixed split: three
+    expanding-train folds, each refitting the per-series AR(1) on all
+    data before its cutoff and scoring the next week. Train and eval are
+    separate range-limited scans per fold (row-group pruning does the
+    slicing), unioned into one per-(fold, type) metric frame. The
+    reference's iterations (A6 cross-iteration stats) re-run the SAME
+    split; this is the stronger protocol over time."""
+    from functools import reduce
+
+    from predictor_spark.plans.ar_model import ar1_fit_predict_split
+    from predictor_spark.sources.tables import load_events_range
+
+    folds = []
+    for i, (lo, hi) in enumerate(_WF_FOLDS):
+        train_ev = load_events_range(spark, sf_dir, hi=lo)
+        eval_ev = load_events_range(spark, sf_dir, lo=lo, hi=hi)
+        scored = ar1_fit_predict_split(train_ev, eval_ev, horizon=1)
+        p, t, b = F.col("pred"), F.col("target_h1"), F.col("baseline")
+        folds.append(
+            scored.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(F.abs(p - t)), 6).alias("mae"),
+                F.round(F.avg(F.abs(b - t)), 6).alias("naive_mae"),
+            ).select(F.lit(i).cast("int").alias("fold"), "event_type",
+                     "n", "mae", "naive_mae")
+        )
+    return reduce(lambda a, b: a.unionByName(b), folds) \
+        .orderBy("fold", "event_type")
