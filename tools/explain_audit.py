@@ -114,6 +114,15 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
         "not": ["CartesianProduct"],
     },
+    # continuation rows: the composed curation plan must never cartesian;
+    # skew-proof distinct is two agg passes, no join; walk-forward folds
+    # must push their range bounds into the parquet scans
+    "curation_e2e_report": {"must": [], "not": ["CartesianProduct"]},
+    "skewed_distinct_users": {"must": ["partial_"], "not": ["Join"]},
+    # "LessThan(ts" matches both the micros layout (ts) and the nanos
+    # layout (ts_ns) — the fold bounds must reach the parquet scan either way
+    "walk_forward_ar1_eval": {"must": ["LessThan(ts"],
+                              "not": ["CartesianProduct"]},
 }
 
 
