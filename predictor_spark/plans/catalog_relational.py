@@ -1,0 +1,302 @@
+"""Catalog part — additional relational planner-breadth rows.
+
+The reference's OLAP layer (olap/ ETL + dashboard SQL) and its experiment
+result tables are queried with exactly these shapes: selective scans with
+conjunctive/disjunctive predicates, multi-way star joins over the dims,
+HAVING-filtered aggregates joined back to the fact, and EXISTS /
+NOT EXISTS order-qualification.  Each row here exercises one distinct
+Catalyst capability the rest of the catalog doesn't isolate:
+
+- q6_revenue_delta        conjunctive range predicates → one pushed scan
+- q7_nation_volume        5-way star join, two broadcast dims reused
+- q14_promo_share         conditional aggregate over a broadcast dim join
+- q18_big_orders          HAVING aggregate joined back to fact + dim
+- q19_disjunctive_join    OR-of-ANDs mixed-table predicate (common-clause
+                          pushdown + residual join filter)
+- exists_not_exists_orders  semi + anti join against the same fact table
+
+Scale notes are per-docstring; every row is pure DataFrame API (no UDFs),
+so the 100 TB plan is whatever Catalyst+AQE picks from the declared plan —
+which each docstring pins down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan-side aggregate under three conjunctive
+    range predicates.
+
+    Scale: all three predicates and the 4-column projection push into the
+    parquet scan (PushedFilters shows the date + discount + quantity
+    ranges); the aggregate is a map-side partial into a single-row final.
+    At 100 TB this is the canonical "scan-bound, shuffle-free" query —
+    row-group statistics prune most of the file before any decode.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name IN ('NATION_11', 'NATION_19', 'NATION_20')
+      AND sn.n_name IN ('NATION_11', 'NATION_19', 'NATION_20')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between nation pairs by year.
+
+    Scale: nation (25 rows), the nation-filtered customer and supplier
+    dims are all broadcast — the only shuffle is lineitem⋈orders on
+    orderkey.  The nation filter reaches the customer/supplier scans
+    through the broadcast-join pushdown, so the big fact join starts from
+    pre-shrunk dims.  Group-by is tiny (2 nation pairs × years).
+    """
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_11", "NATION_19", "NATION_20"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("volume")
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-07-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotional revenue share via a conditional
+    aggregate over a dim join.
+
+    Scale: part is the small side → broadcast hash join, shuffle-free;
+    the date range pushes into the lineitem scan.  The two sums reduce
+    map-side; one row crosses the wire per task.  The ratio is computed
+    once at the final aggregate, not per row.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_big_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: a HAVING-filtered aggregate
+    over the fact used as a semi-join filter, then re-aggregated with the
+    dims attached.
+
+    Scale: the qualifying-orderkey set (sum qty > 300) is tiny relative
+    to the fact — broadcast it as a semi-join filter so the second
+    lineitem pass never shuffles unqualified rows; orders and customer
+    attach by broadcast.  Two scans of lineitem, both pruned to 2-3
+    columns; at 100 TB the alternative single-scan window formulation
+    shuffles the whole fact, which is strictly worse when the qualifier
+    is selective.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"), "sum_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate spanning both join sides.
+
+    Scale: Catalyst extracts the common single-table clauses from the
+    disjunction — part gets `p_brand IN (…) AND p_size BETWEEN 1 AND 50`,
+    lineitem gets `l_quantity BETWEEN 1 AND 40` — and pushes them into
+    the scans; the full disjunction stays as the join residual.  Part is
+    broadcast, so the residual evaluates stream-side with zero shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "exists_not_exists_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'O'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_not_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — orders qualified by an EXISTS and disqualified
+    by a NOT EXISTS against the same fact table.
+
+    Scale: both subqueries become hash joins on orderkey — a left-semi
+    for EXISTS and a left-anti for NOT EXISTS — over the SAME join key,
+    so one exchange of orders is reused across both joins (Spark reuses
+    the partitioning; no second shuffle of the probe side).  The lineitem
+    scans are pruned to (orderkey, flag) / (orderkey, status) and
+    pre-filtered before joining; the final group-by is over ~5 priorities.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    open_ = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                    "left_semi")
+        .join(open_, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
