@@ -1,0 +1,255 @@
+"""Catalog part — time-series analytics rows the reference's evaluation
+layer computes around its forecasts: autocorrelation structure (the
+reference inspects ACF when choosing AR orders — its AIC order selection
+is `ar_order_select_aic`; this row exposes the raw ACF itself),
+change-point location (regime shifts that break train/eval splits),
+rolling-window anomaly flags (the reference's data_processor drops
+non-finite / outlier rows before windowing), and the user-journey
+transition matrix (the OLAP layer's event-flow dashboards).
+
+All four rows are window-function + aggregate plans — no UDFs, no
+collects; per-series state never leaves the executors.  The series axis
+(event_type here, instrument/user in production) is the parallel axis at
+100 TB: every row partitions by it first, so adding series adds tasks,
+not per-task work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+
+_MAX_LAG = 5
+
+
+def _acf_union_branches() -> str:
+    return "\n        UNION ALL ".join(
+        f"SELECT event_type, mu, value, {k} AS lag, lag_{k} AS lagv FROM l"
+        for k in range(1, _MAX_LAG + 1)
+    )
+
+
+@query(
+    "acf_per_series",
+    oracle=f"""
+    WITH mu AS (
+        SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type
+    ),
+    l AS (
+        SELECT e.event_type, e.value, mu.mu,
+               {', '.join(f'lag(e.value, {k}) OVER w AS lag_{k}' for k in range(1, _MAX_LAG + 1))}
+        FROM events e JOIN mu USING (event_type)
+        WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)
+    ),
+    den AS (
+        SELECT event_type, sum((value - mu) * (value - mu)) AS den
+        FROM l GROUP BY event_type
+    ),
+    num AS (
+        SELECT event_type, lag, count(*) AS n,
+               sum((value - mu) * (lagv - mu)) AS num
+        FROM ({_acf_union_branches()})
+        WHERE lagv IS NOT NULL
+        GROUP BY event_type, lag
+    )
+    SELECT n.event_type, n.lag, n.n,
+           round(n.num / d.den, 6) + 0.0 AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def acf_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    for lags 1..5, per series.
+
+    Scale: ONE shuffle on the series key, then every lag comes from the
+    same sorted window pass (5 lag columns over one WindowExec); the
+    unpivot (stack) and both sums are map-side over the already-
+    partitioned data.  Global per-series mean is a broadcast join of a
+    |series|-row aggregate.  Adding lags widens the projection, it does
+    not add passes.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type", "value", "mu",
+        *[F.lag("value", k).over(w).alias(f"lag_{k}") for k in range(1, _MAX_LAG + 1)],
+    )
+    den = lagged.groupBy("event_type").agg(
+        F.sum((F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu")))
+        .alias("den")
+    )
+    stack_args = ", ".join(f"{k}, lag_{k}" for k in range(1, _MAX_LAG + 1))
+    unpivoted = lagged.select(
+        "event_type", "value", "mu",
+        F.expr(f"stack({_MAX_LAG}, {stack_args}) AS (lag, lagv)"),
+    ).filter(F.col("lagv").isNotNull())
+    num = unpivoted.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") - F.col("mu")) * (F.col("lagv") - F.col("mu")))
+        .alias("num"),
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type", "lag", "n",
+        (F.round(F.col("num") / F.col("den"), 6) + F.lit(0.0)).alias("acf"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               row_number() OVER w AS i,
+               sum(value)   OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS cs,
+               avg(value)   OVER (PARTITION BY event_type) AS mu,
+               count(*)     OVER (PARTITION BY event_type) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT event_type, n, i, cs - i * mu AS dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(abs(cs - i * mu), 6) DESC, i)
+                   AS rk
+        FROM b
+    )
+    SELECT event_type, n, CAST(i AS INTEGER) AS cp_index,
+           round(abs(dev), 4) + 0.0 AS cp_stat,
+           round(dev, 4) + 0.0 AS cp_dev
+    FROM s WHERE rk = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per series: S_i = Σ_{t≤i} x_t − i·x̄ (cumulative
+    deviation from the global mean); the change point is the position
+    maximising |S_i| (Page 1954 / Pettitt-style location estimate), ties
+    broken to the earliest index over the 6-dp-rounded statistic so both
+    engines rank identically.
+
+    Scale: one shuffle on the series key; the running sum, the per-series
+    mean, and the argmax are all window passes over that one sort.  The
+    result is |series| rows — nothing wide ever materializes.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    ws = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type")
+    b = ev.select(
+        "event_type",
+        F.row_number().over(ws).alias("i"),
+        F.sum("value").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        F.avg("value").over(wall).alias("mu"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).withColumn("dev", F.col("cs") - F.col("i") * F.col("mu"))
+    rk = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("dev")), 6).desc(), F.col("i"))
+    return (
+        b.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", "n",
+            F.col("i").cast("int").alias("cp_index"),
+            (F.round(F.abs(F.col("dev")), 4) + F.lit(0.0)).alias("cp_stat"),
+            (F.round(F.col("dev"), 4) + F.lit(0.0)).alias("cp_dev"),
+        )
+    )
+
+
+@query(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, event_id, value,
+               sum(value)         OVER w AS s1,
+               sum(value * value) OVER w AS s2,
+               count(value)       OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_type, event_id,
+               (value - s1 / cnt)
+                   / sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0)) AS z
+        FROM b
+        WHERE cnt >= 12 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 1e-12
+    )
+    SELECT event_type, event_id, round(z, 4) + 0.0 AS z
+    FROM z WHERE abs(z) > 3
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: z-score of each point against the
+    PRECEDING 24 points only (causal — the point never sees itself or the
+    future, mirroring the reference data_processor's outlier screen that
+    must not leak eval data into train statistics).  Variance comes from
+    the (s1, s2, n) sufficient statistics so both engines run the same
+    closed form; windows with <12 points or ~zero variance are skipped.
+
+    Scale: one shuffle on the series key, one sliding-window pass
+    computing both running sums; the flag filter is a map-side predicate.
+    The output is only the anomalous rows — sparse by construction.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    b = ev.select(
+        "event_type", "event_id", "value",
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+        F.count("value").over(w).alias("cnt"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / (F.col("cnt") - 1)
+    z = (F.col("value") - F.col("s1") / F.col("cnt")) / F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        b.filter((F.col("cnt") >= 12) & (var > 1e-12))
+        .select("event_type", "event_id", (F.round(z, 4) + F.lit(0.0)).alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst, count(*) AS n FROM p
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    P(next = dst | current = src), transitions read within each user's
+    timeline (the OLAP layer's event-flow view).  Counts are exact
+    integers, so the probabilities are bit-identical across engines.
+
+    Scale: one shuffle on user_id for the lead() pass (per-user
+    timelines are short — no skew), one |types|² aggregate after.  The
+    normalizing sum is a window over the tiny aggregated frame.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wu).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src", "dst", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("prob"),
+    )
