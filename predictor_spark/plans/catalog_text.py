@@ -748,3 +748,125 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans + vocabulary head (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 30        # character k-gram width
+_SPAN_MIN = 50      # minimal reported span length
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               md5(substr(text, CAST(i AS INTEGER), {_SPAN_K})) AS h
+        FROM documents CROSS JOIN range(1, 2049) AS t(i)
+        WHERE n_chars >= {_SPAN_K} AND i <= n_chars - {_SPAN_K} + 1
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM grams WHERE h IN (SELECT h FROM dup)
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) + {_SPAN_K} - min(pos) AS INTEGER) AS span_len
+    FROM hits GROUP BY doc_id, isl
+    HAVING max(pos) + {_SPAN_K} - min(pos) >= {_SPAN_MIN}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr pass of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal run of character 30-grams that appear in ≥2
+    distinct documents, reported per document as (start, length) once the
+    merged span reaches 50 chars.  Downstream curation cuts these spans
+    out of the training text.
+
+    Algorithm: position-explode each doc into overlapping 30-grams,
+    shuffle on the md5 of the gram (16 bytes crosses the wire, never the
+    text — the suffix-array of the paper is replaced by a hash-grouped
+    candidate pass, which is the shuffle-friendly equivalent for exact
+    matches), keep grams whose hash occurs in ≥2 docs, then merge
+    adjacent surviving positions per doc with one gaps-and-islands window
+    pass.
+
+    Scale: gram rows ≈ total corpus chars — linear.  The duplicate-hash
+    filter is a self-contained groupBy + left-semi join on the hash key
+    (both sides pre-aggregated map-side); the island merge shuffles on
+    doc_id only.  No all-pairs stage anywhere; skew only if one gram
+    dominates (stop-gram cap would bound it — not needed at this corpus).
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= _SPAN_K)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_chars") - _SPAN_K + 1).cast("int"))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.expr(f"substring(text, pos, {_SPAN_K})")).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("isl", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + _SPAN_K - F.min("pos")).cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _SPAN_MIN)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head — the 20 most frequent whitespace tokens
+    (tokenizer-coverage / fertility planning starts from exactly this
+    table).  Ties break lexicographically so the LIMIT cut is
+    deterministic in both engines.
+
+    Scale: explode + partial-aggregated groupBy on the token — the
+    shuffle carries |vocab| rows per task, not corpus tokens; the top-20
+    is TakeOrderedAndProject (no global sort).  Zipf skew lives in the
+    map-side combine, not the exchange.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
