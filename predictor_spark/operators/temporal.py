@@ -227,6 +227,7 @@ def window_tensorize(
     inclusive: bool = True,
     max_horizon: int = 0,
     out_col: str = "window",
+    extra_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
     """W1/W2 — sliding-window tensorization into an array<array<double>>
     column of shape (window_size, n_features).
@@ -242,12 +243,22 @@ def window_tensorize(
     reference variants emit only complete windows). The tensor stays a lazy
     array column — materialized to float32 only at the model boundary
     (SURVEY §1.4).
+
+    ``extra_cols`` lets callers attach further window expressions (e.g. a
+    target lead over the same per-series spec) in the SAME select batch:
+    the analyzer then groups every same-spec function into ONE Window
+    node, where a separate ``withColumn`` after this call would sit above
+    the completeness filter and cost a second sort pass.
     """
     base = _w(series_col, ts_col)
     frame = base.rowsBetween(-(window_size - 1), 0) if inclusive else base.rowsBetween(-window_size, -1)
     row_vec = F.array(*[F.col(c).cast("double") for c in feature_cols])
-    out = df.withColumn(out_col, F.collect_list(row_vec).over(frame))
-    out = out.withColumn("__rn", F.row_number().over(base))
+    out = df.select(
+        "*",
+        F.collect_list(row_vec).over(frame).alias(out_col),
+        F.row_number().over(base).alias("__rn"),
+        *[c.alias(n) for n, c in (extra_cols or {}).items()],
+    )
     min_rn = window_size if inclusive else window_size + 1
     out = out.filter(F.col("__rn") >= min_rn).drop("__rn")
     if max_horizon > 0:

@@ -51,8 +51,15 @@ def w3_single_step_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    out = temporal.window_tensorize(ev, ["value"], 4, series_col="user_id", inclusive=True)
-    out = out.withColumn("target", F.lead("value", 2).over(w)).filter(F.col("target").isNotNull())
+    # the target lead rides in tensorize's OWN window batch (extra_cols)
+    # so tensor + lead + row-number plan as ONE WindowExec; a withColumn
+    # after the call would sit above the completeness filter and cost a
+    # second sort (caught by the fixed explain_audit window counter)
+    out = temporal.window_tensorize(
+        ev, ["value"], 4, series_col="user_id", inclusive=True,
+        extra_cols={"target": F.lead("value", 2).over(w)},
+    )
+    out = out.filter(F.col("target").isNotNull())
     return out.select(
         "event_id",
         *[(F.round(F.element_at(F.element_at("window", i + 1), 1), 6) + F.lit(0.0)).alias(f"w{i}")

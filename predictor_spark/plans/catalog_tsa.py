@@ -63,11 +63,13 @@ def acf_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lags 1..5, per series.
 
     Scale: ONE shuffle on the series key, then every lag comes from the
-    same sorted window pass (5 lag columns over one WindowExec); the
-    unpivot (stack) and both sums are map-side over the already-
-    partitioned data.  Global per-series mean is a broadcast join of a
-    |series|-row aggregate.  Adding lags widens the projection, it does
-    not add passes.
+    same sorted window pass (5 lag columns over one WindowExec), and the
+    denominator plus ALL lag numerators reduce in ONE groupBy (null
+    lag products drop out of the sums natively, so no per-lag branch
+    re-reads the window output).  The unpivot runs over the |series|-row
+    aggregate, not the data.  Global per-series mean is a broadcast join
+    of a |series|-row aggregate.  Adding lags widens the projection; it
+    never adds passes.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
     mu = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
@@ -76,21 +78,19 @@ def acf_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "mu",
         *[F.lag("value", k).over(w).alias(f"lag_{k}") for k in range(1, _MAX_LAG + 1)],
     )
-    den = lagged.groupBy("event_type").agg(
-        F.sum((F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu")))
-        .alias("den")
+    dev = F.col("value") - F.col("mu")
+    aggs = lagged.groupBy("event_type").agg(
+        F.sum(dev * dev).alias("den"),
+        *[a for k in range(1, _MAX_LAG + 1) for a in (
+            F.sum(dev * (F.col(f"lag_{k}") - F.col("mu"))).alias(f"num_{k}"),
+            F.count(f"lag_{k}").alias(f"n_{k}"),
+        )],
     )
-    stack_args = ", ".join(f"{k}, lag_{k}" for k in range(1, _MAX_LAG + 1))
-    unpivoted = lagged.select(
-        "event_type", "value", "mu",
-        F.expr(f"stack({_MAX_LAG}, {stack_args}) AS (lag, lagv)"),
-    ).filter(F.col("lagv").isNotNull())
-    num = unpivoted.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("value") - F.col("mu")) * (F.col("lagv") - F.col("mu")))
-        .alias("num"),
-    )
-    return num.join(F.broadcast(den), "event_type").select(
+    stack_args = ", ".join(f"{k}, n_{k}, num_{k}" for k in range(1, _MAX_LAG + 1))
+    return aggs.select(
+        "event_type", "den",
+        F.expr(f"stack({_MAX_LAG}, {stack_args}) AS (lag, n, num)"),
+    ).select(
         "event_type", "lag", "n",
         (F.round(F.col("num") / F.col("den"), 6) + F.lit(0.0)).alias("acf"),
     )

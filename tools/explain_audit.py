@@ -123,6 +123,55 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     # layout (ts_ns) — the fold bounds must reach the parquet scan either way
     "walk_forward_ar1_eval": {"must": ["LessThan(ts"],
                               "not": ["CartesianProduct"]},
+    # relational planner-breadth rows: Q6 is scan-bound (all predicates
+    # pushed, no join); the star joins keep their dims broadcast; Q19's
+    # common clauses must reach the scans while the disjunction stays as
+    # the join residual
+    "q6_revenue_delta": {
+        "must": ["partial_", "LessThan(l_quantity"],
+        "not": ["Join"],
+    },
+    "q7_nation_volume": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "q14_promo_share": {
+        "must": ["BroadcastHashJoin", "partial_",
+                 "GreaterThanOrEqual(l_shipdate"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q18_big_orders": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q19_disjunctive_join": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "exists_not_exists_orders": {"must": ["partial_"],
+                                 "not": ["CartesianProduct"]},
+    # time-series analytics: each is one shuffle on the series key; the
+    # lag/sliding families must share a single WindowExec sort pass
+    "acf_per_series": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "anomaly_rolling_zscore": {
+        "must": [], "not": ["Join"], "max_window_execs": 1,
+    },
+    "event_transition_matrix": {"must": ["partial_"], "not": ["Join"]},
+    # substring spans: hash-grouped candidates (semi join on the gram
+    # hash) + one island window — never all-pairs
+    "dedup_substring_spans": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_window_execs": 1,
+    },
+    "vocab_topk": {
+        "must": ["partial_", "TakeOrderedAndProject"],
+        "not": ["Join"],
+    },
 }
 
 
@@ -149,9 +198,12 @@ def main() -> int:
             if s in plan:
                 probs.append(f"forbidden: {s}")
         if "max_window_execs" in exp:
-            n = len(re.findall(r"\bWindow\b", plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]))
-            # formatted mode lists each operator once in the tree section
-            n = plan.count("Window [")
+            # formatted mode names the operator "(N) Window" in the detail
+            # section (one entry per node); "Window [" never appears, which
+            # made this assertion vacuous until round 4 — count the detail
+            # entries, excluding WindowGroupLimit (a rank-pushdown helper,
+            # not a sort pass)
+            n = len(re.findall(r"\(\d+\) Window\b", plan))
             if n > exp["max_window_execs"]:
                 probs.append(f"{n} WindowExec nodes (max {exp['max_window_execs']})")
         # scan width: ReadSchema column count for parquet scans
