@@ -1,0 +1,141 @@
+"""Semantic tests for the round-4 continuation rows — independent of the
+DuckDB oracles (which replay the same algorithm): each test checks the
+STATISTICAL/semantic property the row claims, on constructed inputs with
+known ground truth or by driver-side recomputation from raw data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _events_dir(spark, tmp_path, pdf: pd.DataFrame) -> str:
+    """Write a synthetic events table shaped like the generator's."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def _mk_events(values: np.ndarray, event_type: str = "a") -> pd.DataFrame:
+    n = len(values)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h").astype("datetime64[us]"),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "event_type": event_type,
+        "value": values.astype(float),
+        "props": "{}",
+    })
+
+
+def test_cusum_finds_injected_mean_shift(spark, tmp_path):
+    from predictor_spark.plans.catalog_tsa import cusum_changepoint
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(0.0, 0.5, 120), rng.normal(8.0, 0.5, 80)])
+    sf = _events_dir(spark, tmp_path, _mk_events(x))
+    row = cusum_changepoint(spark, sf).collect()[0]
+    # for a step change the |cumsum - i*mean| peak sits AT the shift
+    assert row.n == 200
+    assert abs(row.cp_index - 120) <= 1
+    assert row.cp_stat > 100  # 120 * (8*80/200) / ... far from noise scale
+
+
+def test_anomaly_zscore_flags_injected_spike_causally(spark, tmp_path):
+    from predictor_spark.plans.catalog_tsa import anomaly_rolling_zscore
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(10.0, 1.0, 300)
+    x[150] = 60.0  # unambiguous spike
+    sf = _events_dir(spark, tmp_path, _mk_events(x))
+    flagged = {r.event_id for r in anomaly_rolling_zscore(spark, sf).collect()}
+    assert 150 in flagged
+    # the spike sits in the TRAILING windows of ids 151..174 and inflates
+    # their std — causality means none of the EARLIER ids can be affected
+    assert all(i >= 150 or abs(x[i] - 10.0) > 3.0 for i in flagged)
+
+
+def test_acf_of_ar1_matches_phi_powers(spark, tmp_path):
+    from predictor_spark.plans.catalog_tsa import acf_per_series
+
+    rng = np.random.default_rng(3)
+    phi, n = 0.8, 4000
+    x = np.empty(n)
+    x[0] = 0.0
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + rng.normal()
+    sf = _events_dir(spark, tmp_path, _mk_events(x))
+    acf = {r.lag: r.acf for r in acf_per_series(spark, sf).collect()}
+    for k in range(1, 6):
+        assert acf[k] == pytest.approx(phi ** k, abs=0.08), k
+    assert all(-1.0 <= v <= 1.0 for v in acf.values())
+
+
+def test_transition_matrix_is_row_stochastic(spark):
+    from predictor_spark.plans.catalog_tsa import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.prob
+        assert r.n > 0 and 0.0 < r.prob <= 1.0
+    for src, tot in by_src.items():
+        assert tot == pytest.approx(1.0, abs=2e-5), src
+
+
+def test_substring_spans_are_real_cross_doc_duplicates(spark):
+    from predictor_spark.plans.catalog_text import (
+        _SPAN_K, _SPAN_MIN, dedup_substring_spans)
+
+    spans = dedup_substring_spans(spark, SF_DIR).collect()
+    assert spans
+    texts = {r.doc_id: r.text for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet")
+             .select("doc_id", "text").collect()}
+    for r in spans:
+        assert r.span_len >= _SPAN_MIN
+        frag = texts[r.doc_id][r.span_start - 1: r.span_start - 1 + r.span_len]
+        assert len(frag) == r.span_len  # span inside the document
+        # every K-gram of the span occurs in >=2 distinct docs
+        for off in (0, r.span_len - _SPAN_K):
+            gram = frag[off: off + _SPAN_K]
+            owners = sum(1 for t in texts.values() if gram in t)
+            assert owners >= 2, (r.doc_id, off)
+
+
+def test_vocab_topk_matches_python_recount(spark):
+    from collections import Counter
+
+    from predictor_spark.plans.catalog_text import vocab_topk
+
+    got = [(r.token, r.n) for r in vocab_topk(spark, SF_DIR).collect()]
+    texts = [r.text for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet")
+             .select("text").collect()]
+    cnt = Counter(t for txt in texts for t in txt.split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_relational_rows_nonempty_and_typed(spark):
+    """The six planner-breadth rows return stable, non-degenerate frames
+    at the small SF (the oracle gate checks values; this pins schema and
+    non-emptiness under the vanilla test session)."""
+    from predictor_spark.plans import catalog_relational as cr
+
+    for fn, cols in [
+        (cr.q6_revenue_delta, {"revenue", "n_items"}),
+        (cr.q14_promo_share, {"promo_share", "n_items"}),
+        (cr.q18_big_orders, {"c_custkey", "o_orderkey", "total_price", "sum_qty"}),
+        (cr.q19_disjunctive_join, {"revenue", "n_items"}),
+        (cr.exists_not_exists_orders, {"o_orderpriority", "n_orders"}),
+    ]:
+        df = fn(spark, SF_DIR)
+        assert set(df.columns) == cols
+        assert df.count() >= 1, fn.__name__
