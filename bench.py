@@ -53,6 +53,11 @@ HEADLINE = [
     # scale-path custom operators
     "range_join_event_windows",
     "ar_order_select_aic",
+    # round-4 continuation: planner breadth + TS analytics + span dedup
+    "q18_big_orders",
+    "acf_per_series",
+    "dedup_substring_spans",
+    "event_transition_matrix",
     # model family: per-series distributed training (OLS prophet-like),
     # stateful backtest fold, and pure-JVM deep-model inference
     "prophet_like_train_eval",

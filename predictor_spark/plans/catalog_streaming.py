@@ -100,3 +100,25 @@ def streaming_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     from predictor_spark.streaming.dedup import stream_dedup_unique_counts
 
     return stream_dedup_unique_counts(spark, sf_dir).orderBy("lang")
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS view_id, e2.event_id AS purchase_id,
+           round((epoch_us(e2.ts) - epoch_us(e1.ts)) / 60000000.0, 4) AS lag_min
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 2 HOUR
+    WHERE e1.event_type = 'view' AND e2.event_type = 'purchase'
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view→purchase attribution
+    within 2 h), replayed over 3 chronological micro-batches so
+    boundary-straddling pairs prove cross-batch join state; the complete
+    batch interval join is the oracle (streaming/joins.py)."""
+    from predictor_spark.streaming.joins import view_purchase_attribution
+
+    return view_purchase_attribution(spark, sf_dir, horizon_hours=2)

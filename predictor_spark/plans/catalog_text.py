@@ -804,17 +804,26 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id only.  No all-pairs stage anywhere; skew only if one gram
     dominates (stop-gram cap would bound it — not needed at this corpus).
     """
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= _SPAN_K)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= _SPAN_K)
+        # the docs table arrives as ONE parquet file -> one input split, so
+        # without this the whole gram fan-out (~300 rows per doc) runs in a
+        # single task; spreading docs first costs a tiny shuffle of the raw
+        # docs and buys full-cluster parallelism for hashing + explode
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    # hash INSIDE the transform, before the explode: exploding (pos, text)
+    # pairs would copy the full document into every gram row (|doc|² bytes
+    # per doc through the exchange); exploding pre-hashed (pos, md5)
+    # structs keeps each row at 36 bytes
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), (F.col("n_chars") - _SPAN_K + 1).cast("int"))
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id", "pos",
-        F.md5(F.expr(f"substring(text, pos, {_SPAN_K})")).alias("h"),
-    )
+        F.explode(F.expr(
+            f"transform(sequence(1, cast(n_chars - {_SPAN_K} + 1 AS INT)),"
+            f" i -> struct(i AS pos, md5(substring(text, i, {_SPAN_K})) AS h))"
+        )).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     dup = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
