@@ -122,3 +122,25 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from predictor_spark.streaming.joins import view_purchase_attribution
 
     return view_purchase_attribution(spark, sf_dir, horizon_hours=2)
+
+
+@query(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT e.user_id, e.event_id AS purchase_id,
+           round((epoch_us(e.ts) - epoch_us(s.signup_ts)) / 60000000.0, 4)
+               AS min_since_signup
+    FROM events e
+    JOIN (SELECT user_id, min(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id) s
+      USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static join: purchase stream enriched with the
+    broadcast first-signup dimension (streaming/joins.py) — the third
+    join mode next to the stream-stream and batch as-of variants."""
+    from predictor_spark.streaming.joins import purchases_enriched_with_signup
+
+    return purchases_enriched_with_signup(spark, sf_dir)

@@ -142,3 +142,55 @@ def view_purchase_attribution(
     from predictor_spark.streaming.windows import drain_memory_sink
 
     return drain_memory_sink(spark, name, joined.schema)
+
+
+def purchases_enriched_with_signup(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Stream-static enrichment join: the purchase stream joined to a
+    STATIC per-user dimension (first signup time, read as a batch frame).
+
+    Stream-static inner joins are stateless — each micro-batch probes the
+    static side directly, so (unlike the stream-stream case) no watermark
+    and no state store are involved; Spark broadcasts the dim under the
+    join threshold exactly as in batch.  This completes the streaming
+    join-mode matrix next to view_purchase_attribution.
+
+    Scale: the static dim is |users| rows (pre-aggregated batch-side);
+    refresh cadence is a deployment choice — re-plan the query to pick up
+    a new snapshot, or swap to a Delta table the batch job upserts.
+    """
+    from predictor_spark.sources.tables import canonical_ts, load_table
+
+    signup = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from predictor_spark.streaming.windows import _stream_dir, drain_memory_sink
+
+    stream = canonical_ts(
+        spark.readStream.schema(schema).format("parquet")
+        .load(_stream_dir(sf_dir, "events"))
+    ).filter(F.col("event_type") == "purchase")
+    joined = stream.join(F.broadcast(signup), "user_id").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("signup_ts")) / 60_000_000.0, 4
+        ).alias("min_since_signup"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return drain_memory_sink(spark, name, joined.schema)
