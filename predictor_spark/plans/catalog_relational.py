@@ -300,3 +300,45 @@ def exists_not_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "window_rank_functions",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(4) OVER (PARTITION BY p_brand
+                          ORDER BY round(p_retailprice, 2) DESC, p_partkey)
+               AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY round(p_retailprice, 2) DESC)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface in one pass: rank / dense_rank /
+    percent_rank / cume_dist share a window; ntile adds the
+    partkey tie-break its bucket-split needs to be deterministic (rank
+    families give tied prices tied ranks, ntile must CUT ties, so only
+    it orders by the extra key).
+
+    Scale: both specs partition on p_brand and sort on the same leading
+    key, so Catalyst plans them over one exchange and one sort (the ntile
+    spec's extra tie-break key is sort-compatible — no second shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    part = _t(spark, sf_dir, "part")
+    price = F.round("p_retailprice", 2)
+    w = W.partitionBy("p_brand").orderBy(price.desc())
+    wt = W.partitionBy("p_brand").orderBy(price.desc(), F.col("p_partkey"))
+    return part.select(
+        "p_partkey", "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
