@@ -324,9 +324,9 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     families give tied prices tied ranks, ntile must CUT ties, so only
     it orders by the extra key).
 
-    Scale: both specs partition on p_brand and sort on the same leading
-    key, so Catalyst plans them over one exchange and one sort (the ntile
-    spec's extra tie-break key is sort-compatible — no second shuffle).
+    Scale: both specs partition on p_brand, so ONE exchange feeds both
+    window passes; the ntile spec's extra tie-break key costs a second
+    (nearly-sorted, in-partition) sort but never a second shuffle.
     """
     from pyspark.sql import Window as W
 

@@ -172,6 +172,11 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["partial_", "TakeOrderedAndProject"],
         "not": ["Join"],
     },
+    # rank family + ntile: one exchange, two window passes (ntile's
+    # tie-break key re-sorts in-partition — never re-shuffles)
+    "window_rank_functions": {
+        "must": [], "not": ["Join"], "max_window_execs": 2,
+    },
 }
 
 
