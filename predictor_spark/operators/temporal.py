@@ -250,6 +250,13 @@ def window_tensorize(
     node, where a separate ``withColumn`` after this call would sit above
     the completeness filter and cost a second sort pass.
     """
+    new_names = [out_col, "__rn", *(extra_cols or {})]
+    clash = [n for n in new_names if n in df.columns]
+    if clash:
+        # select("*", ...) APPENDS; a same-named input column would leave
+        # an ambiguous duplicate instead of being replaced (the pre-round-4
+        # withColumn contract), so fail loudly at plan time
+        raise ValueError(f"window_tensorize output column(s) already exist: {clash}")
     base = _w(series_col, ts_col)
     frame = base.rowsBetween(-(window_size - 1), 0) if inclusive else base.rowsBetween(-window_size, -1)
     row_vec = F.array(*[F.col(c).cast("double") for c in feature_cols])

@@ -188,12 +188,14 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims attached.
 
     Scale: the qualifying-orderkey set (sum qty > 300) is tiny relative
-    to the fact — broadcast it as a semi-join filter so the second
-    lineitem pass never shuffles unqualified rows; orders and customer
-    attach by broadcast.  Two scans of lineitem, both pruned to 2-3
-    columns; at 100 TB the alternative single-scan window formulation
-    shuffles the whole fact, which is strictly worse when the qualifier
-    is selective.
+    to the fact — broadcast it as a semi-join filter against BOTH the
+    second lineitem pass and orders, so only qualified rows ever shuffle
+    and the qualified-orders frame (now |big| rows) is itself safe to
+    broadcast.  The customer join runs unhinted over the already-tiny
+    aggregate — AQE picks the strategy.  Two scans of lineitem, both
+    pruned to 2 columns; the alternative single-scan window formulation
+    shuffles the whole fact, strictly worse when the qualifier is
+    selective.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
@@ -202,19 +204,25 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice")
+    # qualified orders first: broadcasting the RAW orders table (as an
+    # earlier draft did) caps out at real scale — semi-filtering it down
+    # to |big| rows makes the subsequent broadcast legitimate at any SF
+    qorders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+              "o_orderkey", "left_semi")
+    )
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    return (
+    agg = (
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .join(F.broadcast(qorders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            "c_custkey", "o_orderkey",
-            F.round("o_totalprice", 2).alias("total_price"), "sum_qty",
-        )
+    )
+    return agg.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"), "sum_qty",
     )
 
 

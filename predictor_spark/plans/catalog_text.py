@@ -756,6 +756,12 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 30        # character k-gram width
 _SPAN_MIN = 50      # minimal reported span length
+# both engines scan gram positions 1.._SPAN_MAXPOS only: the SQL oracle
+# needs a static range() bound, so the Spark side clamps to the SAME
+# constant — corpus docs max out near 600 chars, and a longer future
+# corpus truncates IDENTICALLY on both sides instead of diverging
+# (production span dedup would drop the clamp along with the oracle)
+_SPAN_MAXPOS = 2048
 
 
 @query(
@@ -764,7 +770,7 @@ _SPAN_MIN = 50      # minimal reported span length
     WITH grams AS (
         SELECT doc_id, CAST(i AS INTEGER) AS pos,
                md5(substr(text, CAST(i AS INTEGER), {_SPAN_K})) AS h
-        FROM documents CROSS JOIN range(1, 2049) AS t(i)
+        FROM documents CROSS JOIN range(1, {_SPAN_MAXPOS} + 1) AS t(i)
         WHERE n_chars >= {_SPAN_K} AND i <= n_chars - {_SPAN_K} + 1
     ),
     dup AS (
@@ -820,7 +826,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(F.expr(
-            f"transform(sequence(1, cast(n_chars - {_SPAN_K} + 1 AS INT)),"
+            f"transform(sequence(1, least(cast(n_chars - {_SPAN_K} + 1 AS INT),"
+            f" {_SPAN_MAXPOS})),"
             f" i -> struct(i AS pos, md5(substring(text, i, {_SPAN_K})) AS h))"
         )).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))

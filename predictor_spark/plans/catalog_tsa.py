@@ -206,10 +206,15 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / (F.col("cnt") - 1)
     z = (F.col("value") - F.col("s1") / F.col("cnt")) / F.sqrt(F.greatest(var, F.lit(0.0)))
+    # threshold on the UNROUNDED z, exactly like the oracle (whose WHERE
+    # resolves the CTE column, not the rounded output alias) — filtering
+    # the rounded value would drop boundary rows with z in (3, 3.00005]
     return (
         b.filter((F.col("cnt") >= 12) & (var > 1e-12))
-        .select("event_type", "event_id", (F.round(z, 4) + F.lit(0.0)).alias("z"))
-        .filter(F.abs(F.col("z")) > 3)
+        .withColumn("__z", z)
+        .filter(F.abs(F.col("__z")) > 3)
+        .select("event_type", "event_id",
+                (F.round(F.col("__z"), 4) + F.lit(0.0)).alias("z"))
     )
 
 

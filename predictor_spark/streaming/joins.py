@@ -161,7 +161,8 @@ def purchases_enriched_with_signup(
     refresh cadence is a deployment choice — re-plan the query to pick up
     a new snapshot, or swap to a Delta table the batch job upserts.
     """
-    from predictor_spark.sources.tables import canonical_ts, load_table
+    from predictor_spark.sources.tables import load_table
+    from predictor_spark.streaming.windows import _events_stream, drain_memory_sink
 
     signup = (
         load_table(spark, sf_dir, "events")
@@ -169,17 +170,8 @@ def purchases_enriched_with_signup(
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
     )
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from predictor_spark.streaming.windows import _stream_dir, drain_memory_sink
-
-    stream = canonical_ts(
-        spark.readStream.schema(schema).format("parquet")
-        .load(_stream_dir(sf_dir, "events"))
-    ).filter(F.col("event_type") == "purchase")
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
     joined = stream.join(F.broadcast(signup), "user_id").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),

@@ -124,13 +124,17 @@ def test_vocab_topk_matches_python_recount(spark):
 
 
 def test_relational_rows_nonempty_and_typed(spark):
-    """The six planner-breadth rows return stable, non-degenerate frames
+    """The planner-breadth rows return stable, non-degenerate frames
     at the small SF (the oracle gate checks values; this pins schema and
     non-emptiness under the vanilla test session)."""
     from predictor_spark.plans import catalog_relational as cr
 
     for fn, cols in [
         (cr.q6_revenue_delta, {"revenue", "n_items"}),
+        (cr.q7_nation_volume,
+         {"cust_nation", "supp_nation", "order_year", "volume"}),
+        (cr.window_rank_functions,
+         {"p_partkey", "p_brand", "rnk", "drnk", "prnk", "cdist", "quartile"}),
         (cr.q14_promo_share, {"promo_share", "n_items"}),
         (cr.q18_big_orders, {"c_custkey", "o_orderkey", "total_price", "sum_qty"}),
         (cr.q19_disjunctive_join, {"revenue", "n_items"}),

@@ -50,7 +50,8 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "w3_single_step_window": {"must": [], "not": [], "max_window_execs": 1},
     "w12_anti_naive_lock": {"must": [], "not": [], "max_window_execs": 1},
     "a12_ga_fitness": {"must": ["partial_"], "not": [], "max_window_execs": 1},
-    "n1_zscore_roundtrip": {"must": [], "not": ["Window ["]},  # stats are literals
+    "n1_zscore_roundtrip": {"must": [], "not": [],
+                            "max_window_execs": 0},  # stats are literals
     "knn_cosine_ivf": {
         # list assignment is a broadcast-literal argmin (no join at all);
         # the probe join on cent_id must broadcast the tiny query side
@@ -76,7 +77,8 @@ EXPECT: dict[str, dict[str, list[str]]] = {
                  "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"],
         "not": [],
     },
-    "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct", "Window ["]},
+    "text_winnow_fingerprint": {"must": [], "not": ["CartesianProduct"],
+                                "max_window_execs": 0},
     "text_token_bpe": {"must": [], "not": ["Exchange"]},  # pure projection
     # same-table as-of join: ONE scan of events (tag-in-one-scan variant),
     # one window pass — never a join operator, never a second scan
