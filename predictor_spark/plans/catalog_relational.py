@@ -350,3 +350,121 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(wt).alias("quartile"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue: an
+    aggregate reused both as the join input and inside a scalar subquery
+    (max), ties INCLUDED (the comparison runs on the 2-dp-rounded revenue
+    so both engines tie identically).
+
+    Scale: the revenue aggregate is one pruned, date-pushed scan +
+    partial agg; Spark plans the scalar max as a subquery over the same
+    aggregate (AQE reuses the exchange), and the supplier attach is a
+    broadcast.  Nothing wide survives past the first aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           count(*) = count(DISTINCT o_orderkey) AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS DOUBLE), count(*) = 0
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'quantity_in_range',
+           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS DOUBLE),
+           count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS DOUBLE),
+           count(*) FILTER (l_discount < 0 OR l_discount > 0.1) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST(count(*) FILTER (o_orderdate IS NULL) AS DOUBLE),
+           count(*) FILTER (o_orderdate IS NULL) = 0
+    FROM orders
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report (the deequ/"expectation
+    suite" pattern): primary-key uniqueness, referential integrity
+    lineitem→orders, domain ranges, null checks — one row per constraint
+    with its violation metric, so a pipeline can gate ingestion on
+    `ok = false` rows.
+
+    Scale: the three lineitem constraints share ONE scan (conditional
+    aggregates in a single partial-agg pass); the orders constraints
+    share another; the FK check is a broadcast-anti-join count when the
+    PK side is dimensional, a shuffled anti-join otherwise — never a
+    row-by-row lookup.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    li_stats = li.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"), "left",
+    ).agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("fk"),
+        F.sum(F.when((q < 1) | (q > 50), 1).otherwise(0)).alias("qty"),
+        F.sum(F.when((d < 0) | (d > 0.1), 1).otherwise(0)).alias("disc"),
+    )
+    o_stats = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("od_null"),
+    )
+    row = li_stats.crossJoin(o_stats)  # 1x1 — constraint scalars only
+
+    def c(name: str, col: str):
+        return row.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(col).cast("double").alias("metric"),
+            (F.col(col) == 0).alias("ok"),
+        )
+
+    return (
+        c("orders_pk_unique", "pk_dup")
+        .unionAll(c("lineitem_fk_orders", "fk"))
+        .unionAll(c("quantity_in_range", "qty"))
+        .unionAll(c("discount_in_range", "disc"))
+        .unionAll(c("orderdate_not_null", "od_null"))
+    )
