@@ -258,3 +258,137 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("prob"),
     )
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M = 0.3, 0.1, 0.1, 24
+
+
+@query(
+    "holt_winters_per_series",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type AS sid, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) - 1 AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    series AS (
+        SELECT sid, max(n) AS n, list(value ORDER BY i) AS xs
+        FROM base GROUP BY sid HAVING max(n) >= {2 * _HW_M + 1}
+    ),
+    seeds AS (
+        SELECT sid, n, xs, list_sum(xs[1:{_HW_M}]) / {_HW_M}.0 AS l0
+        FROM series
+    ),
+    hw AS (
+        SELECT sid, n, CAST({_HW_M - 1} AS BIGINT) AS i,
+               l0 AS level,
+               (list_sum(xs[{_HW_M + 1}:{2 * _HW_M}]) / {_HW_M}.0 - l0)
+                   / {_HW_M}.0 AS trend,
+               list_transform(xs[1:{_HW_M}], v -> v - l0) AS svec,
+               CAST(0.0 AS DOUBLE) AS abs_sum
+        FROM seeds
+        UNION ALL
+        SELECT sid, n, i,
+               new_level AS level,
+               {_HW_BETA} * (new_level - level) + {1 - _HW_BETA} * trend AS trend,
+               list_transform(range(1, {_HW_M + 1}),
+                   j -> CASE WHEN j = ph
+                             THEN {_HW_GAMMA} * (xv - new_level)
+                                  + {1 - _HW_GAMMA} * sm
+                             ELSE svec[CAST(j AS INTEGER)] END) AS svec,
+               abs_sum + abs(level + trend + sm - xv) AS abs_sum
+        FROM (
+            SELECT z.*, {_HW_ALPHA} * (xv - sm)
+                        + {1 - _HW_ALPHA} * (level + trend) AS new_level
+            FROM (
+                SELECT h.sid, h.n, h.i + 1 AS i, h.level, h.trend, h.svec,
+                       h.abs_sum, b.value AS xv,
+                       CAST((h.i + 1) % {_HW_M} AS INTEGER) + 1 AS ph,
+                       h.svec[CAST((h.i + 1) % {_HW_M} AS INTEGER) + 1] AS sm
+                FROM hw h JOIN base b ON b.sid = h.sid AND b.i = h.i + 1
+                WHERE h.i + 1 < h.n
+            ) z
+        )
+    )
+    SELECT sid AS event_type, n,
+           round(level, 6) + 0.0 AS level,
+           round(trend, 6) + 0.0 AS trend,
+           round(abs_sum / (n - {_HW_M}), 6) + 0.0 AS mae,
+           round(level + 1 * trend
+                 + svec[CAST(n % {_HW_M} AS INTEGER) + 1], 6) + 0.0 AS fc1,
+           round(level + 2 * trend
+                 + svec[CAST((n + 1) % {_HW_M} AS INTEGER) + 1], 6) + 0.0 AS fc2,
+           round(level + 3 * trend
+                 + svec[CAST((n + 2) % {_HW_M} AS INTEGER) + 1], 6) + 0.0 AS fc3
+    FROM hw WHERE i = n - 1
+    """,
+)
+def holt_winters_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters 1960)
+    per series: level/trend/seasonal recursion with tick seasonality
+    m=24 (same phase convention as stl_per_series), standard first/second-
+    season initialization, one-step-ahead in-sample MAE, and h in {1,2,3}
+    out-of-sample forecasts.  α=0.3, β=γ=0.1; series shorter than 2m+1
+    are dropped on both sides.
+
+    The DuckDB oracle replays the recursion bit-for-bit as a recursive
+    CTE (the engine's pandas fold and the CTE execute the same float64
+    operations in the same order — the trading-sim fold proved this
+    pattern exact), carrying only the 24-slot seasonal vector per step.
+
+    Scale: one applyInPandas fold per series — state is O(m), the fold is
+    O(n), and series are the parallel axis exactly like trading/prophet;
+    nothing returns to the driver but the per-series summary row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from predictor_spark.sources.tables import load_table
+
+    m, al, be, ga = _HW_M, _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    cols = ["event_type", "n", "level", "trend", "mae", "fc1", "fc2", "fc3"]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2 * m + 1:
+            return pd.DataFrame(columns=cols)
+        acc = 0.0
+        for v in x[:m]:          # sequential seed sums — same fold order
+            acc += float(v)      # as the oracle's list_sum
+        l0 = acc / float(m)
+        acc2 = 0.0
+        for v in x[m:2 * m]:
+            acc2 += float(v)
+        level, trend = l0, (acc2 / float(m) - l0) / float(m)
+        svec = [float(v) - l0 for v in x[:m]]
+        abs_sum = 0.0
+        for i in range(m, n):
+            ph = i % m
+            sm = svec[ph]
+            xv = float(x[i])
+            abs_sum += abs(level + trend + sm - xv)
+            new_level = al * (xv - sm) + (1 - al) * (level + trend)
+            trend = be * (new_level - level) + (1 - be) * trend
+            svec[ph] = ga * (xv - new_level) + (1 - ga) * sm
+            level = new_level
+        r6 = lambda v: round(v, 6) + 0.0  # noqa: E731
+        return pd.DataFrame([{
+            "event_type": pdf["event_type"].iloc[0],
+            "n": n,
+            "level": r6(level), "trend": r6(trend),
+            "mae": r6(abs_sum / (n - m)),
+            **{f"fc{h}": r6(level + h * trend + svec[(n - 1 + h) % m])
+               for h in (1, 2, 3)},
+        }])
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n long, level double, trend double, mae double,"
+        " fc1 double, fc2 double, fc3 double",
+    )

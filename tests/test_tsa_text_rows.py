@@ -143,3 +143,22 @@ def test_relational_rows_nonempty_and_typed(spark):
         df = fn(spark, SF_DIR)
         assert set(df.columns) == cols
         assert df.count() >= 1, fn.__name__
+
+
+def test_holt_winters_tracks_trend_plus_seasonality(spark, tmp_path):
+    from predictor_spark.plans.catalog_tsa import holt_winters_per_series
+
+    t = np.arange(400)
+    x = 50.0 + 0.05 * t + 5.0 * np.sin(2 * np.pi * t / 24)
+    sf = _events_dir(spark, tmp_path, _mk_events(x))
+    row = holt_winters_per_series(spark, sf).collect()[0]
+    assert row.n == 400
+    # smoothing locks on: in-sample one-step MAE far below the seasonal
+    # amplitude, trend estimate near the true slope, and the h-step
+    # forecasts near the true continuation
+    assert row.mae < 1.0
+    assert row.trend == pytest.approx(0.05, abs=0.03)
+    for h in (1, 2, 3):
+        tt = 400 + h - 1
+        truth = 50.0 + 0.05 * tt + 5.0 * np.sin(2 * np.pi * tt / 24)
+        assert getattr(row, f"fc{h}") == pytest.approx(truth, abs=1.5), h
