@@ -151,3 +151,102 @@ def skewed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return two_stage_count_distinct(ev, "event_type", "user_id").orderBy("event_type")
+
+
+@query(
+    "survival_km_conversion",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT su.user_id, su.t0, min(e.ts) AS t1
+        FROM su LEFT JOIN events e
+          ON e.user_id = su.user_id AND e.event_type = 'purchase'
+         AND e.ts > su.t0
+        GROUP BY su.user_id, su.t0
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN t1 IS NULL THEN CAST(72 AS BIGINT)
+                    ELSE least(CAST(floor((epoch_us(t1) - epoch_us(t0))
+                                          / 3600e6) AS BIGINT), 72) END AS t,
+               t1 IS NOT NULL
+                   AND floor((epoch_us(t1) - epoch_us(t0)) / 3600e6) <= 72
+                   AS died
+        FROM conv
+    ),
+    per_t AS (
+        SELECT t, count(*) AS ucnt,
+               CAST(count(*) FILTER (died) AS BIGINT) AS d
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               sum(ucnt) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+                   AS n_risk
+        FROM per_t
+    )
+    SELECT t AS dur_h, d AS n_died, n_risk,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) + 0.0
+               AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def survival_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of signup→first-purchase conversion
+    time (hours), right-censored administratively at 72 h: users who have
+    not purchased within the horizon stay in the risk set until 72 then
+    leave censored — the standard churn/conversion survival curve the
+    OLAP dashboards plot.  S(t) = Π_{t_i≤t} (1 − d_i/n_i); deaths and
+    risk sets are exact integers, the product runs as exp(Σ ln(·)) over
+    the 6-dp-rounded output.
+
+    Scale: two shuffles on user_id (signup min, conditional purchase
+    min), then everything aggregates to |distinct durations| ≤ horizon
+    rows — the KM windows run over that tiny frame.  The risk set is a
+    reverse cumulative sum, not a correlated subquery.
+    """
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts"))
+    # qualification INSIDE the left join: a user whose purchases all
+    # precede signup must stay (censored), not vanish via a post-filter
+    conv = (
+        su.join(pur, (F.col("user_id") == F.col("p_uid"))
+                & (F.col("pts") > F.col("t0")), "left")
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("t1"))
+    )
+    dur = F.floor((F.unix_micros("t1") - F.unix_micros("t0")) / F.lit(3600e6))
+    obs = conv.select(
+        "user_id",
+        F.when(F.col("t1").isNull(), F.lit(72).cast("long"))
+         .otherwise(F.least(dur.cast("long"), F.lit(72).cast("long"))).alias("t"),
+        (F.col("t1").isNotNull() & (dur <= 72)).alias("died"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("ucnt"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.withColumn("n_risk", F.sum("ucnt").over(wdesc))
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(F.exp(F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            ).over(wasc)), 6) + F.lit(0.0),
+        )
+        .filter(F.col("d") > 0)
+        .select(F.col("t").alias("dur_h"), F.col("d").alias("n_died"),
+                "n_risk", "survival")
+    )

@@ -162,3 +162,32 @@ def test_holt_winters_tracks_trend_plus_seasonality(spark, tmp_path):
         tt = 400 + h - 1
         truth = 50.0 + 0.05 * tt + 5.0 * np.sin(2 * np.pi * tt / 24)
         assert getattr(row, f"fc{h}") == pytest.approx(truth, abs=1.5), h
+
+
+def test_km_survival_matches_hand_computation(spark, tmp_path):
+    from predictor_spark.plans.catalog_behavior import survival_km_conversion
+
+    # 6 users: conversions after 1h,1h,5h,80h(censored at 72),none,none
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    eid = 0
+    for uid, conv_h in enumerate([1, 1, 5, 80, None, None]):
+        rows.append({"event_id": eid, "ts": base, "user_id": uid,
+                     "event_type": "signup", "value": 1.0, "props": "{}"})
+        eid += 1
+        if conv_h is not None:
+            rows.append({"event_id": eid, "ts": base + pd.Timedelta(hours=conv_h),
+                         "user_id": uid, "event_type": "purchase",
+                         "value": 1.0, "props": "{}"})
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+
+    got = {r.dur_h: (r.n_died, r.n_risk, r.survival)
+           for r in survival_km_conversion(spark, str(sf)).collect()}
+    # death times: t=1 (d=2, n=6 -> S=4/6), t=5 (d=1, n=4 -> S=4/6*3/4=0.5);
+    # the 80h conversion and the two non-converters censor at t=72
+    assert got == {1: (2, 6, round(4 / 6, 6)), 5: (1, 4, 0.5)}
