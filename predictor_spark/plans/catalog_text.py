@@ -886,3 +886,136 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (distributed tokenizer-training pattern)
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
+    """Chained-CTE replay of the merge loop: pair statistics from the
+    word histogram, best pair by (count DESC, left, right), greedy
+    left-to-right merge via the triple-replace on the space-joined
+    symbol string (see bpe_train_merges docstring for why 3 passes of
+    a non-overlapping replace reproduce the greedy merge exactly)."""
+    parts = [r"""
+    WITH words AS (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    rep0 AS (
+        SELECT cnt, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS rep
+        FROM words
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    pairs{k} AS (
+        SELECT pr.l AS l, pr.r AS r, sum(cnt) AS pc FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)),
+                       i -> struct_pack(l := syms[CAST(i AS INT)],
+                                        r := syms[CAST(i AS INT) + 1]))) AS pr
+            FROM (SELECT cnt,
+                         list_filter(string_split(trim(rep), ' '),
+                                     x -> x <> '') AS syms
+                  FROM rep{k - 1})
+        ) GROUP BY pr.l, pr.r
+    ),
+    best{k} AS (
+        SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,
+               pc AS pair_count
+        FROM pairs{k} ORDER BY pc DESC, l, r LIMIT 1
+    ),
+    rep{k} AS (
+        SELECT cnt, replace(replace(replace(rep, pat, rp), pat, rp), pat, rp)
+                   AS rep
+        FROM rep{k - 1}, (SELECT ' ' || left_sym || ' ' || right_sym || ' '
+                                     AS pat,
+                                 ' ' || left_sym || right_sym || ' ' AS rp
+                          FROM best{k})
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM best{k}"
+                               for k in range(1, iters + 1))
+    return "".join(parts) + "\n    " + union
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016), first 3
+    merges: aggregate the corpus to a word histogram ONCE, then iterate
+    (pair statistics -> argmax pair -> greedy merge) over the tiny
+    histogram.  Pair statistics count every adjacent symbol position
+    (classic BPE); the winning pair breaks ties by (count DESC, left,
+    right).
+
+    The greedy left-to-right merge runs as THREE passes of the built-in
+    non-overlapping string replace over the space-joined symbol string
+    (" l r " -> " lr "): one replace pass skips an occurrence whose
+    leading space was consumed by the preceding match, but any two
+    adjacent occurrences have at least one merged per pass, so the
+    skipped ones are isolated afterwards and pass 2 catches them all;
+    pass 3 is margin.  Replacing " l r " can never CREATE a new " l r "
+    (symbols are space-free), so extra passes are idempotent — the
+    fixpoint equals the greedy merge.  Both engines' replace() share
+    these semantics, so the oracle replays the loop exactly.
+
+    Scale: the corpus scan ends at the word histogram (partial-agg
+    shuffle carries |vocab| rows); every iteration is O(|vocab|) — the
+    same pre-aggregation production BPE trainers use.  Iterations are
+    sequential by nature; each is one tiny groupBy + a broadcast of the
+    1-row winner into the merge projection.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" ")).alias("rep"),
+    )
+    bests = []
+    for k in range(1, _BPE_ITERS + 1):
+        syms = cur.withColumn(
+            "syms", F.expr("filter(split(trim(rep), ' '), x -> x <> '')"))
+        # guard: a 1-symbol word yields sequence(0, -1), which Spark
+        # generates DESCENDING ([0, -1]) instead of empty — filter the
+        # pairless words out of the statistics (they contribute nothing)
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(F.expr(
+                "transform(sequence(0, size(syms) - 2),"
+                " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).alias("pr"),
+        ).select("cnt", "pr.l", "pr.r")
+        best = (
+            pairs.groupBy("l", "r").agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "l", "r").limit(1)
+            .select(
+                F.lit(k).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        bests.append(best)
+        cur = (
+            syms.crossJoin(F.broadcast(
+                best.select("left_sym", "right_sym")))  # 1-row winner
+            .withColumn("pat", F.concat(F.lit(" "), "left_sym", F.lit(" "),
+                                        "right_sym", F.lit(" ")))
+            .withColumn("rp", F.concat(F.lit(" "), "left_sym", "right_sym",
+                                       F.lit(" ")))
+            .withColumn("rep", F.expr(
+                "replace(replace(replace(rep, pat, rp), pat, rp), pat, rp)"))
+            .select("cnt", "rep")
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out

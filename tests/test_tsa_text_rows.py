@@ -191,3 +191,51 @@ def test_km_survival_matches_hand_computation(spark, tmp_path):
     # death times: t=1 (d=2, n=6 -> S=4/6), t=5 (d=1, n=4 -> S=4/6*3/4=0.5);
     # the 80h conversion and the two non-converters censor at t=72
     assert got == {1: (2, 6, round(4 / 6, 6)), 5: (1, 4, 0.5)}
+
+
+def test_bpe_merges_match_reference_implementation(spark, tmp_path):
+    """bpe_train_merges vs an independent pure-Python BPE trainer on the
+    classic Sennrich-style micro-corpus (word-histogram weighting, every
+    adjacent position counted, ties by (count desc, left, right), greedy
+    left-to-right merge)."""
+    from predictor_spark.plans.catalog_text import bpe_train_merges
+
+    corpus = ["low low low low low", "lower lower newest",
+              "newest newest newest newest newest", "widest widest widest"]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(corpus)), "text": corpus,
+        "lang": "en", "source": "t",
+        "n_chars": [len(t) for t in corpus],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "documents.parquet"))
+
+    def py_bpe(texts, iters=3):
+        from collections import Counter
+        hist = Counter(w for t in texts for w in t.split())
+        reps = {w: list(w) for w in hist}
+        merges = []
+        for _ in range(iters):
+            pc = Counter()
+            for w, syms in reps.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += hist[w]
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r, c))
+            for w, syms in reps.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                reps[w] = out
+        return merges
+
+    want = py_bpe(corpus)
+    got = sorted(bpe_train_merges(spark, str(sf)).collect(),
+                 key=lambda r: r.merge_rank)
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == want
