@@ -250,3 +250,66 @@ def survival_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t").alias("dur_h"), F.col("d").alias("n_died"),
                 "n_risk", "survival")
     )
+
+
+@query(
+    "session_top_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM marked
+    ),
+    paths AS (
+        SELECT array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        FROM sessions GROUP BY user_id, sess
+    )
+    SELECT path, count(*) AS n FROM paths
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey openings: sessionize (30-min gap), take each
+    session's first three event types as a `a>b>c` path, rank the ten
+    most common (lexicographic tie-break).  The product-analytics "path
+    analysis" view over the same sessionization law as
+    sessionize_counts / streaming_session_windows.
+
+    Scale: one shuffle on user_id for the gap/cumsum windows, then the
+    per-session head is a slice of an ordered collect bounded at 3 via
+    the aggregation — path cardinality is |types|³ at most, so the final
+    count + top-k is tiny (TakeOrderedAndProject).
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+               / 1e6 > 1800.0),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    paths = (
+        sess.groupBy("user_id", "sess")
+        .agg(F.expr(
+            "array_join(slice(array_sort(collect_list(struct(ts, event_id,"
+            " event_type))).event_type, 1, 3), '>')").alias("path"))
+    )
+    return (
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path").limit(10)
+    )

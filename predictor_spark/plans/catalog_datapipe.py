@@ -179,3 +179,49 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "dataset_split_assignment",
+    oracle="""
+    SELECT split, lang, count(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN pct < 80 THEN 'train'
+                    WHEN pct < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) % 100 AS pct
+            FROM documents
+        )
+    )
+    GROUP BY split, lang
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-stable
+    hash of the document id (md5 prefix mod 100) — the split every
+    training pipeline needs: reproducible across runs and engines, no
+    shuffle-order dependence, no RNG state.  Reported as per-(split,
+    lang) counts so skew between splits is visible.
+
+    Scale: pure projection + partial-agg groupBy; the hash is the same
+    portable md5-prefix idiom the winnowing fingerprints use.  Adding a
+    stratification key just extends the GROUP BY.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.select(
+            "lang",
+            F.when(pct < 80, "train").when(pct < 90, "val")
+             .otherwise("test").alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1019,3 +1019,59 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+    WITH dims AS (
+        SELECT label, CAST(i AS INTEGER) AS pos, avg(embedding[CAST(i AS INTEGER)]) AS c
+        FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+        GROUP BY label, i
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+        FROM dims a JOIN dims b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, round(dot / (na * nb), 6) + 0.0 AS cosine
+    FROM pairs
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the embedding-space class-separation diagnostic (how close are the
+    label clusters a classifier must separate; also the quantizer-quality
+    view for the IVF index).
+
+    Scale: centroids reduce map-side per (label, dim) — the shuffle
+    carries |labels|·dim rows, never embeddings; the pairwise stage runs
+    over the |labels|·dim centroid frame (self-join on the dim key),
+    which stays tiny until |labels| reaches thousands — at which point
+    the same plan shards by label-pair blocks.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.avg("v").alias("c"))
+    )
+    a, b = dims.alias("a"), dims.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"),
+                 F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.c") * F.col("a.c"))).alias("na"),
+            F.sqrt(F.sum(F.col("b.c") * F.col("b.c"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        (F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6) + F.lit(0.0))
+        .alias("cosine"),
+    )
