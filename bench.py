@@ -58,6 +58,9 @@ HEADLINE = [
     "acf_per_series",
     "dedup_substring_spans",
     "event_transition_matrix",
+    "holt_winters_per_series",
+    "survival_km_conversion",
+    "bpe_train_merges",
     # model family: per-series distributed training (OLS prophet-like),
     # stateful backtest fold, and pure-JVM deep-model inference
     "prophet_like_train_eval",

@@ -453,18 +453,15 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("od_null"),
     )
     row = li_stats.crossJoin(o_stats)  # 1x1 — constraint scalars only
-
-    def c(name: str, col: str):
-        return row.select(
-            F.lit(name).alias("constraint_name"),
-            F.col(col).cast("double").alias("metric"),
-            (F.col(col) == 0).alias("ok"),
-        )
-
-    return (
-        c("orders_pk_unique", "pk_dup")
-        .unionAll(c("lineitem_fk_orders", "fk"))
-        .unionAll(c("quantity_in_range", "qty"))
-        .unionAll(c("discount_in_range", "disc"))
-        .unionAll(c("orderdate_not_null", "od_null"))
-    )
+    # unpivot via stack, NOT a 5-way union of selects: union branches
+    # re-evaluate the aggregate subtrees per branch (13 scans in the
+    # plan), stack emits all five rows from ONE evaluation
+    return row.select(F.expr(
+        "stack(5,"
+        " 'orders_pk_unique',   cast(pk_dup  as double),"
+        " 'lineitem_fk_orders', cast(fk      as double),"
+        " 'quantity_in_range',  cast(qty     as double),"
+        " 'discount_in_range',  cast(disc    as double),"
+        " 'orderdate_not_null', cast(od_null as double)"
+        ") AS (constraint_name, metric)"
+    )).withColumn("ok", F.col("metric") == 0.0)

@@ -179,6 +179,35 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "window_rank_functions": {
         "must": [], "not": ["Join"], "max_window_execs": 2,
     },
+    # session-3 additions: Q15's supplier attach broadcasts; the quality
+    # report is two shared scans + conditional aggs (no per-constraint
+    # rescans); HW is one fold per series (no window, no join); KM's risk
+    # set is a window cumsum, never a correlated join; BPE iterates over
+    # the word histogram with broadcast 1-row winners; split assignment
+    # is projection + partial agg; centroids reduce before any join
+    "q15_top_supplier": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "data_quality_report": {"must": ["partial_"], "not": ["CartesianProduct"]},
+    "holt_winters_per_series": {
+        "must": ["FlatMapGroupsInPandas"], "not": ["Join"],
+        "max_window_execs": 0,
+    },
+    "survival_km_conversion": {"must": ["partial_"],
+                               "not": ["CartesianProduct"]},
+    "bpe_train_merges": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],  # 1-row winner
+        "not": ["SortMergeJoin"],
+    },
+    "dataset_split_assignment": {"must": ["partial_"], "not": ["Join"]},
+    "session_top_paths": {
+        "must": ["partial_", "TakeOrderedAndProject"],
+        "not": ["Join"], "max_window_execs": 2,
+    },
+    "label_centroid_similarity": {
+        "must": ["partial_"], "not": ["CartesianProduct"],
+    },
 }
 
 
