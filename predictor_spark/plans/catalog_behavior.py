@@ -313,3 +313,69 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "path").limit(10)
     )
+
+
+@query(
+    "scd2_user_segment_history",
+    oracle="""
+    WITH weekly AS (
+        SELECT user_id, date_trunc('week', ts) AS wk, count(*) AS n
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    seg AS (
+        SELECT user_id, wk,
+               CAST(floor(epoch(wk) / 604800.0) AS BIGINT) AS wk_idx,
+               CASE WHEN n < 5 THEN 'low'
+                    WHEN n < 15 THEN 'mid'
+                    ELSE 'high' END AS segment
+        FROM weekly
+    ),
+    isl AS (
+        SELECT user_id, segment, wk, wk_idx,
+               wk_idx - row_number() OVER (PARTITION BY user_id, segment
+                                           ORDER BY wk_idx) AS grp
+        FROM seg
+    )
+    SELECT user_id, segment,
+           strftime(min(wk), '%Y-%m-%d') AS valid_from,
+           strftime(max(wk), '%Y-%m-%d') AS valid_to,
+           count(*) AS n_weeks
+    FROM isl GROUP BY user_id, segment, grp
+    """,
+)
+def scd2_user_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each user's weekly
+    activity segment (low/mid/high by event count) collapsed into
+    validity ranges — consecutive weeks in the same segment become one
+    (valid_from, valid_to) row, an inactive or changed week closes the
+    range (gaps-and-islands on the epoch-week index).  This is the
+    history-tracking half of the OLAP upsert family: `olap_fact_upsert`
+    maintains current state, this row materializes the change history a
+    dashboard time-travels over.
+
+    Scale: one shuffle to (user, week) aggregates, one window pass on
+    the tiny weekly frame, one final aggregate — the events fact is
+    touched once.
+    """
+    ev = _t(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = weekly.select(
+        "user_id", "wk",
+        F.floor(F.unix_timestamp("wk") / 604800.0).cast("long").alias("wk_idx"),
+        F.when(F.col("n") < 5, "low").when(F.col("n") < 15, "mid")
+         .otherwise("high").alias("segment"),
+    )
+    w = Window.partitionBy("user_id", "segment").orderBy("wk_idx")
+    return (
+        seg.withColumn("grp", F.col("wk_idx") - F.row_number().over(w))
+        .groupBy("user_id", "segment", "grp")
+        .agg(
+            F.date_format(F.min("wk"), "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.max("wk"), "yyyy-MM-dd").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_weeks"),
+        )
+        .drop("grp")
+    )

@@ -225,3 +225,43 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, round(k, 6) + 0.0 AS sample_key
+    FROM (
+        SELECT doc_id, lang,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) + 1.0) / 268435457.0)
+                   / n_chars AS k
+        FROM documents
+    )
+    ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-50 by length weight —
+    the Efraimidis-Spirakis (2006) one-pass reservoir law: draw
+    u~U(0,1) per item, keep the k largest u^(1/w), equivalently the
+    largest ln(u)/w.  The uniform comes from the md5-prefix of the id
+    (u = (h+1)/(2^28+1)), so the sample is deterministic, engine-
+    independent, and reproducible across runs — no RNG state to ship.
+
+    Scale: pure projection + TakeOrderedAndProject — the canonical
+    distributed reservoir: each partition keeps its top-50, the driver
+    merges |partitions|·50 candidates.  Weights change per policy by
+    swapping the `w` column (quality score, token count, domain boost).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
+                16, 10).cast("double") + 1.0) / 268435457.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang",
+                (F.round("k", 6) + F.lit(0.0)).alias("sample_key"))
+    )

@@ -239,3 +239,26 @@ def test_bpe_merges_match_reference_implementation(spark, tmp_path):
     got = sorted(bpe_train_merges(spark, str(sf)).collect(),
                  key=lambda r: r.merge_rank)
     assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == want
+
+
+def test_scd2_ranges_are_consistent_and_disjoint(spark):
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from predictor_spark.plans.catalog_behavior import scd2_user_segment_history
+
+    rows = scd2_user_segment_history(spark, SF_DIR).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        f = date.fromisoformat(r.valid_from)
+        t = date.fromisoformat(r.valid_to)
+        # a range spans exactly n_weeks ISO weeks
+        assert (t - f).days == (r.n_weeks - 1) * 7, r
+        by_user[r.user_id].append((f, t, r.segment))
+    for uid, ranges in by_user.items():
+        ranges.sort()
+        for (f1, t1, s1), (f2, t2, s2) in zip(ranges, ranges[1:]):
+            assert t1 < f2, (uid, t1, f2)  # disjoint, strictly ordered
+            if s1 == s2:  # same segment must be separated by a real gap
+                assert (f2 - t1).days > 7, (uid, s1)
