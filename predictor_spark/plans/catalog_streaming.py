@@ -144,3 +144,26 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from predictor_spark.streaming.joins import purchases_enriched_with_signup
 
     return purchases_enriched_with_signup(spark, sf_dir)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT win_start, event_type,
+           count(*) AS n, round(sum(value), 6) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) - INTERVAL (o) HOUR AS win_start,
+               event_type, value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS t(o)
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h event-time windows (every event in two windows) —
+    the batch oracle expands each event into its two window starts
+    (hour-floor minus 0 and 1 hours), which is exactly Spark's
+    window(ts, '2 hours', '1 hour') assignment."""
+    from predictor_spark.streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(spark, sf_dir)

@@ -392,3 +392,126 @@ def holt_winters_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long, level double, trend double, mae double,"
         " fc1 double, fc2 double, fc3 double",
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(least(greatest(e.value, q.p05), q.p95)), 4)
+               AS mean_winsorized,
+           round(any_value(q.p05), 6) AS p05,
+           round(any_value(q.p95), 6) AS p95
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per series — clip at the exact p05/p95
+    (interpolated percentiles, same definition in both engines, proven
+    by value_quantiles) and compare against the raw mean: the
+    data_processor-style outlier treatment that bounds, rather than
+    drops, extreme ticks.
+
+    Scale: percentiles are one exact-percentile aggregate per series
+    (at 100 TB swap in approx_percentile and document the error bound);
+    the clip is a broadcast join of the |series|-row threshold frame +
+    map-side conditional aggregate.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+        )
+    )
+
+
+@query(
+    "rolling_corr_click_purchase",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type, sum(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT c.hr, c.v AS x, p.v AS y
+        FROM hourly c JOIN hourly p ON c.hr = p.hr
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ),
+    s AS (
+        SELECT hr, count(*) OVER w AS cnt,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM grid
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr,
+           round((cnt * sxy - sx * sy)
+                 / sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 4)
+               + 0.0 AS corr24
+    FROM s
+    WHERE cnt >= 12 AND (cnt * sxx - sx * sx) > 1e-9
+      AND (cnt * syy - sy * sy) > 1e-9
+    """,
+)
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between the hourly click and
+    purchase value series — the cross-series co-movement diagnostic
+    (reference A9 computes static feature correlation; this is its
+    windowed, time-resolved form).  Computed from the windowed
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) so both engines
+    run one closed form.
+
+    Scale: two partial aggregates to the hour grid, a self-join on the
+    hour key (tiny), ONE ordered window pass carrying all six sums.
+    The single global window rides on the hour-grid frame (|hours|
+    rows), not the event fact — at 100 TB the grid is still ~10⁴ rows
+    per month.
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(F.sum("value").alias("v"))
+    c = hourly.filter(F.col("event_type") == "click").select(
+        "hr", F.col("v").alias("x"))
+    p = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("hr").alias("p_hr"), F.col("v").alias("y"))
+    grid = c.join(p, F.col("hr") == F.col("p_hr")).select("hr", "x", "y")
+    w = Window.orderBy("hr").rowsBetween(-23, 0)
+    s = grid.select(
+        "hr",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("x").over(w).alias("sx"), F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    vx = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / F.sqrt(vx * vy)
+    return (
+        s.filter((F.col("cnt") >= 12) & (vx > 1e-9) & (vy > 1e-9))
+        .select("hr", (F.round(corr, 4) + F.lit(0.0)).alias("corr24"))
+    )

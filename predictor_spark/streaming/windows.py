@@ -212,3 +212,44 @@ def late_data_drop_counts(
     finally:
         q.stop()
     return drain_memory_sink(spark, name, agg.schema)
+
+
+def sliding_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """OVERLAPPING (sliding) event-time windows: window(ts, 2h, 1h) —
+    every event lands in TWO windows, the state store keys on
+    (window, event_type) exactly like tumbling but with len/slide copies
+    per row.  Completes the window-type matrix (tumbling / session /
+    sliding).
+
+    Scale: state per key is bounded by (watermark / slide) open windows;
+    the map-side expansion factor is len/slide — the knob that trades
+    freshness granularity against state size at 100 TB/day rates."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                "total_value")
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return drain_memory_sink(spark, name, agg.schema)
