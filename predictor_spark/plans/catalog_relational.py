@@ -431,28 +431,32 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its violation metric, so a pipeline can gate ingestion on
     `ok = false` rows.
 
-    Scale: the three lineitem constraints share ONE scan (conditional
-    aggregates in a single partial-agg pass); the orders constraints
-    share another; the FK check is a broadcast-anti-join count when the
-    PK side is dimensional, a shuffled anti-join otherwise — never a
-    row-by-row lookup.
+    Scale: the two range constraints share one bare-lineitem scan
+    (conditional aggregates in a single partial-agg pass); the FK count
+    is a SEPARATE anti-join scan — it must not share a frame with the
+    range metrics, because a duplicated orders PK (exactly the dirty
+    data 'orders_pk_unique' exists to catch) would fan lineitem rows out
+    through the join and inflate them (review finding); the orders
+    constraints share a third scan.
     """
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     q, d = F.col("l_quantity"), F.col("l_discount")
-    li_stats = li.join(
-        orders.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"), "left",
-    ).agg(
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("fk"),
+    li_range = li.agg(
         F.sum(F.when((q < 1) | (q > 50), 1).otherwise(0)).alias("qty"),
         F.sum(F.when((d < 0) | (d > 0.1), 1).otherwise(0)).alias("disc"),
+    )
+    fk_cnt = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey").distinct(),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk"))
     )
     o_stats = orders.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("od_null"),
     )
-    row = li_stats.crossJoin(o_stats)  # 1x1 — constraint scalars only
+    row = li_range.crossJoin(fk_cnt).crossJoin(o_stats)  # 1x1x1 scalars
     # unpivot via stack, NOT a 5-way union of selects: union branches
     # re-evaluate the aggregate subtrees per branch (13 scans in the
     # plan), stack emits all five rows from ONE evaluation

@@ -898,9 +898,9 @@ _BPE_ITERS = 3
 def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
     """Chained-CTE replay of the merge loop: pair statistics from the
     word histogram, best pair by (count DESC, left, right), greedy
-    left-to-right merge via the triple-replace on the space-joined
-    symbol string (see bpe_train_merges docstring for why 3 passes of
-    a non-overlapping replace reproduce the greedy merge exactly)."""
+    left-to-right merge via ONE non-overlapping replace on the
+    delimiter-wrapped symbol string (see bpe_train_merges docstring for
+    why that single pass IS the greedy merge)."""
     parts = [r"""
     WITH words AS (
         SELECT w, count(*) AS cnt FROM (
@@ -909,7 +909,7 @@ def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
         ) WHERE w <> '' GROUP BY w
     ),
     rep0 AS (
-        SELECT cnt, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS rep
+        SELECT cnt, regexp_replace(w, '(.)', '\1', 'g') AS rep
         FROM words
     )"""]
     for k in range(1, iters + 1):
@@ -921,7 +921,7 @@ def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
                        i -> struct_pack(l := syms[CAST(i AS INT)],
                                         r := syms[CAST(i AS INT) + 1]))) AS pr
             FROM (SELECT cnt,
-                         list_filter(string_split(trim(rep), ' '),
+                         list_filter(string_split(rep, ''),
                                      x -> x <> '') AS syms
                   FROM rep{k - 1})
         ) GROUP BY pr.l, pr.r
@@ -932,11 +932,11 @@ def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
         FROM pairs{k} ORDER BY pc DESC, l, r LIMIT 1
     ),
     rep{k} AS (
-        SELECT cnt, replace(replace(replace(rep, pat, rp), pat, rp), pat, rp)
-                   AS rep
-        FROM rep{k - 1}, (SELECT ' ' || left_sym || ' ' || right_sym || ' '
-                                     AS pat,
-                                 ' ' || left_sym || right_sym || ' ' AS rp
+        SELECT cnt, replace(rep, pat, rp) AS rep
+        FROM rep{k - 1}, (SELECT '' || left_sym || '' ||
+                                     right_sym || '' AS pat,
+                                 '' || left_sym || right_sym || ''
+                                     AS rp
                           FROM best{k})
     )""")
     union = " UNION ALL ".join(f"SELECT * FROM best{k}"
@@ -953,16 +953,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (classic BPE); the winning pair breaks ties by (count DESC, left,
     right).
 
-    The greedy left-to-right merge runs as THREE passes of the built-in
-    non-overlapping string replace over the space-joined symbol string
-    (" l r " -> " lr "): one replace pass skips an occurrence whose
-    leading space was consumed by the preceding match, but any two
-    adjacent occurrences have at least one merged per pass, so the
-    skipped ones are isolated afterwards and pass 2 catches them all;
-    pass 3 is margin.  Replacing " l r " can never CREATE a new " l r "
-    (symbols are space-free), so extra passes are idempotent — the
-    fixpoint equals the greedy merge.  Both engines' replace() share
-    these semantics, so the oracle replays the loop exactly.
+    The greedy left-to-right merge is ONE pass of the built-in
+    non-overlapping string replace over a DELIMITER-WRAPPED symbol
+    string: every symbol is stored as \\x1f·sym·\\x1f (so two adjacent
+    symbols abut as "\\x1fl\\x1f\\x1fr\\x1f"), and the merge replaces
+    "\\x1fl\\x1f\\x1fr\\x1f" with "\\x1flr\\x1f".  Because consecutive
+    pattern occurrences share NO characters in this encoding, the
+    engine's left-to-right non-overlapping replace consumes pairs in
+    exactly greedy order — including the self-adjacent l==r case
+    ("aaaaa" -> [aa, aa, a]) where a space-separated encoding provably
+    diverges (adjacent matches share the boundary space, so replace
+    skips every second occurrence: a review fuzz against a reference
+    trainer failed 28/60 corpora before this encoding).  The full
+    trailing delimiter of r is inside the pattern, so a pair can never
+    match a proper PREFIX of a longer symbol.  Both engines' replace()
+    share these semantics, and the unit separator cannot occur inside
+    a whitespace-token symbol.  (Char alphabet note: the initial split
+    uses regex '(.)' — a UTF-16 code unit in Spark vs a codepoint in
+    DuckDB's RE2; identical on BMP text, so the corpus contract is
+    BMP/ASCII, as the generator produces.)
 
     Scale: the corpus scan ends at the word histogram (partial-agg
     shuffle carries |vocab| rows); every iteration is O(|vocab|) — the
@@ -978,12 +987,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = words.select(
         "cnt",
-        F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" ")).alias("rep"),
+        F.regexp_replace("w", "(.)", "$1").alias("rep"),
     )
     bests = []
     for k in range(1, _BPE_ITERS + 1):
         syms = cur.withColumn(
-            "syms", F.expr("filter(split(trim(rep), ' '), x -> x <> '')"))
+            "syms", F.expr("filter(split(rep, ''), x -> x <> '')"))
         # guard: a 1-symbol word yields sequence(0, -1), which Spark
         # generates DESCENDING ([0, -1]) instead of empty — filter the
         # pairless words out of the statistics (they contribute nothing)
@@ -1007,12 +1016,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             syms.crossJoin(F.broadcast(
                 best.select("left_sym", "right_sym")))  # 1-row winner
-            .withColumn("pat", F.concat(F.lit(" "), "left_sym", F.lit(" "),
-                                        "right_sym", F.lit(" ")))
-            .withColumn("rp", F.concat(F.lit(" "), "left_sym", "right_sym",
-                                       F.lit(" ")))
-            .withColumn("rep", F.expr(
-                "replace(replace(replace(rep, pat, rp), pat, rp), pat, rp)"))
+            .withColumn("pat", F.concat(F.lit(""), "left_sym",
+                                        F.lit(""), "right_sym",
+                                        F.lit("")))
+            .withColumn("rp", F.concat(F.lit(""), "left_sym",
+                                       "right_sym", F.lit("")))
+            .withColumn("rep", F.expr("replace(rep, pat, rp)"))
             .select("cnt", "rep")
         )
     out = bests[0]
@@ -1021,12 +1030,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_EMB_DIM = 64  # generator contract (TESTDATA.md); shared engine/oracle
+
+
 @query(
     "label_centroid_similarity",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
         SELECT label, CAST(i AS INTEGER) AS pos, avg(embedding[CAST(i AS INTEGER)]) AS c
-        FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+        FROM embeddings CROSS JOIN range(1, {_EMB_DIM} + 1) AS t(i)
         GROUP BY label, i
     ),
     pairs AS (
@@ -1053,8 +1065,12 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan shards by label-pair blocks.
     """
     emb = _t(spark, sf_dir, "embeddings")
+    # slice to the SAME dim constant the oracle's range bound uses, so a
+    # future dim change breaks loudly in one place instead of silently
+    # truncating only the oracle side (review finding)
     dims = (
-        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        emb.select("label", F.posexplode(
+            F.slice("embedding", 1, _EMB_DIM)).alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(F.avg("v").alias("c"))
     )

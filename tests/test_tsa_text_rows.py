@@ -193,15 +193,20 @@ def test_km_survival_matches_hand_computation(spark, tmp_path):
     assert got == {1: (2, 6, round(4 / 6, 6)), 5: (1, 4, 0.5)}
 
 
-def test_bpe_merges_match_reference_implementation(spark, tmp_path):
-    """bpe_train_merges vs an independent pure-Python BPE trainer on the
-    classic Sennrich-style micro-corpus (word-histogram weighting, every
-    adjacent position counted, ties by (count desc, left, right), greedy
-    left-to-right merge)."""
+@pytest.mark.parametrize("corpus", [
+    ["low low low low low", "lower lower newest",
+     "newest newest newest newest newest", "widest widest widest"],
+    # same-char runs: the case where a space-separated merge encoding
+    # provably diverges from greedy BPE (review finding) — 'aaaa' must
+    # merge to [aa, aa], 'aaaaa' to [aa, aa, a]
+    ["loooool loooool loooool loooool", "aaaa aaaa aaaa aaaa aaaa",
+     "aaaaa aaaaa", "abab abab abab"],
+], ids=["sennrich", "char-runs"])
+def test_bpe_merges_match_reference_implementation(spark, tmp_path, corpus):
+    """bpe_train_merges vs an independent pure-Python BPE trainer
+    (word-histogram weighting, every adjacent position counted, ties by
+    (count desc, left, right), greedy left-to-right merge)."""
     from predictor_spark.plans.catalog_text import bpe_train_merges
-
-    corpus = ["low low low low low", "lower lower newest",
-              "newest newest newest newest newest", "widest widest widest"]
     pdf = pd.DataFrame({
         "doc_id": range(len(corpus)), "text": corpus,
         "lang": "en", "source": "t",
