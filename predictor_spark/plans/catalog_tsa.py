@@ -515,3 +515,128 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("cnt") >= 12) & (vx > 1e-9) & (vy > 1e-9))
         .select("hr", (F.round(corr, 4) + F.lit(0.0)).alias("corr24"))
     )
+
+
+_CONF_CUTOFF = "2024-01-22 00:00:00"
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT event_type, ts, value,
+               lead(value) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS target
+        FROM events
+    ),
+    train AS (
+        SELECT event_type,
+               quantile_cont(target - value, 0.05) AS q_lo,
+               quantile_cont(target - value, 0.95) AS q_hi,
+               count(*) AS n_train
+        FROM pairs
+        WHERE target IS NOT NULL AND ts < TIMESTAMP '{_CONF_CUTOFF}'
+        GROUP BY event_type
+    )
+    SELECT p.event_type, any_value(t.n_train) AS n_train,
+           count(*) AS n_eval,
+           round(any_value(t.q_lo), 6) AS q_lo,
+           round(any_value(t.q_hi), 6) AS q_hi,
+           round(avg(CASE WHEN p.target >= p.value + t.q_lo
+                           AND p.target <= p.value + t.q_hi
+                          THEN 1.0 ELSE 0.0 END), 4) AS coverage
+    FROM pairs p JOIN train t USING (event_type)
+    WHERE p.target IS NOT NULL AND p.ts >= TIMESTAMP '{_CONF_CUTOFF}'
+    GROUP BY p.event_type
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the persistence
+    forecast (Vovk et al. / split-conformal): calibration residual
+    quantiles [q05, q95] from the pre-cutoff pairs, then the EMPIRICAL
+    coverage of value+[q_lo, q_hi] on the post-cutoff pairs — the
+    distribution-free uncertainty wrapper the reference's MC-dropout
+    metrics (A4/A5) approximate parametrically.
+
+    Scale: one window pass for the per-series leads, one exact-quantile
+    calibration aggregate per series (approx_percentile at 100 TB), and
+    a broadcast join of the |series|-row interval table into the eval
+    scan.  Nothing driver-side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", "ts", "value",
+        F.lead("value").over(w).alias("target"),
+    ).filter(F.col("target").isNotNull())
+    cutoff = F.lit(_CONF_CUTOFF).cast("timestamp")
+    train = (
+        pairs.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(target - value, 0.05)").alias("q_lo"),
+            F.expr("percentile(target - value, 0.95)").alias("q_hi"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    covered = F.when(
+        (F.col("target") >= F.col("value") + F.col("q_lo"))
+        & (F.col("target") <= F.col("value") + F.col("q_hi")), 1.0).otherwise(0.0)
+    return (
+        pairs.filter(F.col("ts") >= cutoff)
+        .join(F.broadcast(train), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_train").alias("n_train"),
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.first("q_lo"), 6).alias("q_lo"),
+            F.round(F.first("q_hi"), 6).alias("q_hi"),
+            F.round(F.avg(covered), 4).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "pinball_loss_eval",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type, value,
+               lead(value) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS target
+        FROM events
+    )
+    SELECT event_type, tau, count(*) AS n,
+           round(avg(CASE WHEN target >= value
+                          THEN tau * (target - value)
+                          ELSE (tau - 1.0) * (target - value) END), 4)
+               AS pinball
+    FROM pairs CROSS JOIN (VALUES (0.1), (0.5), (0.9)) AS t(tau)
+    WHERE target IS NOT NULL
+    GROUP BY event_type, tau
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the persistence forecast at
+    τ ∈ {0.1, 0.5, 0.9} per series — the quantile-forecast counterpart
+    of the MAE rows (τ=0.5 pinball ≡ MAE/2), scoring whether a forecast
+    used as a τ-quantile estimate is biased high or low.
+
+    Scale: one window pass for the leads, then a 3× literal expansion
+    and a partial-agg groupBy — the tau axis rides in the projection,
+    not in extra passes.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", "value",
+        F.lead("value").over(w).alias("target"),
+    ).filter(F.col("target").isNotNull())
+    taus = F.explode(F.array(*[F.lit(t) for t in (0.1, 0.5, 0.9)])).alias("tau")
+    d = F.col("target") - F.col("value")
+    loss = F.when(d >= 0, F.col("tau") * d).otherwise((F.col("tau") - 1.0) * d)
+    return (
+        pairs.select("event_type", "value", "target", taus)
+        .groupBy("event_type", "tau")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(loss), 4).alias("pinball"))
+    )

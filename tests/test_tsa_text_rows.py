@@ -267,3 +267,17 @@ def test_scd2_ranges_are_consistent_and_disjoint(spark):
             assert t1 < f2, (uid, t1, f2)  # disjoint, strictly ordered
             if s1 == s2:  # same segment must be separated by a real gap
                 assert (f2 - t1).days > 7, (uid, s1)
+
+
+def test_conformal_coverage_near_nominal_on_gaussian_walk(spark, tmp_path):
+    from predictor_spark.plans.catalog_tsa import conformal_interval_coverage
+
+    rng = np.random.default_rng(21)
+    x = np.cumsum(rng.normal(0.0, 1.0, 800)) + 100.0  # N(0,1) residuals
+    sf = _events_dir(spark, tmp_path, _mk_events(x))
+    row = conformal_interval_coverage(spark, sf).collect()[0]
+    assert row.n_train > 300 and row.n_eval > 200
+    # calibrated on N(0,1) increments: q05/q95 near ±1.645, coverage near 90%
+    assert row.q_lo == pytest.approx(-1.645, abs=0.35)
+    assert row.q_hi == pytest.approx(1.645, abs=0.35)
+    assert row.coverage == pytest.approx(0.90, abs=0.08)
