@@ -208,6 +208,36 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "label_centroid_similarity": {
         "must": ["partial_"], "not": ["CartesianProduct"],
     },
+    # later session-3 additions: winsorize broadcasts the threshold frame;
+    # rolling corr carries all six sufficient stats in ONE window pass
+    # over the hour grid; conformal broadcasts the calibration intervals;
+    # pinball expands tau in the projection; SCD2 is one window over the
+    # weekly aggregate; weighted sampling is TakeOrdered over a projection
+    "winsorize_values": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "rolling_corr_click_purchase": {
+        "must": [], "not": ["CartesianProduct"], "max_window_execs": 1,
+    },
+    # two window passes are inherent here: the cutoff filter references
+    # the ORDER column, so it cannot push below the lead window (boundary
+    # rows' leads peek across the cutoff) — each of the train/eval
+    # branches re-derives the windowed pairs over its own scan
+    "conformal_interval_coverage": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 2,
+    },
+    "pinball_loss_eval": {
+        "must": ["partial_"], "not": ["Join"], "max_window_execs": 1,
+    },
+    "scd2_user_segment_history": {
+        "must": ["partial_"], "not": ["Join"], "max_window_execs": 1,
+    },
+    "weighted_sample_docs": {
+        "must": ["TakeOrderedAndProject"], "not": ["Join", "Exchange"],
+    },
 }
 
 
