@@ -640,3 +640,115 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg(loss), 4).alias("pinball"))
     )
+
+
+@query(
+    "ensemble_forecast_eval",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT event_type, ts, value,
+               lead(value) OVER w AS target,
+               avg(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                   AS sma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    train AS (SELECT * FROM pairs
+              WHERE target IS NOT NULL AND ts < TIMESTAMP '{_CONF_CUTOFF}'),
+    eval_ AS (SELECT * FROM pairs
+              WHERE target IS NOT NULL AND ts >= TIMESTAMP '{_CONF_CUTOFF}'),
+    fit AS (
+        SELECT event_type,
+               regr_slope(target, value) AS b, regr_intercept(target, value) AS a,
+               avg(abs(value - target)) AS mae_p,
+               avg(abs(sma - target)) AS mae_s
+        FROM train GROUP BY event_type
+    ),
+    fit2 AS (
+        SELECT f.event_type, f.a, f.b, f.mae_p, f.mae_s,
+               avg(abs(f.a + f.b * t.value - t.target)) AS mae_r
+        FROM train t JOIN fit f USING (event_type)
+        GROUP BY f.event_type, f.a, f.b, f.mae_p, f.mae_s
+    ),
+    wts AS (
+        SELECT event_type, a, b,
+               (1.0 / mae_p) / (1.0 / mae_p + 1.0 / mae_r + 1.0 / mae_s) AS wp,
+               (1.0 / mae_r) / (1.0 / mae_p + 1.0 / mae_r + 1.0 / mae_s) AS wr,
+               (1.0 / mae_s) / (1.0 / mae_p + 1.0 / mae_r + 1.0 / mae_s) AS ws
+        FROM fit2
+    )
+    SELECT e.event_type, count(*) AS n_eval,
+           round(any_value(w.wp), 4) AS w_persist,
+           round(any_value(w.wr), 4) AS w_ar1,
+           round(any_value(w.ws), 4) AS w_sma,
+           round(avg(abs(e.value - e.target)), 4) AS mae_persist,
+           round(avg(abs(w.a + w.b * e.value - e.target)), 4) AS mae_ar1,
+           round(avg(abs(e.sma - e.target)), 4) AS mae_sma,
+           round(avg(abs(w.wp * e.value + w.wr * (w.a + w.b * e.value)
+                         + w.ws * e.sma - e.target)), 4) AS mae_ensemble
+    FROM eval_ e JOIN wts w USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def ensemble_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-MAE-weighted forecast combination (the classic Bates-
+    Granger 1969 law): persistence, pooled AR(1), and SMA-12 components
+    fitted/weighted on the pre-cutoff slice, combined and scored on the
+    post-cutoff slice — the model-combination capstone over the
+    classical family (ar1 / walk-forward / holt-winters rows).
+
+    Scale: ONE window pass produces both the lead target and the SMA
+    feature; fitting is two per-series aggregates (the second re-scans
+    train with the broadcast coefficients — AR1's MAE needs the fit);
+    evaluation is one scan with the broadcast |series|-row weight table.
+    Three passes total, no driver math.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", "ts", "value",
+        F.lead("value").over(w).alias("target"),
+        F.avg("value").over(w.rowsBetween(-11, 0)).alias("sma"),
+    ).filter(F.col("target").isNotNull())
+    cutoff = F.lit(_CONF_CUTOFF).cast("timestamp")
+    train = pairs.filter(F.col("ts") < cutoff)
+    evl = pairs.filter(F.col("ts") >= cutoff)
+    fit = train.groupBy("event_type").agg(
+        F.expr("regr_slope(target, value)").alias("b"),
+        F.expr("regr_intercept(target, value)").alias("a"),
+        F.avg(F.abs(F.col("value") - F.col("target"))).alias("mae_p"),
+        F.avg(F.abs(F.col("sma") - F.col("target"))).alias("mae_s"),
+    )
+    fit2 = (
+        train.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", "a", "b", "mae_p", "mae_s")
+        .agg(F.avg(F.abs(F.col("a") + F.col("b") * F.col("value")
+                         - F.col("target"))).alias("mae_r"))
+    )
+    inv_sum = 1.0 / F.col("mae_p") + 1.0 / F.col("mae_r") + 1.0 / F.col("mae_s")
+    wts = fit2.select(
+        "event_type", "a", "b",
+        ((1.0 / F.col("mae_p")) / inv_sum).alias("wp"),
+        ((1.0 / F.col("mae_r")) / inv_sum).alias("wr"),
+        ((1.0 / F.col("mae_s")) / inv_sum).alias("ws"),
+    )
+    ar1 = F.col("a") + F.col("b") * F.col("value")
+    ens = (F.col("wp") * F.col("value") + F.col("wr") * ar1
+           + F.col("ws") * F.col("sma"))
+    return (
+        evl.join(F.broadcast(wts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.first("wp"), 4).alias("w_persist"),
+            F.round(F.first("wr"), 4).alias("w_ar1"),
+            F.round(F.first("ws"), 4).alias("w_sma"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("target"))), 4)
+            .alias("mae_persist"),
+            F.round(F.avg(F.abs(ar1 - F.col("target"))), 4).alias("mae_ar1"),
+            F.round(F.avg(F.abs(F.col("sma") - F.col("target"))), 4)
+            .alias("mae_sma"),
+            F.round(F.avg(F.abs(ens - F.col("target"))), 4)
+            .alias("mae_ensemble"),
+        )
+    )
