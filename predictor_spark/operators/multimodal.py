@@ -97,3 +97,27 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
         .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
         .select(id_col, "frame_idx", "byte_offset")
     )
+
+
+def frame_hashes(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame content hashes: sample offsets like ``sample_frames`` and
+    md5 the payload slice at each — the frame-fingerprint stage video
+    dedup runs after decode (here over the raw bytes; with codecs the
+    hash would cover the decoded, normalized frame).
+
+    Scale: explode + slice + hash is map-side; only (id, frame_idx,
+    16-byte hash) ever shuffles."""
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.octet_length("payload") / F.lit(every_n_bytes))
+    ).cast("int")
+    return (
+        df.select(id_col, "payload",
+                  F.posexplode(F.sequence(F.lit(0), n_frames - 1))
+                  .alias("frame_idx", "_"))
+        .select(
+            id_col, "frame_idx",
+            F.md5(F.expr(
+                f"substring(payload, frame_idx * {every_n_bytes} + 1, "
+                f"{every_n_bytes})")).alias("frame_md5"),
+        )
+    )

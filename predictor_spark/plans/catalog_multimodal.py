@@ -72,3 +72,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-sample analog); relational explode, decode happens downstream."""
     docs = _t(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), every_n_bytes=64)
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, frame_idx,
+               md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, greatest(1,
+                          octet_length(encode(text)) // 64))) AS frame_idx)
+    ),
+    dup AS (
+        SELECT h FROM frames GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT f.doc_id,
+           count(*) AS n_frames,
+           CAST(count(*) FILTER (f.h IN (SELECT h FROM dup)) AS BIGINT)
+               AS n_dup_frames,
+           round(CAST(count(*) FILTER (f.h IN (SELECT h FROM dup)) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM frames f GROUP BY f.doc_id
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset frame-level dedup: hash every sampled 64-byte frame,
+    mark frames whose hash occurs in ≥2 distinct assets, report per-asset
+    duplicated-frame ratios — the video analog of document near-dup
+    (stock-footage / intro-sequence detection).  Payload slices are ASCII
+    text bytes here, so the byte-substring and the oracle's char-substr
+    agree.
+
+    Scale: frame hashing is map-side (only 16-byte hashes shuffle);
+    the duplicate set is one groupBy + a left-semi mark; per-asset
+    ratios are one more partial agg on the asset key.
+    """
+    from predictor_spark.operators.multimodal import attach_payload, frame_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = frame_hashes(attach_payload(docs), every_n_bytes=64)
+    dup = (
+        frames.groupBy("frame_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("frame_md5")
+    )
+    marked = frames.join(
+        dup.withColumnRenamed("frame_md5", "dup_md5"),
+        F.col("frame_md5") == F.col("dup_md5"), "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.when(F.col("dup_md5").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dup_frames"),
+            F.round(
+                F.sum(F.when(F.col("dup_md5").isNotNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )
