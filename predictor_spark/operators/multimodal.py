@@ -85,15 +85,26 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(extract, schema)
 
 
+def _exploded_frames(df: DataFrame, every_n_bytes: int, id_col: str) -> DataFrame:
+    """Shared frame-offset fan-out: one row per sampled frame index,
+    frames = max(1, floor(payload_bytes / every_n_bytes)), indices
+    0..n-1 (the single place the sampling convention lives — the
+    frame-dedup oracle replays it)."""
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.octet_length("payload") / F.lit(every_n_bytes))
+    ).cast("int")
+    return df.select(
+        id_col, "payload",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled offset of the
     payload (video frame-sample analog). Pure relational explode — the
     per-frame decode itself would be a second mapInPandas stage."""
-    n_frames = F.greatest(
-        F.lit(1), F.floor(F.octet_length("payload") / F.lit(every_n_bytes))
-    ).cast("int")
     return (
-        df.select(id_col, "payload", F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"))
+        _exploded_frames(df, every_n_bytes, id_col)
         .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
         .select(id_col, "frame_idx", "byte_offset")
     )
@@ -107,17 +118,9 @@ def frame_hashes(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id")
 
     Scale: explode + slice + hash is map-side; only (id, frame_idx,
     16-byte hash) ever shuffles."""
-    n_frames = F.greatest(
-        F.lit(1), F.floor(F.octet_length("payload") / F.lit(every_n_bytes))
-    ).cast("int")
-    return (
-        df.select(id_col, "payload",
-                  F.posexplode(F.sequence(F.lit(0), n_frames - 1))
-                  .alias("frame_idx", "_"))
-        .select(
-            id_col, "frame_idx",
-            F.md5(F.expr(
-                f"substring(payload, frame_idx * {every_n_bytes} + 1, "
-                f"{every_n_bytes})")).alias("frame_md5"),
-        )
+    return _exploded_frames(df, every_n_bytes, id_col).select(
+        id_col, "frame_idx",
+        F.md5(F.expr(
+            f"substring(payload, frame_idx * {every_n_bytes} + 1, "
+            f"{every_n_bytes})")).alias("frame_md5"),
     )

@@ -16,7 +16,7 @@ SETTINGS = dict(
 )
 
 
-def _events_df(spark, values, event_type="a"):
+def _events_df(values, event_type="a"):
     n = len(values)
     pdf = pd.DataFrame({
         "event_id": np.arange(n, dtype=np.int64),
@@ -50,8 +50,8 @@ def test_acf_is_shift_and_scale_invariant(spark, tmp_path_factory, seed, n,
     rng = np.random.default_rng(seed)
     x = rng.normal(0, 1, n).cumsum()
     base = tmp_path_factory.mktemp("acf")
-    d1 = _write(spark, str(base), _events_df(spark, x))
-    d2 = _write(spark, str(base), _events_df(spark, scale * x + shift))
+    d1 = _write(spark, str(base), _events_df(x))
+    d2 = _write(spark, str(base), _events_df(scale * x + shift))
     a1 = {r.lag: r.acf for r in acf_per_series(spark, d1).collect()}
     a2 = {r.lag: r.acf for r in acf_per_series(spark, d2).collect()}
     for k in a1:
@@ -70,8 +70,8 @@ def test_cusum_location_is_shift_invariant(spark, tmp_path_factory, seed, n,
     rng = np.random.default_rng(seed)
     x = rng.normal(0, 1, n).cumsum()
     base = tmp_path_factory.mktemp("cusum")
-    d1 = _write(spark, str(base), _events_df(spark, x))
-    d2 = _write(spark, str(base), _events_df(spark, x + shift))
+    d1 = _write(spark, str(base), _events_df(x))
+    d2 = _write(spark, str(base), _events_df(x + shift))
     r1 = cusum_changepoint(spark, d1).collect()[0]
     r2 = cusum_changepoint(spark, d2).collect()[0]
     # S_i subtracts i*mean, so adding a constant leaves every deviation —
@@ -89,7 +89,7 @@ def test_winsorized_mean_is_bounded_by_thresholds(spark, tmp_path_factory,
     rng = np.random.default_rng(seed)
     x = rng.standard_cauchy(n) * 10 + 50  # heavy tails: winsorize matters
     base = tmp_path_factory.mktemp("wins")
-    d = _write(spark, str(base), _events_df(spark, x))
+    d = _write(spark, str(base), _events_df(x))
     r = winsorize_values(spark, d).collect()[0]
     assert r.p05 <= r.p95
     assert r.p05 - 1e-6 <= r.mean_winsorized <= r.p95 + 1e-6
