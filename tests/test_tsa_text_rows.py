@@ -281,3 +281,26 @@ def test_conformal_coverage_near_nominal_on_gaussian_walk(spark, tmp_path):
     assert row.q_lo == pytest.approx(-1.645, abs=0.35)
     assert row.q_hi == pytest.approx(1.645, abs=0.35)
     assert row.coverage == pytest.approx(0.90, abs=0.08)
+
+
+def test_approx_count_distinct_within_bound(spark):
+    """The scale path for distinct counts (approx_count_distinct / HLL)
+    stays within its advertised error on the real data — the operator a
+    100 TB deployment swaps in where the exact two-stage form
+    (skewed_distinct_users) is overkill."""
+    from pyspark.sql import functions as F
+
+    from predictor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.05 * r.exact), r
