@@ -379,3 +379,165 @@ def scd2_user_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS sess, event_type
+        FROM events
+    ),
+    n AS (SELECT count(DISTINCT (user_id, sess)) AS n_baskets FROM baskets),
+    item AS (
+        SELECT event_type, count(*) AS cnt FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+        SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS cnt
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.sess = b.sess
+         AND a.event_type <> b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.lhs, p.rhs,
+           round(CAST(p.cnt AS DOUBLE) / n.n_baskets, 6) AS support,
+           round(CAST(p.cnt AS DOUBLE) / la.cnt, 6) AS confidence,
+           round(CAST(p.cnt AS DOUBLE) * n.n_baskets
+                 / (CAST(la.cnt AS DOUBLE) * lb.cnt), 6) AS lift
+    FROM pair p
+    JOIN item la ON la.event_type = p.lhs
+    JOIN item lb ON lb.event_type = p.rhs
+    CROSS JOIN n
+    WHERE CAST(p.cnt AS DOUBLE) / n.n_baskets >= 0.01
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-(user, day) baskets (Apriori
+    k=2, Agrawal-Srikant): a basket is the distinct event types a user
+    produced that day (30-min sessions here average ~1 event, so the
+    day is the natural basket), rules LHS→RHS reported with support,
+    confidence, and lift above 1% support — the frequent-itemset layer
+    of the behavior family.
+
+    Scale: baskets collapse to DISTINCT (user, day, item) rows before
+    any pairing, and the pair join is per-basket (baskets are ≤|item
+    types| long, so the fan-out is bounded by |types|² per basket, not
+    by events).  Item and basket totals are broadcast scalars.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("sess"), "event_type"
+    ).distinct()
+    n_baskets = baskets.select("user_id", "sess").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    b2 = baskets.select(
+        F.col("user_id").alias("u2"), F.col("sess").alias("s2"),
+        F.col("event_type").alias("rhs"))
+    pair = (
+        baskets.join(
+            b2,
+            (F.col("user_id") == F.col("u2")) & (F.col("sess") == F.col("s2"))
+            & (F.col("event_type") != F.col("rhs")))
+        .groupBy(F.col("event_type").alias("lhs"), "rhs")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    la = item.select(F.col("event_type").alias("lhs"), F.col("cnt").alias("lcnt"))
+    lb = item.select(F.col("event_type").alias("rhs"), F.col("cnt").alias("rcnt"))
+    return (
+        pair.join(F.broadcast(la), "lhs").join(F.broadcast(lb), "rhs")
+        .filter(F.col("cnt").cast("double") / n_baskets >= 0.01)
+        .select(
+            "lhs", "rhs",
+            F.round(F.col("cnt").cast("double") / n_baskets, 6).alias("support"),
+            F.round(F.col("cnt").cast("double") / F.col("lcnt"), 6)
+            .alias("confidence"),
+            F.round(F.col("cnt").cast("double") * n_baskets
+                    / (F.col("lcnt").cast("double") * F.col("rcnt")), 6)
+            .alias("lift"),
+        )
+    )
+
+
+@query(
+    "ab_test_chi_square",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 2 AS grp
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+        SELECT a.user_id, a.grp,
+               CASE WHEN sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                         > sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM assign a LEFT JOIN events e ON e.user_id = a.user_id
+        GROUP BY a.user_id, a.grp
+    ),
+    cells AS (
+        SELECT
+            CAST(sum(CASE WHEN grp = 0 AND converted = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+            CAST(sum(CASE WHEN grp = 0 AND converted = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+            CAST(sum(CASE WHEN grp = 1 AND converted = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+            CAST(sum(CASE WHEN grp = 1 AND converted = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        FROM conv
+    )
+    SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS noconv_a,
+           CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS noconv_b,
+           round(a / (a + b), 6) AS rate_a,
+           round(c / (c + d), 6) AS rate_b,
+           round((a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+                 / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+    FROM cells
+    """,
+)
+def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 χ² test of a per-user outcome (more purchases than errors —
+    a predicate that splits users non-degenerately at every SF, where
+    "any purchase" saturates) between two deterministic hash-assigned
+    user groups — the experimentation
+    primitive the reference's OLAP dashboards exist to feed.  The md5
+    assignment is the same engine-independent splitter as
+    dataset_split_assignment, so both engines build identical cells;
+    χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is pure arithmetic (compare to
+    the 1-dof critical value 3.84 downstream).
+
+    Scale: one distinct-users pass, one per-user conversion aggregate,
+    then four counters in a single final row — partial aggregation all
+    the way; nothing is user-count-sized on the driver.
+    """
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 2
+    )
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)))
+            .cast("int").alias("converted"))
+        .select(grp.alias("grp"), "converted")
+    )
+    cells = conv.agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("converted") == 0), 1)
+              .otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("double").alias("c"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("converted") == 0), 1)
+              .otherwise(0)).cast("double").alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    chi2 = n * (a * d - b * c) * (a * d - b * c) \
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    return cells.select(
+        a.cast("bigint").alias("conv_a"), b.cast("bigint").alias("noconv_a"),
+        c.cast("bigint").alias("conv_b"), d.cast("bigint").alias("noconv_b"),
+        F.round(a / (a + b), 6).alias("rate_a"),
+        F.round(c / (c + d), 6).alias("rate_b"),
+        F.round(chi2, 6).alias("chi2"),
+    )
