@@ -425,10 +425,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     by events).  Item and basket totals are broadcast scalars.
     """
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # cache: the distinct basket frame feeds the item totals, the basket
+    # count, and BOTH sides of the pair join — without it four events
+    # scans run per execution; and the basket total rides in the plan as
+    # a broadcast 1-row aggregate (the oracle's CROSS JOIN n), so
+    # building this DataFrame stays lazy (review finding: an eager
+    # .count() here ran a Spark job at plan-construction time)
     baskets = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("sess"), "event_type"
-    ).distinct()
-    n_baskets = baskets.select("user_id", "sess").distinct().count()
+    ).distinct().cache()
+    nb = baskets.select("user_id", "sess").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets"))
     item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     b2 = baskets.select(
         F.col("user_id").alias("u2"), F.col("sess").alias("s2"),
@@ -443,15 +450,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     la = item.select(F.col("event_type").alias("lhs"), F.col("cnt").alias("lcnt"))
     lb = item.select(F.col("event_type").alias("rhs"), F.col("cnt").alias("rcnt"))
+    n_b = F.col("n_baskets")
     return (
         pair.join(F.broadcast(la), "lhs").join(F.broadcast(lb), "rhs")
-        .filter(F.col("cnt").cast("double") / n_baskets >= 0.01)
+        .crossJoin(F.broadcast(nb))  # 1-row scalar
+        .filter(F.col("cnt").cast("double") / n_b >= 0.01)
         .select(
             "lhs", "rhs",
-            F.round(F.col("cnt").cast("double") / n_baskets, 6).alias("support"),
+            F.round(F.col("cnt").cast("double") / n_b, 6).alias("support"),
             F.round(F.col("cnt").cast("double") / F.col("lcnt"), 6)
             .alias("confidence"),
-            F.round(F.col("cnt").cast("double") * n_baskets
+            F.round(F.col("cnt").cast("double") * n_b
                     / (F.col("lcnt").cast("double") * F.col("rcnt")), 6)
             .alias("lift"),
         )
