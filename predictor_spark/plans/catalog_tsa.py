@@ -752,3 +752,127 @@ def ensemble_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mae_ensemble"),
         )
     )
+
+
+_SEL_CUT1, _SEL_CUT2 = "2024-01-15 00:00:00", "2024-01-22 00:00:00"
+
+
+@query(
+    "model_select_per_series",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT event_type, ts, value,
+               lead(value) OVER w AS target,
+               avg(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                   AS sma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    train AS (SELECT * FROM pairs
+              WHERE target IS NOT NULL AND ts < TIMESTAMP '{_SEL_CUT1}'),
+    val AS (SELECT * FROM pairs
+            WHERE target IS NOT NULL AND ts >= TIMESTAMP '{_SEL_CUT1}'
+              AND ts < TIMESTAMP '{_SEL_CUT2}'),
+    test AS (SELECT * FROM pairs
+             WHERE target IS NOT NULL AND ts >= TIMESTAMP '{_SEL_CUT2}'),
+    fit AS (
+        SELECT event_type, regr_slope(target, value) AS b,
+               regr_intercept(target, value) AS a
+        FROM train GROUP BY event_type
+    ),
+    vs AS (
+        SELECT v.event_type, f.a, f.b,
+               round(avg(abs(v.value - v.target)), 6) AS mae_p,
+               round(avg(abs(f.a + f.b * v.value - v.target)), 6) AS mae_r,
+               round(avg(abs(v.sma - v.target)), 6) AS mae_s
+        FROM val v JOIN fit f USING (event_type)
+        GROUP BY v.event_type, f.a, f.b
+    ),
+    pick AS (
+        SELECT event_type, a, b, mae_p, mae_r, mae_s,
+               (list_sort([
+                   {{'m': mae_p, 'pri': 1, 'name': 'persistence'}},
+                   {{'m': mae_r, 'pri': 2, 'name': 'ar1'}},
+                   {{'m': mae_s, 'pri': 3, 'name': 'sma12'}}]))[1] AS win
+        FROM vs
+    )
+    SELECT t.event_type, any_value(p.win.name) AS winner,
+           any_value(p.mae_p) AS val_mae_persist,
+           any_value(p.mae_r) AS val_mae_ar1,
+           any_value(p.mae_s) AS val_mae_sma,
+           count(*) AS n_test,
+           round(avg(abs(CASE p.win.name
+                         WHEN 'persistence' THEN t.value
+                         WHEN 'ar1' THEN p.a + p.b * t.value
+                         ELSE t.sma END - t.target)), 4) AS test_mae
+    FROM test t JOIN pick p USING (event_type)
+    GROUP BY t.event_type
+    """,
+)
+def model_select_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-out model selection per series (the protocol the reference's
+    optimizer applies to its candidates, candidate_worker §3.2, here over
+    the closed-form family): fit on train (< Jan 15), pick the
+    val-MAE (Jan 15-22) winner among persistence / pooled AR(1) / SMA-12
+    — argmin over the 6-dp-ROUNDED val scores with a fixed priority
+    tie-break so both engines select identically — and report the
+    winner's test MAE (≥ Jan 22).
+
+    Scale: the same one-window-pass pairs frame as the ensemble row,
+    three range slices of it, two fit aggregates, and a broadcast of the
+    |series|-row decision table into the test scan.  The candidate axis
+    is columnar (more candidates widen the struct array, not the plan).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", "ts", "value",
+        F.lead("value").over(w).alias("target"),
+        F.avg("value").over(w.rowsBetween(-11, 0)).alias("sma"),
+    ).filter(F.col("target").isNotNull())
+    c1 = F.lit(_SEL_CUT1).cast("timestamp")
+    c2 = F.lit(_SEL_CUT2).cast("timestamp")
+    train = pairs.filter(F.col("ts") < c1)
+    val = pairs.filter((F.col("ts") >= c1) & (F.col("ts") < c2))
+    test = pairs.filter(F.col("ts") >= c2)
+    fit = train.groupBy("event_type").agg(
+        F.expr("regr_slope(target, value)").alias("b"),
+        F.expr("regr_intercept(target, value)").alias("a"),
+    )
+    vs = (
+        val.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", "a", "b")
+        .agg(
+            F.round(F.avg(F.abs(F.col("value") - F.col("target"))), 6)
+            .alias("mae_p"),
+            F.round(F.avg(F.abs(F.col("a") + F.col("b") * F.col("value")
+                                - F.col("target"))), 6).alias("mae_r"),
+            F.round(F.avg(F.abs(F.col("sma") - F.col("target"))), 6)
+            .alias("mae_s"),
+        )
+    )
+    cand = F.array_sort(F.array(
+        F.struct(F.col("mae_p").alias("m"), F.lit(1).alias("pri"),
+                 F.lit("persistence").alias("name")),
+        F.struct(F.col("mae_r").alias("m"), F.lit(2).alias("pri"),
+                 F.lit("ar1").alias("name")),
+        F.struct(F.col("mae_s").alias("m"), F.lit(3).alias("pri"),
+                 F.lit("sma12").alias("name")),
+    ))
+    pick = vs.withColumn("win", cand.getItem(0))
+    pred = F.when(F.col("win.name") == "persistence", F.col("value")) \
+        .when(F.col("win.name") == "ar1",
+              F.col("a") + F.col("b") * F.col("value")) \
+        .otherwise(F.col("sma"))
+    return (
+        test.join(F.broadcast(pick), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first(F.col("win.name")).alias("winner"),
+            F.first("mae_p").alias("val_mae_persist"),
+            F.first("mae_r").alias("val_mae_ar1"),
+            F.first("mae_s").alias("val_mae_sma"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.avg(F.abs(pred - F.col("target"))), 4).alias("test_mae"),
+        )
+    )
