@@ -168,9 +168,17 @@ def _ordered(queries, oracle) -> list[str]:
 
     def rank(n: str) -> int:
         if not verified(n):
-            # ungraded/changed/new first; oracle-backed before rows-only
-            return 0 if n in oracle else 1
-        return 2 if n in oracle else 3
+            # grading-window priority: queries needing their FIRST driver
+            # grade outrank previously-driver-green rows whose content
+            # hash moved (append-only module growth invalidates whole-
+            # module closures, and those re-grades would otherwise crowd
+            # genuinely new rows out of the ~50-query window); within
+            # each class, oracle-backed before rows-only
+            never_graded = n not in driver_green
+            if n in oracle:
+                return 0 if never_graded else 1
+            return 2 if never_graded else 3
+        return 4 if n in oracle else 5
     return sorted(queries, key=lambda n: (rank(n),))  # stable: keeps reg order
 
 
