@@ -876,3 +876,78 @@ def model_select_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(pred - F.col("target"))), 4).alias("test_mae"),
         )
     )
+
+
+@query(
+    "distribution_metrics_per_type",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS i
+        FROM events
+    ),
+    gini AS (
+        SELECT event_type, count(*) AS n,
+               round(2.0 * sum(i * value) / (count(*) * sum(value))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked GROUP BY event_type
+    ),
+    uc AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY event_type, user_id
+    ),
+    ent AS (
+        SELECT event_type, count(*) AS n_users,
+               round(-sum(p * ln(p)), 6) AS user_entropy
+        FROM (
+            SELECT event_type,
+                   CAST(cnt AS DOUBLE)
+                       / sum(cnt) OVER (PARTITION BY event_type) AS p
+            FROM uc
+        ) GROUP BY event_type
+    )
+    SELECT g.event_type, g.n, g.gini, e.n_users, e.user_entropy
+    FROM gini g JOIN ent e USING (event_type)
+    """,
+)
+def distribution_metrics_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape metrics per series: the Gini coefficient of the
+    value distribution (rank-weighted form G = 2Σᵢ i·x₍ᵢ₎/(nΣx) − (n+1)/n,
+    deterministic tie-break on event_id) and the Shannon entropy of the
+    per-user activity share — concentration diagnostics for skew-aware
+    planning (a high Gini/low entropy key is a salting candidate;
+    operators/skew.py is the treatment).
+
+    Scale: the Gini rank is one window pass per series; entropy runs on
+    the (type, user) aggregate — both shuffles are on the series key, and
+    the entropy normalizer is a window over the aggregated frame, not
+    the events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    gini = (
+        ev.withColumn("i", F.row_number().over(wr))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("value"))
+                / (F.count(F.lit(1)) * F.sum("value"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)), 6)
+            .alias("gini"),
+        )
+    )
+    uc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    wtot = Window.partitionBy("event_type")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(wtot)
+    ent = (
+        uc.withColumn("plogp", p * F.log(p))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(-F.sum("plogp"), 6).alias("user_entropy"),
+        )
+    )
+    return gini.join(ent, "event_type").select(
+        "event_type", "n", "gini", "n_users", "user_entropy")
