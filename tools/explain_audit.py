@@ -238,6 +238,40 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "weighted_sample_docs": {
         "must": ["TakeOrderedAndProject"], "not": ["Join", "Exchange"],
     },
+    # final session-3 additions: the forecast-combination rows broadcast
+    # their |series|-row decision/weight tables; basket keeps the 1-row
+    # total broadcast (BNLJ, never cartesian); chi2 is join-free
+    # conditional aggregation; ALS broadcasts the item factors; the
+    # distribution metrics run one window per branch
+    # three window passes by design: train-fit, train-rescan (AR1 MAE
+    # needs the fitted coefs), and eval each re-derive the boundary-
+    # correct pairs frame (cutoff filters can't push below the lead)
+    "ensemble_forecast_eval": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 3,
+    },
+    "model_select_per_series": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 3,
+    },
+    "basket_association_rules": {
+        "must": ["partial_"], "not": ["CartesianProduct"],
+    },
+    "ab_test_chi_square": {"must": ["partial_"], "not": ["Join"]},
+    "als_rank1_half_step": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "distribution_metrics_per_type": {
+        "must": ["partial_"], "not": ["CartesianProduct"],
+        "max_window_execs": 2,
+    },
+    "multimodal_frame_dedup": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
