@@ -598,3 +598,66 @@ def walk_forward_ar1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return reduce(lambda a, b: a.unionByName(b), folds) \
         .orderBy("fold", "event_type")
+
+
+def _stl_strength_oracle() -> str:
+    """Wrap the stl_per_series oracle (same classical decomposition) and
+    aggregate Hyndman-style strength features on top of it."""
+    from predictor_spark.plans.catalog import ORACLE
+
+    return f"""
+    WITH stl_out AS ({ORACLE['stl_per_series']})
+    SELECT user_id, count(*) AS n,
+           round(greatest(0.0, 1.0 - var_samp(resid)
+                                     / var_samp(trend + resid)), 4)
+               AS trend_strength,
+           round(greatest(0.0, 1.0 - var_samp(resid)
+                                     / var_samp(seasonal + resid)), 4)
+               AS seasonal_strength
+    FROM stl_out GROUP BY user_id
+    """
+
+
+@query("stl_strength_features", oracle=_stl_strength_oracle())
+def stl_strength_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability features per series (Hyndman & Athanasopoulos,
+    FPP3 §4.3): trend strength = max(0, 1 − Var(R)/Var(T+R)) and seasonal
+    strength = max(0, 1 − Var(R)/Var(S+R)) over the same classical
+    decomposition as stl_per_series — the feature pair that routes a
+    series to the right model family (strong seasonality → Holt-Winters
+    family; neither → persistence/AR) upstream of
+    model_select_per_series.
+
+    Scale: the decomposition cost IS stl_per_series (one applyInPandas
+    pass per series); the strengths add one var_samp aggregate over its
+    output.  The oracle wraps the decomposition oracle as a subquery, so
+    both layers stay in lockstep by construction.
+    """
+    from predictor_spark.operators.stl import stl_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    out = stl_decompose(ev, period=24)
+    # the same float32-collapse + 6-dp canonicalization as the
+    # stl_per_series OUTPUT, before the variance: the wrapped oracle
+    # aggregates the rounded stl_out columns, so the engine must
+    # aggregate the identical numbers (not the raw decomposition)
+    c = lambda col: F.round(  # noqa: E731
+        F.col(col).cast("float").cast("double"), 6) + F.lit(0.0)
+    return (
+        out.select(
+            "user_id",
+            c("resid").alias("r"),
+            (c("trend") + c("resid")).alias("tr"),
+            (c("seasonal") + c("resid")).alias("sr"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.greatest(F.lit(0.0),
+                               1.0 - F.var_samp("r") / F.var_samp("tr")), 4)
+            .alias("trend_strength"),
+            F.round(F.greatest(F.lit(0.0),
+                               1.0 - F.var_samp("r") / F.var_samp("sr")), 4)
+            .alias("seasonal_strength"),
+        )
+    )
