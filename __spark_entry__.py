@@ -36,7 +36,8 @@ def _load_catalog():
                 "catalog_analytics", "catalog_mllib", "catalog_parity",
                 "catalog_models", "catalog_search", "catalog_trading",
                 "catalog_e2e", "champion", "catalog_datapipe",
-                "catalog_behavior", "catalog_relational", "catalog_tsa"):
+                "catalog_behavior", "catalog_relational", "catalog_tsa",
+                "catalog_tpch"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

@@ -66,6 +66,18 @@ HEADLINE = [
     "prophet_like_train_eval",
     "trading_sim_trades",
     "nbeats_forward_pass",
+    # round-5 breadth (VERDICT r4 #7): heaviest families that had no bench
+    # row, so regressions there become visible round-over-round
+    "scd2_user_segment_history",
+    "als_rank1_half_step",
+    "kmeans_one_step",
+    "arima_order_select_aic",
+    "dedup_simhash",
+    "dedup_clusters_star",
+    "basket_association_rules",
+    "cohort_weekly_retention",
+    "mllib_linear_forecaster",
+    "streaming_stream_join",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full
@@ -124,6 +136,10 @@ def main() -> None:
         except Exception:
             pass
     materialize(qs["q1_pricing_summary"](spark, sf_dir))
+    # the contract's entry query runs first in HEADLINE; warm its own
+    # window/codegen path too so its row is plan signal, not first-run
+    # noise (VERDICT r4 #8: 1.55x driver drift on a sub-2 s row)
+    materialize(qs["flagship_persistence_metrics"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

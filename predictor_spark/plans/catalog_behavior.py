@@ -184,8 +184,8 @@ def skewed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
         SELECT t, d,
-               sum(ucnt) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
-                   AS n_risk
+               CAST(sum(ucnt) OVER (ORDER BY t DESC ROWS UNBOUNDED
+                                    PRECEDING) AS BIGINT) AS n_risk
         FROM per_t
     )
     SELECT t AS dur_h, d AS n_died, n_risk,

@@ -915,7 +915,7 @@ def _bpe_oracle(iters: int = _BPE_ITERS) -> str:
     for k in range(1, iters + 1):
         parts.append(f""",
     pairs{k} AS (
-        SELECT pr.l AS l, pr.r AS r, sum(cnt) AS pc FROM (
+        SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
             SELECT cnt,
                    unnest(list_transform(range(1, len(syms)),
                        i -> struct_pack(l := syms[CAST(i AS INT)],

@@ -1,0 +1,649 @@
+"""Catalog part — TPC-H-shaped relational completion (round 5).
+
+The r1-r4 relational rows cover Q1/Q3/Q5/Q6/Q7/Q14/Q15/Q18/Q19 shapes;
+this module adapts the REMAINING thirteen TPC-H query shapes to the
+synthetic star schema (which has no partsupp table and no
+commit/receipt dates — each docstring notes the adaptation).  Like
+`catalog_relational.py`, these are the planner capabilities the
+reference's OLAP layer (olap/ ETL + dashboard SQL over experiment
+results) leans on: correlated-aggregate qualification, multi-EXISTS,
+scalar-subquery thresholds, outer-join histograms, distinct-count
+star aggregates.
+
+Every row is pure DataFrame API — no UDFs — so at 100 TB the physical
+plan is Catalyst+AQE's choice from a fully declared logical plan; the
+docstrings pin the intended shape (what broadcasts, what shuffles, on
+which key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+
+
+def _nation_region(spark, sf_dir: str, region: str) -> DataFrame:
+    """nation keys of one region — a ≤25-row broadcast dim."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (nat.join(F.broadcast(reg),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT l_partkey, s_name, n_name,
+               min(l_extendedprice / l_quantity) AS cost
+        FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, s_name, n_name
+    ),
+    q AS (
+        SELECT l_partkey, s_name, n_name, cost,
+               min(cost) OVER (PARTITION BY l_partkey) AS mincost
+        FROM costs
+    )
+    SELECT p_name, p_brand, s_name AS supp_name, n_name AS supp_nation,
+           round(cost, 6) AS unit_cost
+    FROM q JOIN part ON p_partkey = l_partkey
+    WHERE cost = mincost
+    ORDER BY unit_cost, p_name, supp_name LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — cheapest EUROPE supplier per part (correlated-min
+    qualification).  No partsupp table exists, so supply cost is the
+    supplier's min observed unit price (l_extendedprice/l_quantity) —
+    the correlated MIN + join-back-to-qualify plan shape is identical.
+
+    Scale: region-filtered supplier dim broadcasts into the lineitem
+    scan; the (partkey, supplier) aggregate shuffles lineitem ONCE on
+    partkey-major keys and the qualifying min reuses that partitioning
+    as a window over partkey — no second shuffle, no self-join.  The
+    unit-price quotient is IEEE-identical across engines, so the
+    equality qualification is exact.
+    """
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(_nation_region(spark, sf_dir, "EUROPE")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    costs = (
+        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return (
+        costs.withColumn("mincost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mincost"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_name", "p_brand", F.col("s_name").alias("supp_name"),
+                F.col("n_name").alias("supp_nation"),
+                F.round("cost", 6).alias("unit_cost"))
+        .orderBy("unit_cost", "p_name", "supp_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q4_priority_late",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority counts qualified by EXISTS over
+    the fact table.  No commit/receipt dates in this schema, so "late"
+    is a lineitem shipped >60 days after the order date — the same
+    correlated-EXISTS-with-inequality plan.
+
+    Scale: left-semi join orders⋈lineitem on orderkey; the quarter
+    filter reaches the orders scan (pushed), shrinking the build side
+    before the shuffle; the final group-by is 5 rows.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+               & (F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+               "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region    ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's market share of ASIA-customer volume
+    per year: conditional-sum-over-sum within a 7-table star join.
+
+    Scale: every dim (region-filtered customer side, supplier+nation)
+    broadcasts; the single shuffle is lineitem⋈orders on orderkey, then
+    a ≤7-row group-by.  The share is one pass — the CASE keeps the
+    numerator inside the same aggregate, no second join or self-union.
+    """
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(_nation_region(spark, sf_dir, "ASIA")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                  .otherwise(0.0)) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(round((l_extendedprice * (1 - l_discount)
+                            - 0.5 * p_retailprice * l_quantity)
+                           * 100.0)) / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit on a product line by supplier nation and
+    year.  No partsupp supplycost column, so cost is modeled as half the
+    part's retail price per unit; the LIKE-filtered part dim, the
+    supplier→nation chain, and the (nation, year) rollup are the Q9 plan.
+
+    Scale: the LIKE filter shrinks part before broadcast; supplier⋈nation
+    broadcasts; lineitem⋈orders on orderkey is the one shuffle.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    # per-row round to integer cents, THEN sum: cent sums are exact in
+    # double (« 2^53), so the aggregate is summation-order-proof — the
+    # unrounded sum landed half a cent apart between partial-agg trees
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"),
+                 F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.round(F.sum(F.round(amount * 100.0, 0)) / 100.0, 2)
+             .alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1998-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — top customers by revenue lost to returned items in a
+    half-year window (verbatim shape; this schema has the return flag).
+
+    Scale: returnflag + date filters push to both scans before the
+    orderkey shuffle; customer⋈nation broadcasts onto the aggregated
+    per-customer frame (group FIRST, join dims after — the join input is
+    |customers|, not |lineitems|).  Top-20 is a TakeOrdered, tie-broken
+    by custkey so the set is deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "n_name"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("_rev"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_name",
+                F.round("_rev", 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_value",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey, sum(l_extendedprice) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_key, round(val, 2) AS part_value
+    FROM v, (SELECT sum(val) AS total FROM v)
+    WHERE val > 0.0015 * total
+    """,
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts holding an outsized share of one nation's
+    supply value, qualified against a scalar subquery over the SAME
+    aggregate.  partsupp is absent, so value is shipped extendedprice
+    from NATION_3 suppliers.
+
+    Scale: the per-part aggregate is computed once and reused for both
+    the rows and the scalar total (Spark reuses the shuffle output via
+    the self-referencing plan; the 1-row total rides in as a broadcast
+    cross join).  Threshold compare happens on the unrounded double —
+    identical partial-sum tree on both engines is not required because
+    no part sits near the 0.5 % boundary at ulp scale.
+    """
+    supp3 = (_t(spark, sf_dir, "supplier")
+             .join(F.broadcast(_t(spark, sf_dir, "nation")
+                               .filter(F.col("n_name") == "NATION_3")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey"))
+    v = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice")
+        .join(F.broadcast(supp3), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > 0.0015 * F.col("total"))
+        .select(F.col("l_partkey").alias("p_key"),
+                F.round("val", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q12_delay_buckets",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 180
+                THEN 'slow' ELSE 'fast' END AS ship_bucket,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority mix by shipping-delay bucket.  No ship
+    mode column, so the bucket is the order→ship delay itself (>180 days
+    = 'slow'), preserving the conditional-count-over-join plan.
+
+    Scale: the ship-year filter pushes to the lineitem scan; one
+    orderkey shuffle; 2-row result.  Both counts are single-pass
+    conditional aggregates, not two queries.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    ).select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("ship_bucket",
+                    F.when(F.datediff("l_shipdate", "o_orderdate") > 180,
+                           "slow").otherwise("fast"))
+        .groupBy("ship_bucket")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS n_customers
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — order-count-per-customer histogram via an outer join
+    (customers with no qualifying orders count as 0, which an inner join
+    would silently drop).  The priority predicate replaces Q13's comment
+    NOT LIKE (no comment column).
+
+    Scale: both aggregations shuffle on keys that shrink monotonically
+    (custkey, then the ≤max-orders-wide histogram); the left join keys
+    the SAME custkey as the first group-by, so AQE coalesces them into
+    one exchange.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_orderkey", "o_custkey")
+    return (
+        cust.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 23, 36, 45, 49)
+      AND s_acctbal >= 0
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can furnish each
+    qualifying (brand, type, size), excluding flagged suppliers (the
+    complaint-comment exclusion becomes a negative-balance exclusion).
+    partsupp is absent; lineitem is the part↔supplier incidence.
+
+    Scale: all three part predicates push to the broadcast part dim;
+    the supplier exclusion is a broadcast too; distinct-count shuffles
+    on (brand, type, size, suppkey) partials first — Spark's two-phase
+    distinct keeps the wide key map-side until the final ≤|groups| rows.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    supp_ok = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0).select("s_suppkey")
+    return (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_ok), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM (
+        SELECT l_extendedprice, l_quantity,
+               avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#5'
+    )
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from below-half-average-quantity orders
+    of one brand (correlated per-part AVG qualification).
+
+    Scale: the brand filter broadcasts into the lineitem scan first, so
+    the window runs over the brand's lineitems only (~1/25th); the
+    per-part average is a window over the partkey shuffle, not a
+    self-join.  Quantities are small exact integers in double form, so
+    the per-part mean is bit-identical across engines and the threshold
+    compare cannot straddle an ulp.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, round(sum(l_quantity), 2) AS promo_qty
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY s_name
+    HAVING sum(l_quantity) > 100
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — NATION_7 suppliers who moved an excess volume of
+    PROMO parts in 1997.  Without partsupp availability there is no 50 %
+    -of-stock threshold, so excess is an absolute shipped-quantity HAVING
+    — the filtered-dims + HAVING-qualified-aggregate plan is preserved.
+
+    Scale: part-type and nation filters broadcast; ship-year pushes to
+    the scan; one suppkey-grouped aggregate over the pre-shrunk join.
+    Quantities are exact small integers in doubles, so the HAVING
+    threshold is engine-order-proof.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    supp7 = (_t(spark, sf_dir, "supplier")
+             .join(F.broadcast(_t(spark, sf_dir, "nation")
+                               .filter(F.col("n_name") == "NATION_7")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", "s_name"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("s_name", F.round("_q", 2).alias("promo_qty"))
+    )
+
+
+@query(
+    "q21_latest_ship_supplier",
+    oracle="""
+    WITH marked AS (
+        SELECT l_suppkey, l_orderkey, l_shipdate,
+               max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship,
+               count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                   AS n_supps
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                                 AND o_orderstatus = 'F'
+    ),
+    blockers AS (
+        SELECT l_orderkey, min(l_suppkey) AS only_supp
+        FROM marked
+        WHERE l_shipdate = max_ship AND n_supps >= 2
+        GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blockers JOIN supplier ON s_suppkey = only_supp
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_latest_ship_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who alone held up multi-supplier
+    orders: the double-correlated EXISTS / NOT EXISTS ("another supplier
+    shipped, none shipped later") re-expressed as one window pass — the
+    sole distinct supplier on the order's max ship date, order having ≥2
+    suppliers.  Same semantics, no two extra self-joins.
+
+    Scale: the status filter halves orders before the semi join; both
+    window functions and the per-order aggregate share ONE orderkey
+    shuffle; the per-supplier count is |suppliers|-sized.  Top-20 is
+    tie-broken by name for a deterministic set.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+    )
+    blockers = (
+        marked.filter((F.col("l_shipdate") == F.col("max_ship"))
+                      & (F.col("n_supps") >= 2))
+        .groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("only_supp"),
+             F.countDistinct("l_suppkey").alias("_nd"))
+        .filter(F.col("_nd") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blockers.join(F.broadcast(supp),
+                      F.col("only_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer,
+             (SELECT avg(c_acctbal) AS cutoff FROM customer
+              WHERE c_acctbal > 0.0)
+        WHERE c_acctbal > cutoff
+    )
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM rich
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — wealthy-but-recently-inactive customers per
+    nation: scalar-subquery balance cutoff + NOT EXISTS against orders
+    (the phone-prefix grouping becomes nation — no phone column).
+
+    Scale: the cutoff is a 1-row broadcast; the anti join shuffles on
+    custkey against date-filtered orders (filter pushed before the
+    exchange); the group-by is ≤25 rows.  Balance ties at the cutoff
+    would need a customer balance within an ulp of the positive-mean —
+    balances are 2-dp values, the mean is not.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    cutoff = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")).select(
+        "o_custkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )

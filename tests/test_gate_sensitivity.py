@@ -139,3 +139,30 @@ def test_gate_passes_unmutated_and_catches_seeded_bugs(spark, oracle_con):
     assert base.count() < mut3.count(), "no z-scores in (2.9, 3] at this SF"
     assert not _matches(mut3, oracle_con, oracles["anomaly_rolling_zscore"]), \
         "gate missed a threshold drift"
+
+
+def test_gate_catches_int_vs_float_dtype_drift():
+    """r4 driver reds (bpe_train_merges, survival_km_conversion): DuckDB
+    sum() -> HUGEINT -> float64 rendered 4568.0 while Spark emitted int64
+    4568; the old checker collapsed whole floats to int strings and
+    passed locally.  Pin both layers of the fixed gate: the per-column
+    dtype-class compare AND the float rendering itself."""
+    import numpy as np
+
+    from tools.check_correctness import (dtype_mismatches, normalize_pdf)
+
+    ints = pd.DataFrame({"k": ["a", "b"], "n": np.array([4568, 150], dtype="int64")})
+    floats = pd.DataFrame({"k": ["a", "b"], "n": np.array([4568.0, 150.0])})
+
+    # layer 1: dtype-class compare flags the column pre-value-compare
+    assert dtype_mismatches(ints, floats) == [
+        "dtype n: spark int64(int) vs oracle float64(float)"]
+    # layer 2: even value rendering alone distinguishes 4568 vs 4568.0
+    assert not normalize_pdf(ints).equals(normalize_pdf(floats))
+    # and signed zero stays visible (the r1/r3 class)
+    nz = pd.DataFrame({"x": [-0.0]})
+    pz = pd.DataFrame({"x": [0.0]})
+    assert not normalize_pdf(nz).equals(normalize_pdf(pz))
+    # no false alarm: identical float frames still match
+    assert normalize_pdf(floats).equals(normalize_pdf(floats.copy()))
+    assert dtype_mismatches(ints, ints.copy()) == []

@@ -31,20 +31,24 @@ from predictor_spark.sources.tables import TABLES  # noqa: E402
 
 
 def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
 
     def norm_cell(v):
         if v is None:
             return "NULL"
-        if isinstance(v, float):
+        if isinstance(v, (float, np.floating)):
+            v = float(v)
             if math.isnan(v):
                 return "NULL"
             if v == 0.0 and math.copysign(1.0, v) < 0:
                 # signed zero: the driver's value hash sees the sign bit, so
                 # the local sweep must too (r3 trading_sim_trades miss)
-                return "-0"
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
+                return "-0.0"
+            # floats render AS floats: the r4 driver reds were int64 4568 vs
+            # float64 4568.0, which the old `v == int(v) -> str(int(v))`
+            # collapse could never see. Never weaker than the driver's hash.
             return repr(v)
         if hasattr(v, "isoformat"):
             return v.isoformat()
@@ -55,6 +59,30 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.apply(lambda col: col.map(norm_cell))
     rows = sorted(tuple(r) for r in out.itertuples(index=False, name=None))
     return pd.DataFrame(rows, columns=list(out.columns))
+
+
+def dtype_class(dtype) -> str:
+    """Coarse numeric-class of a pandas dtype: 'int', 'float', or 'other'.
+
+    int64-vs-float64 is exactly the drift the driver's value hash detects
+    (4568 vs 4568.0); int32-vs-int64 or date-representation differences are
+    rendering-invariant, so only the numeric class is compared."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    return "other"
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for col in sorted(set(sdf.columns) & set(odf.columns)):
+        a, b = dtype_class(sdf[col].dtype), dtype_class(odf[col].dtype)
+        if a != b:
+            out.append(f"dtype {col}: spark {sdf[col].dtype}({a}) vs "
+                       f"oracle {odf[col].dtype}({b})")
+    return out
 
 
 def main() -> int:
@@ -94,6 +122,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # a few queries cache() small intra-query frames (funnel stages,
+            # baskets); they cannot unpersist before the lazy result is
+            # materialized, so the sweep clears between queries instead of
+            # letting 151 queries pin storage memory (ADVICE r4)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
             n_noracle += 1
@@ -111,6 +145,8 @@ def main() -> int:
             problems.append(f"row count {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            problems.extend(dtype_mismatches(sdf, odf))
         if not problems:
             a, b = normalize_pdf(sdf), normalize_pdf(odf)
             if not a.equals(b):
