@@ -230,9 +230,12 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .filter(F.col("w") != ""))
-    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("t"),
-                   F.countDistinct("w").alias("v"))
+    # (total, vocab) derive from the count table — identical values, one
+    # fewer corpus pass than aggregating toks again; the count table is
+    # cached because it feeds both the token join and the scalar totals
+    # (|vocab| rows; the sweep harness clears caches between queries)
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    tot = cnts.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
     nll = -F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v")))
     return (
         toks.join(cnts, "w")
@@ -500,9 +503,17 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # cache the normalized edge frame: it is referenced once PER
+    # iteration, and without the cache Spark re-executes the whole
+    # fact-join edge aggregation each time (plan audit showed 22 scans /
+    # 3 WindowExecs before this) — at 100 TB that is 3 full corpus
+    # passes instead of the one the aggregate-then-iterate design calls
+    # for.  The cached state is ≤|nodes|² rows; the sweep harness clears
+    # caches between queries.
     p = edges.select(
         "src", "dst",
-        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"))
+        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p")
+    ).cache()
     nodes = nat.select("n_name")
     ranks = nodes.select("n_name", (F.lit(1.0) / 25.0).alias("rank"))
     for _ in range(_PR_ITERS):
@@ -510,7 +521,8 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("src") == F.col("n_name"))
                    .select("dst", (F.col("rank") * F.col("p")).alias("c")))
         ranks = (
-            nodes.join(contrib, F.col("n_name") == F.col("dst"), "left")
+            nodes.join(F.broadcast(contrib),
+                       F.col("n_name") == F.col("dst"), "left")
             .groupBy("n_name")
             .agg(F.round(
                 F.lit((1 - _PR_DAMP) / 25.0)

@@ -67,11 +67,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlated MIN + join-back-to-qualify plan shape is identical.
 
     Scale: region-filtered supplier dim broadcasts into the lineitem
-    scan; the (partkey, supplier) aggregate shuffles lineitem ONCE on
-    partkey-major keys and the qualifying min reuses that partitioning
-    as a window over partkey — no second shuffle, no self-join.  The
-    unit-price quotient is IEEE-identical across engines, so the
-    equality qualification is exact.
+    scan; lineitem shuffles ONCE into the (partkey, supplier) aggregate.
+    The qualifying min is a window over partkey — one more exchange, but
+    of the aggregated |parts×suppliers| frame, never lineitem — and no
+    self-join.  The unit-price quotient is IEEE-identical across
+    engines, so the equality qualification is exact.
     """
     eu = (_t(spark, sf_dir, "supplier")
           .join(F.broadcast(_nation_region(spark, sf_dir, "EUROPE")),

@@ -272,6 +272,90 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["partial_"],
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # round-5 TPC-H completion: stars must broadcast their dims and
+    # never fall back to a sort-merge or nested-loop plan; correlated
+    # qualifications must be windows, not self-joins
+    "q2_min_cost_supplier": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "q4_priority_late": {
+        "must": ["LeftSemi", "PushedFilters: [IsNotNull(o_orderdate)"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q8_market_share": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q9_product_profit": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q10_returned_items": {
+        # group BEFORE the dim join: the BHJ must sit above the aggregate
+        "must": ["BroadcastHashJoin", "partial_", "TakeOrderedAndProject",
+                 "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q12_delay_buckets": {
+        "must": ["partial_", "PushedFilters: [IsNotNull(l_shipdate)"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q13_customer_distribution": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q16_supplier_variety": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q17_small_qty_revenue": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "q21_latest_ship_supplier": {
+        # double-correlated EXISTS/NOT-EXISTS as ONE window pass
+        "must": ["BroadcastHashJoin", "LeftSemi"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "q22_idle_customers": {
+        "must": ["LeftAnti", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # round-5 ML-prep rows: corpus passes stay map-side until the keyed
+    # aggregate; the sketch/graph rows must not re-scan the fact per
+    # iteration (cache audited via InMemoryTableScan)
+    "bpe_encode_apply": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1,
+    },
+    "doc_chunk_overlap": {
+        "must": [], "not": ["Exchange", "Join"], "max_scans": 1,
+    },
+    "perplexity_unigram": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "feature_hash_buckets": {
+        "must": ["partial_"], "not": ["Join"], "max_scans": 1,
+    },
+    "hll_distinct_users": {
+        "must": ["partial_"], "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "cube_orders_profile": {
+        "must": ["Expand", "partial_"], "not": ["Join"], "max_scans": 1,
+    },
+    "pagerank_nation_trade": {
+        # edge aggregation exactly once (cached), iterations on the
+        # cached ≤|nodes|² frame
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
 }
 
 
