@@ -78,6 +78,14 @@ HEADLINE = [
     "cohort_weekly_retention",
     "mllib_linear_forecaster",
     "streaming_stream_join",
+    # round-5 additions: TPC-H completion heavies + ML-prep/sketch rows
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_latest_ship_supplier",
+    "bpe_encode_apply",
+    "perplexity_unigram",
+    "pagerank_nation_trade",
+    "hll_distinct_users",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full

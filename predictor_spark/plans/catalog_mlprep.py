@@ -530,3 +530,102 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank"))
         )
     return ranks.select("n_name", F.round("rank", 6).alias("pagerank"))
+
+
+_RRF_K = 60
+_COS = ("list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ), lengths AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lengths
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term, ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf, c.avgdl
+        FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             corpus c
+    ), bm AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                   AS bm25_rank
+        FROM (
+            SELECT t.doc_id,
+                   SUM(i.idf * t.tf * 2.2
+                       / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / i.avgdl)))
+                       AS score
+            FROM tf t JOIN idf i USING (term) JOIN lengths l USING (doc_id)
+            GROUP BY t.doc_id
+        ) QUALIFY bm25_rank <= 20
+    ), co AS (
+        SELECT neighbor_id AS doc_id,
+               row_number() OVER (ORDER BY round({_COS}, 6) DESC, neighbor_id)
+                   AS cos_rank
+        FROM (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings) c,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q
+        WHERE neighbor_id != 0
+        QUALIFY cos_rank <= 20
+    )
+    SELECT doc_id,
+           CAST(coalesce(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+           CAST(coalesce(cos_rank, 0) AS BIGINT) AS cos_rank,
+           round(coalesce(1.0 / ({_RRF_K} + bm25_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + cos_rank), 0.0), 6) AS rrf
+    FROM bm FULL OUTER JOIN co USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): BM25 top-20 for "hash join scan" fused with cosine top-20
+    around the vec_id-0 embedding via RRF(60) — the lexical+dense
+    two-tower pattern every RAG data pipeline runs, composed entirely
+    from this repo's own retrieval operators.
+
+    Scale: each leg is the already-audited retrieval plan (BM25: terms
+    filtered before any shuffle, scalars broadcast; dense: query side
+    broadcast, corpus streamed); the fusion join touches only the two
+    top-k frames (≤20 rows each).  Ranks use rounded scores with id
+    tie-breaks so both cut lines are engine-deterministic.
+    """
+    from predictor_spark.operators import similarity
+    from predictor_spark.operators.retrieval import bm25_scores
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    wb = Window.orderBy(F.round("score", 6).desc(), "doc_id")
+    bm = (bm25_scores(docs, ["hash", "join", "scan"])
+          .withColumn("bm25_rank", F.row_number().over(wb))
+          .filter(F.col("bm25_rank") <= 20)
+          .select("doc_id", "bm25_rank"))
+    co = (similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+          .select(F.col("neighbor_id").alias("doc_id"),
+                  F.col("rank").alias("cos_rank")))
+    rrf = (F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+           + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)))
+    return (
+        bm.join(co, "doc_id", "full_outer")
+        .select("doc_id",
+                F.coalesce("bm25_rank", F.lit(0)).cast("bigint")
+                .alias("bm25_rank"),
+                F.coalesce("cos_rank", F.lit(0)).cast("bigint")
+                .alias("cos_rank"),
+                F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

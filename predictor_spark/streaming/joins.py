@@ -134,7 +134,19 @@ def view_purchase_attribution(
         ).alias("lag_min"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    # state partitions are captured at query start: size them to the
+    # buffered-state volume (|users inside the watermark|), not the
+    # session's batch shuffle width — at 32 the per-batch state-store
+    # task overhead dominated the bench row 2.5x (10.9 s -> 4.5 s at 8).
+    # A real deployment sets this per-query from expected state size;
+    # the batch default is restored immediately after start().
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
