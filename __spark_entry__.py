@@ -37,7 +37,8 @@ def _load_catalog():
                 "catalog_models", "catalog_search", "catalog_trading",
                 "catalog_e2e", "champion", "catalog_datapipe",
                 "catalog_behavior", "catalog_relational", "catalog_tsa",
-                "catalog_tpch", "catalog_mlprep", "catalog_indicators"):
+                "catalog_tpch", "catalog_mlprep", "catalog_indicators",
+                "catalog_drift"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:
