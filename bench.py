@@ -86,6 +86,9 @@ HEADLINE = [
     "perplexity_unigram",
     "pagerank_nation_trade",
     "hll_distinct_users",
+    "macd_signal",
+    "hybrid_rrf_fusion",
+    "ks_test_value_drift",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full

@@ -9,41 +9,47 @@ are per-series window pipelines over the events stream:
 - rsi_indicator RSI(14) with Wilder-decay averages (Wilder 1978)
 
 All EMAs are the adjust=True closed form already proven engine-portable
-by w20_rolling_ema (finite geometric weights over a collect_list
-window, truncated at 12n lags where the dropped weight is < 1e-10) —
-JVM expressions only, no Python UDF.  Windows order by (ts, event_id):
-unlike the per-user w20 series, per-TYPE series have timestamp
-collisions, and an unordered tie would make the list layout — and so
-the EMA — nondeterministic across engines AND across executions.
+by w20_rolling_ema (finite geometric weights truncated at 12n lags
+where the dropped weight is < 1e-10).  Unlike w20's single span-8 EMA,
+these rows need three 312-lag EMAs per row — interpreted higher-order
+window expressions measured 43.7 s at sf0.1 — so the SAME truncated
+math runs as NumPy convolutions inside one Arrow-batched applyInPandas
+pass per series (the build brief's sanctioned fallback: vectorized
+Pandas UDF where built-ins can't express the semantics efficiently).
+Series order is (ts, event_id): per-TYPE series have timestamp
+collisions, and an unordered tie would make the fold — and so the EMA —
+nondeterministic across engines AND across executions.
 
-Scale: one shuffle per row (the event_type series partitioning); every
-frame evaluation chains after the same sort.  State per row is the
-truncated lag list (≤312 doubles) — bounded, no unbounded-preceding
-running state.
+Scale: one shuffle onto the series key; per-series state is a length-n
+vector inside a C convolution; parallelism is across series — the same
+100 TB axis as per-series model training.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from predictor_spark.plans.catalog import query, _t
 
 
-def _ema_expr(col, n: int):
-    """adjust=True EMA closed form over a truncated lag window: returns
-    (window_frame, expression-builder) — see w20_rolling_ema."""
+def _ema_np(x, n: int):
+    """adjust=True EMA closed form over the SAME truncated 12n-lag
+    weights the oracle folds — evaluated as two C-speed convolutions.
+
+    Why not window expressions: the w20 collect_list + higher-order-
+    function idiom is fine for one span-8 EMA, but MACD needs three EMAs
+    with 312-lag windows and HOFs evaluate interpreted (outside
+    whole-stage codegen) — measured 43.7 s at sf0.1, still 21.7 s with
+    plan-time literal weight arrays.  The identical truncated math as a
+    NumPy convolution inside one Arrow-batched applyInPandas pass is the
+    documented escape hatch for semantics built-ins can't express
+    efficiently (build brief: vectorized Pandas UDF, never per-row)."""
+    import numpy as np
+
     a = 1.0 - 2.0 / (n + 1.0)
-    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
-         .rowsBetween(-(12 * n - 1), 0))
-    rev = F.reverse(F.collect_list(col).over(w))
-    num = F.aggregate(
-        F.zip_with(rev, F.sequence(F.lit(0), F.size(rev) - 1),
-                   lambda x, i: x * F.pow(F.lit(a), i.cast("double"))),
-        F.lit(0.0), lambda acc, x: acc + x)
-    den = F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.size(rev) - 1),
-                    lambda i: F.pow(F.lit(a), i.cast("double"))),
-        F.lit(0.0), lambda acc, x: acc + x)
+    w = a ** np.arange(12 * n, dtype="float64")
+    num = np.convolve(x, w)[: len(x)]
+    den = np.convolve(np.ones(len(x)), w)[: len(x)]
     return num / den
 
 
@@ -96,22 +102,36 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds on (reference heuristic_strategy.py consumes exactly this
     momentum feature family).
 
-    Scale: both MACD frames share one sort; the signal EMA chains a
-    second frame pass over the projected macd column with NO new
-    exchange (same partitioning + ordering).  `+ 0.0` canonicalizes the
-    signed zero the subtraction can produce.
+    Scale: one shuffle on the series key, then all three EMAs evaluate
+    in a single Arrow-batched applyInPandas pass per series (C-speed
+    convolutions over the same truncated weights the oracle folds — see
+    _ema_np for why the pure-window form was retired: 21.7 s -> sub-
+    second at sf0.1).  Parallelism is across series — the 100 TB axis,
+    same as model training.  `+ 0.0` canonicalizes the signed zero the
+    subtraction can produce.
     """
+    import pandas as pd
+
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(dtype="float64")
+        m = _ema_np(x, 12) - _ema_np(x, 26)
+        return pd.DataFrame({"event_id": pdf["event_id"].to_numpy(),
+                             "m": m, "s": _ema_np(m, 9)})
+
     ev = _t(spark, sf_dir, "events")
-    macd = ev.select(
-        "event_type", "event_id", "ts",
-        (_ema_expr(F.col("value"), 12) - _ema_expr(F.col("value"), 26))
-        .alias("m"))
-    sig = _ema_expr(F.col("m"), 9)
-    return macd.select(
+    ensure_workers_can_import(spark)
+    raw = (ev.select("event_type", "event_id", "ts", "value")
+           .groupBy("event_type")
+           .applyInPandas(per_series, "event_id bigint, m double, s double"))
+    # rounding stays Spark-side (HALF_UP, matching the oracle's round)
+    return raw.select(
         "event_id",
         (F.round("m", 6) + F.lit(0.0)).alias("macd"),
-        (F.round(sig, 6) + F.lit(0.0)).alias("signal_line"),
-        (F.round(F.col("m") - sig, 6) + F.lit(0.0)).alias("histogram"))
+        (F.round("s", 6) + F.lit(0.0)).alias("signal_line"),
+        (F.round(F.col("m") - F.col("s"), 6) + F.lit(0.0)).alias("histogram"))
 
 
 @query(
@@ -148,25 +168,36 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSI(14) per event-type series with Wilder's smoothing: the
     adjust=True EMA with a = 13/14 (span 27) over clipped up/down moves,
-    RSI = 100·ag/(ag+al).  First-row diffs coalesce to 0 so the lag
-    windows stay null-free — Spark's collect_list DROPS nulls while
-    DuckDB's list() keeps them, and a null in the frame would silently
-    misalign the two engines' weight vectors.
+    RSI = 100·ag/(ag+al).  First-row diffs coalesce to 0 so the weight
+    vectors of the two engines stay aligned (a null in the oracle's
+    list() frame would shift them).
 
-    Scale: the lag diff and both EMA frames share one (event_type) sort;
-    flat 0/0 stretches define RSI = 50 (neutral) instead of NaN.
+    Scale: one shuffle on the series key; diff, clip, and both EMAs run
+    in a single Arrow-batched applyInPandas pass per series (see
+    _ema_np).  Flat 0/0 stretches define RSI = 50 (neutral), not NaN.
     """
+    import numpy as np
+    import pandas as pd
+
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(dtype="float64")
+        d = np.diff(x, prepend=x[:1]) if len(x) else x
+        return pd.DataFrame({
+            "event_id": pdf["event_id"].to_numpy(),
+            "ag": _ema_np(np.clip(d, 0.0, None), 27),
+            "al": _ema_np(np.clip(-d, 0.0, None), 27)})
+
     ev = _t(spark, sf_dir, "events")
-    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    d = F.coalesce(F.col("value") - F.lag("value").over(wlag), F.lit(0.0))
-    diffs = ev.select(
-        "event_type", "event_id", "ts",
-        F.greatest(d, F.lit(0.0)).alias("gain"),
-        F.greatest(-d, F.lit(0.0)).alias("loss"))
-    ag = _ema_expr(F.col("gain"), 27)
-    al = _ema_expr(F.col("loss"), 27)
-    return diffs.select(
+    ensure_workers_can_import(spark)
+    raw = (ev.select("event_type", "event_id", "ts", "value")
+           .groupBy("event_type")
+           .applyInPandas(per_series, "event_id bigint, ag double, al double"))
+    s = F.col("ag") + F.col("al")
+    return raw.select(
         "event_id",
-        F.when(ag + al == 0.0, F.lit(50.0))
-        .otherwise(F.round(100.0 * ag / (ag + al), 4) + F.lit(0.0))
+        F.when(s == 0.0, F.lit(50.0))
+        .otherwise(F.round(100.0 * F.col("ag") / s, 4) + F.lit(0.0))
         .alias("rsi"))
