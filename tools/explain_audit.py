@@ -356,6 +356,36 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_window_execs": 1,
     },
+    # indicators: ONE series shuffle into ONE Arrow-batched pandas pass —
+    # no window sort chain, no join
+    "macd_signal": {
+        "must": ["FlatMapGroupsInPandas"],
+        "not": ["Join"],
+        "max_window_execs": 0, "max_scans": 1,
+    },
+    "rsi_indicator": {
+        "must": ["FlatMapGroupsInPandas"],
+        "not": ["Join"],
+        "max_window_execs": 0, "max_scans": 1,
+    },
+    # drift monitors: fact reduced to sufficient statistics before any
+    # global step; scalar totals broadcast
+    "ks_test_value_drift": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "psi_value_stability": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "mutual_info_value_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "hybrid_rrf_fusion": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
 }
 
 

@@ -33,11 +33,17 @@ def main() -> None:
     from tools.make_sf1 import build
 
     build(SF1_DIR)  # no-op when already present
-    spark = get_spark("scale_check")
     qs = entry_mod.queries()
     # warm-up once per sf dir (parquet footers), plus codegen warm-up
     timings: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for sf in SFS:
+        # FRESH SparkSession per scale factor: a single session aging
+        # across 4 SFs x |HEADLINE| x 2 runs accumulates GC/python-worker
+        # state that inflated late-block (sf1) per-series rows up to 4x
+        # in back-to-back generations (r5: prophet 19s aged vs 5.1s
+        # fresh) — the x10 ratio columns compare ACROSS blocks, so each
+        # block must start from the same session state
+        spark = get_spark("scale_check")
         # warm every table's footer + the ts-conversion path, like bench.py
         from predictor_spark.sources.tables import TABLES, load_table
 
@@ -56,6 +62,8 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name].append(round(best, 3))
+            spark.catalog.clearCache()  # intra-query caches die with the row
+        spark.stop()
 
     lines = [
         "# SCALING — headline wall-clock by scale factor",
