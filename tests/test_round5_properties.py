@@ -1,0 +1,196 @@
+"""Invariant tests for the round-5 rows — properties the DuckDB oracle
+equality cannot express (the oracle proves Spark == SQL replay; these
+prove both match the MATH the row claims to compute)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def r5(spark):
+    import __spark_entry__ as entry
+
+    return spark, entry.queries()
+
+
+def test_ema_np_matches_naive_truncated_fold():
+    """_ema_np (convolution form) == the literal truncated weighted mean,
+    element by element — the differential check that the C path computes
+    the same closed form the oracle folds."""
+    from predictor_spark.plans.catalog_indicators import _ema_np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(100.0, 25.0, size=400)
+    n = 9
+    a = 1.0 - 2.0 / (n + 1.0)
+    w = a ** np.arange(12 * n)
+    got = _ema_np(x, n)
+    for t in (0, 1, 5, 107, 108, 200, 399):
+        k = min(t + 1, len(w))
+        exp = float(np.dot(x[t::-1][:k], w[:k]) / w[:k].sum())
+        assert got[t] == pytest.approx(exp, rel=1e-12), t
+
+    # constant series: EMA is the constant at every truncation length
+    const = _ema_np(np.full(50, 42.5), 26)
+    assert np.allclose(const, 42.5, rtol=0, atol=1e-9)
+
+
+def test_rsi_bounds_and_monotone_extremes(r5):
+    spark, qs = r5
+    rows = qs["rsi_indicator"](spark, SF_DIR).collect()
+    assert rows and all(0.0 <= r["rsi"] <= 100.0 for r in rows)
+    # pure-gain / pure-loss series hit the poles
+    from predictor_spark.plans.catalog_indicators import _ema_np
+
+    up = np.arange(30, dtype="float64")
+    d = np.diff(up, prepend=up[:1])
+    ag = _ema_np(np.clip(d, 0, None), 27)
+    al = _ema_np(np.clip(-d, 0, None), 27)
+    rsi = 100.0 * ag[-1] / (ag[-1] + al[-1])
+    assert rsi == pytest.approx(100.0)
+
+
+def test_macd_zero_on_constant_series():
+    from predictor_spark.plans.catalog_indicators import _ema_np
+
+    x = np.full(200, 7.25)
+    m = _ema_np(x, 12) - _ema_np(x, 26)
+    assert np.allclose(m, 0.0, atol=1e-9)
+    assert np.allclose(_ema_np(m, 9), 0.0, atol=1e-9)
+
+
+def test_hll_error_within_sketch_bounds(r5):
+    """p=8 HLL has theoretical RSE 1.04/sqrt(256) ~ 6.5%; the data is
+    fixed so the observed error is a constant — pin it under 3 RSE."""
+    spark, qs = r5
+    for r in qs["hll_distinct_users"](spark, SF_DIR).collect():
+        assert r["exact_nd"] > 0
+        rel = abs(r["hll_estimate"] - r["exact_nd"]) / r["exact_nd"]
+        assert rel < 0.20, (r["event_type"], rel)
+
+
+def test_pagerank_distribution_properties(r5):
+    spark, qs = r5
+    rows = qs["pagerank_nation_trade"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    # dangling-free graph conserves mass up to per-iteration rounding
+    assert 0.95 <= total <= 1.0001, total
+    assert all(r["pagerank"] >= (1 - 0.85) / 25.0 - 1e-9 for r in rows)
+
+
+def test_ks_statistic_bounds_and_null_case(r5, spark):
+    _, qs = r5
+    row = qs["ks_test_value_drift"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_early"] > 0 and row["n_late"] > 0
+    # identical samples -> KS exactly 0 (implementation-level null case)
+    import duckdb
+
+    con = duckdb.connect()
+    ks = con.execute("""
+        WITH a AS (SELECT range AS v FROM range(100)),
+        pts AS (SELECT v, count(*) AS ca, count(*) AS cb FROM a GROUP BY v),
+        cdf AS (SELECT sum(ca) OVER (ORDER BY v) / 100.0 AS fa,
+                       sum(cb) OVER (ORDER BY v) / 100.0 AS fb FROM pts)
+        SELECT max(abs(fa - fb)) FROM cdf""").fetchone()[0]
+    con.close()
+    assert ks == 0.0
+
+
+def test_psi_bins_partition_everything(r5, spark):
+    _, qs = r5
+    rows = qs["psi_value_stability"](spark, SF_DIR).collect()
+    from predictor_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_expected"] + r["n_actual"] for r in rows) == n_events
+    assert all(1 <= r["bin"] <= 10 for r in rows)
+
+
+def test_mutual_info_nonnegative(r5):
+    spark, qs = r5
+    mi = qs["mutual_info_value_type"](spark, SF_DIR).collect()[0][
+        "mutual_info_nats"]
+    assert mi >= -1e-6  # >= 0 up to the 6 dp rounding
+
+
+def test_rrf_scores_self_consistent(r5):
+    spark, qs = r5
+    for r in qs["hybrid_rrf_fusion"](spark, SF_DIR).collect():
+        expect = 0.0
+        if r["bm25_rank"] > 0:
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] > 0:
+            expect += 1.0 / (60 + r["cos_rank"])
+        assert r["rrf"] == pytest.approx(expect, abs=5e-7)
+        assert r["bm25_rank"] > 0 or r["cos_rank"] > 0
+
+
+def test_q13_histogram_partitions_customers(r5, spark):
+    _, qs = r5
+    from predictor_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    rows = qs["q13_customer_distribution"](spark, SF_DIR).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_cube_margins_consistent(r5, spark):
+    _, qs = r5
+    rows = {(r["status"], r["priority"]): r
+            for r in qs["cube_orders_profile"](spark, SF_DIR).collect()}
+    from predictor_spark.sources.tables import load_table
+
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert rows[("ALL", "ALL")]["n_orders"] == n_orders
+    # row margins sum to the grand total
+    per_status = sum(r["n_orders"] for (s, p), r in rows.items()
+                     if p == "ALL" and s != "ALL")
+    assert per_status == n_orders
+
+
+def test_doc_chunks_tile_documents(r5, spark):
+    _, qs = r5
+    from pyspark.sql import functions as F
+
+    from predictor_spark.sources.tables import load_table
+
+    chunks = qs["doc_chunk_overlap"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    agg = (chunks.groupBy("doc_id")
+           .agg(F.max("chunk_idx").alias("mx"),
+                F.min("chunk_len").alias("mn"),
+                F.count(F.lit(1)).alias("k")).collect())
+    assert len(agg) == n_docs
+    for r in agg:
+        assert r["k"] == r["mx"] + 1          # contiguous chunk indices
+        assert 0 <= r["mn"] <= 50             # lengths within the window
+    assert chunks.filter((F.col("chunk_len") > 50)
+                         | (F.col("chunk_len") < 0)).count() == 0
+
+
+def test_bpe_apply_token_counts_bracketed(r5, spark):
+    """After 3 merges, per-doc token count is between n_words (every
+    word one symbol) and the raw character count (no merges)."""
+    _, qs = r5
+    from pyspark.sql import functions as F
+
+    out = qs["bpe_encode_apply"](spark, SF_DIR)
+    bad = out.filter((F.col("n_tokens") < F.col("n_words"))
+                     | (F.col("n_tokens") <= 0)).count()
+    assert bad == 0
+    # merges strictly reduce tokens vs the character baseline somewhere
+    from predictor_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chars = docs.select(
+        F.sum(F.length(F.regexp_replace(F.trim("text"), r"\s+", "")))
+    ).collect()[0][0]
+    total_tokens = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_tokens < chars
