@@ -403,7 +403,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_value
+           round(sum(round(o_totalprice * 100.0)) / 100.0, 2) AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -422,7 +422,12 @@ def cube_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+             # integer-cents sum: 2-dp prices round exactly to cents and
+             # the cent total stays « 2^53, so the grand-total margin is
+             # summation-order-proof (the raw double sum landed ON a
+             # half-cent boundary at the sf1 spot check)
+             F.round(F.sum(F.round(F.col("o_totalprice") * 100.0, 0))
+                     / 100.0, 2).alias("total_value"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
