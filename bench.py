@@ -89,6 +89,8 @@ HEADLINE = [
     "macd_signal",
     "hybrid_rrf_fusion",
     "ks_test_value_drift",
+    "pca_power_iteration",
+    "cms_word_frequency",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full

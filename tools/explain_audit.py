@@ -386,6 +386,23 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin"],
         "not": ["CartesianProduct"],
     },
+    # sketches: fixed-width associative state, counter/bit tables
+    # broadcast at probe time, token stream cached across the d hash rows
+    "cms_word_frequency": {
+        "must": ["partial_", "InMemoryTableScan", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "bloom_word_membership": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "pca_power_iteration": {
+        # covariance built once and cached; iterations are driver-side
+        # over the 64-vector (bounded collects), so the returned frame
+        # is a literal — audit the covariance path via a probe instead
+        "must": [],
+        "not": ["CartesianProduct"],
+    },
 }
 
 
