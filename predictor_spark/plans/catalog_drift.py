@@ -212,3 +212,147 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log((F.col("c") * F.col("n"))
                     / (F.col("cx").cast("double") * F.col("cy"))))
     return m.agg(F.round(F.sum(term), 6).alias("mutual_info_nats"))
+
+
+def _qdisc(df: DataFrame, group: str, col: str, probs: list[float],
+           aliases: list[str]) -> DataFrame:
+    """Per-group discrete quantiles (DuckDB quantile_disc semantics: the
+    smallest data value whose cumulative share >= q) via one support
+    aggregation + a cumulative window — engine-exact because the result
+    IS a data value, never an interpolation."""
+    sup = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.partitionBy(group).orderBy(col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(group)
+    cd = (F.sum("__c").over(w) / F.sum("__c").over(tot)).alias("__cd")
+    cum = sup.select(group, col, cd)
+    aggs = [F.min(F.when(F.col("__cd") >= q, F.col(col))).alias(a)
+            for q, a in zip(probs, aliases)]
+    return cum.groupBy(group).agg(*aggs)
+
+
+@query(
+    "outlier_iqr_flags",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS q1,
+               quantile_disc(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, q1, q3,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) FILTER (WHERE value < q1 - 1.5 * (q3 - q1)
+                                    OR value > q3 + 1.5 * (q3 - q1))
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q1, q3
+    """,
+)
+def outlier_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier screen per event type: values beyond
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] counted against the group size — the
+    univariate outlier gate a feature-quality pass runs per column.
+
+    Scale: quantiles via the discrete (data-value) definition over the
+    aggregated support — one groupBy + one per-group window, never a
+    global sort; the flag pass is a broadcast join of the |groups|-row
+    fence table back onto the scan.  Fences are arithmetic on exact data
+    values, so both engines compare identical doubles.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = _qdisc(ev, "event_type", "value", [0.25, 0.75], ["q1", "q3"])
+    iqr = F.col("q3") - F.col("q1")
+    out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
+           | (F.col("value") > F.col("q3") + 1.5 * iqr))
+    return (ev.join(F.broadcast(q), "event_type")
+            .groupBy("event_type", "q1", "q3")
+            .agg(F.count(F.lit(1)).alias("n_values"),
+                 F.sum(out.cast("long")).alias("n_outliers")))
+
+
+@query(
+    "robust_zscore_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, med,
+               quantile_disc(abs(value - med), 0.5) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type, med
+    )
+    SELECT e.event_type, med, mad,
+           CAST(count(*) FILTER (WHERE abs(value - med)
+                                       > 3.5 * 1.4826 * mad)
+                AS BIGINT) AS n_flagged
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, med, mad
+    """,
+)
+def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score screen (Iglewicz-Hoaglin): |x − median| >
+    3.5·1.4826·MAD per event type — the outlier gate that, unlike the
+    IQR fence, stays calibrated under heavy contamination because both
+    location and scale are 50 % breakdown estimators.
+
+    Scale: two discrete-quantile passes (median of values, median of
+    absolute deviations), each the support-aggregate + per-group window
+    shape; the deviation pass joins the broadcast |groups|-row median
+    table.  Both estimators return exact data values.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = _qdisc(ev, "event_type", "value", [0.5], ["med"])
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = _qdisc(dev, "event_type", "adev", [0.5], ["mad"])
+    flagged = F.col("adev") > 3.5 * 1.4826 * F.col("mad")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.sum(flagged.cast("long")).alias("n_flagged")))
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                             FROM events WHERE value > 0), 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_freq
+    FROM (
+        SELECT CAST(floor(value / power(10.0, floor(log10(value))))
+                    AS BIGINT) AS digit
+        FROM events WHERE value > 0
+    )
+    GROUP BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution against Benford's law
+    (Newcomb 1881 / Benford 1938) — the classic fabricated-data /
+    ingestion-corruption screen for positive numeric columns.  (The
+    synthetic uniform-ish values are EXPECTED to deviate; the row
+    reports observed vs expected, it does not assert conformance.)
+
+    Scale: the digit is a map-side expression (log10/floor of each
+    value — exact at decade boundaries because log10 of an exact power
+    of ten is exact in IEEE), the aggregate is ≤9 groups, and the total
+    rides in as a 1-row broadcast.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.floor(F.col("value")
+                    / F.pow(F.lit(10.0), F.floor(F.log10("value"))))
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (ev.select(digit.cast("bigint").alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_values"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit", "n_values",
+                    F.round(F.col("n_values") / F.col("n"), 6)
+                    .alias("obs_freq"),
+                    F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+                    .alias("benford_freq")))

@@ -194,3 +194,45 @@ def test_bpe_apply_token_counts_bracketed(r5, spark):
     ).collect()[0][0]
     total_tokens = out.agg(F.sum("n_tokens")).collect()[0][0]
     assert total_tokens < chars
+
+def test_outlier_screens_bounded(r5):
+    spark, qs = r5
+    for r in qs["outlier_iqr_flags"](spark, SF_DIR).collect():
+        assert 0 <= r["n_outliers"] <= r["n_values"]
+        assert r["q1"] <= r["q3"]
+    for r in qs["robust_zscore_mad"](spark, SF_DIR).collect():
+        assert r["n_flagged"] >= 0 and r["mad"] >= 0
+
+
+def test_benford_frequencies_partition(r5):
+    spark, qs = r5
+    rows = qs["benford_first_digit"](spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert sum(r["obs_freq"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["benford_freq"] for r in rows) <= 1.0 + 1e-4
+
+
+def test_cms_never_underestimates(r5):
+    spark, qs = r5
+    for r in qs["cms_word_frequency"](spark, SF_DIR).collect():
+        assert r["cms_estimate"] >= r["exact_cnt"]
+
+
+def test_bloom_no_false_negatives(r5):
+    spark, qs = r5
+    rows = {r["probe"]: r for r in
+            qs["bloom_word_membership"](spark, SF_DIR).collect()}
+    for p, r in rows.items():
+        if r["actually_present"]:
+            assert r["claimed_present"], p
+
+
+def test_pca_unit_norm_and_dominance(r5):
+    import math
+
+    spark, qs = r5
+    v = [r["loading"] for r in
+         qs["pca_power_iteration"](spark, SF_DIR).collect()]
+    assert len(v) == 64
+    assert math.sqrt(sum(x * x for x in v)) == pytest.approx(1.0, abs=1e-4)
+    assert sum(v) >= 0  # sign canonicalization

@@ -403,6 +403,21 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": [],
         "not": ["CartesianProduct"],
     },
+    # data-quality screens: per-group discrete quantiles over the
+    # aggregated support, fence/median tables broadcast back
+    "outlier_iqr_flags": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "robust_zscore_mad": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "benford_first_digit": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
 }
 
 
