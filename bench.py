@@ -91,6 +91,9 @@ HEADLINE = [
     "ks_test_value_drift",
     "pca_power_iteration",
     "cms_word_frequency",
+    # integrity screens: fact-join graph reduction + hour-grid coverage
+    "triangle_count_trade_graph",
+    "hourly_gap_detection",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full

@@ -236,3 +236,47 @@ def test_pca_unit_norm_and_dominance(r5):
     assert len(v) == 64
     assert math.sqrt(sum(x * x for x in v)) == pytest.approx(1.0, abs=1e-4)
     assert sum(v) >= 0  # sign canonicalization
+
+
+def test_js_divergence_bounded_by_ln2(r5):
+    import math
+
+    spark, qs = r5
+    rows = qs["js_divergence_value_drift"](spark, SF_DIR).collect()
+    total = sum(r["js_term"] for r in rows)
+    assert -1e-9 <= total <= math.log(2) + 1e-6
+    assert all(r["js_term"] >= -1e-9 for r in rows)
+
+
+def test_winsorize_mean_moves_inside_fences(r5):
+    spark, qs = r5
+    for r in qs["winsorize_moments"](spark, SF_DIR).collect():
+        assert r["lo"] <= r["hi"]
+        assert r["lo"] <= r["mean_after"] <= r["hi"]
+        assert r["n_clipped_low"] + r["n_clipped_high"] <= r["n_values"]
+
+
+def test_fuzzy_match_blocked_and_canonical(r5):
+    spark, qs = r5
+    rows = qs["fuzzy_match_part_names"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]  # canonical pair order, no dupes
+        assert r["name_a"].split(" ")[1] == r["block"]
+        assert r["name_b"].split(" ")[1] == r["block"]
+        assert 1 <= r["edit_dist"] <= 2
+
+
+def test_triangle_census_combinatorial_bounds(r5):
+    spark, qs = r5
+    [r] = qs["triangle_count_trade_graph"](spark, SF_DIR).collect()
+    n, e, t = r["n_nodes"], r["n_edges"], r["n_triangles"]
+    assert e <= n * (n - 1) // 2
+    assert t <= n * (n - 1) * (n - 2) // 6
+
+
+def test_hourly_gaps_partition_the_grid(r5):
+    spark, qs = r5
+    for r in qs["hourly_gap_detection"](spark, SF_DIR).collect():
+        assert r["n_observed"] + r["n_missing"] == r["n_expected"] == 720
+        assert r["max_gap_hours"] <= r["n_missing"]

@@ -418,6 +418,34 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2,
     },
+    # integrity screens: streams reduce to aggregate-sized cached frames
+    # (daily sums / vocabulary / type list / edge list) before any
+    # ordered, pairwise, or grid work
+    "js_divergence_value_drift": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "winsorize_moments": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "fuzzy_match_part_names": {
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "triangle_count_trade_graph": {
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 4,
+    },
+    "hourly_gap_detection": {
+        "must": ["InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
 }
 
 
