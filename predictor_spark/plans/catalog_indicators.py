@@ -27,7 +27,7 @@ vector inside a C convolution; parallelism is across series — the same
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
 
@@ -201,3 +201,76 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(s == 0.0, F.lit(50.0))
         .otherwise(F.round(100.0 * F.col("ag") / s, 4) + F.lit(0.0))
         .alias("rsi"))
+
+
+@query(
+    "bollinger_bands_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS close_c
+        FROM (
+            SELECT event_type, ts, value,
+                   row_number() OVER (PARTITION BY event_type, day(ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    roll AS (
+        SELECT event_type, day, close_c,
+               count(*)        OVER w AS n,
+               sum(close_c)    OVER w AS s,
+               sum(close_c * close_c) OVER w AS sq
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(close_c / 100.0, 2) AS close,
+           round(s / 7.0 / 100.0, 6) AS mid,
+           round(s / 7.0 / 100.0
+                 + 2 * sqrt(sq / 7.0 - (s / 7.0) * (s / 7.0)) / 100.0, 6)
+               AS upper,
+           round(s / 7.0 / 100.0
+                 - 2 * sqrt(sq / 7.0 - (s / 7.0) * (s / 7.0)) / 100.0, 6)
+               AS lower
+    FROM roll WHERE n = 7
+    """,
+)
+def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (Bollinger 1980s; SMA(7) ± 2σ) over each event
+    type's daily-close series — the volatility-envelope indicator the
+    reference's strategy layer consumes alongside MACD/RSI.
+
+    Unlike MACD/RSI (infinite-impulse EMAs → applyInPandas), a Bollinger
+    window is FINITE — 7 daily closes — so it stays pure JVM window
+    math: the daily close is one row_number pass, the band moments come
+    from integer-cent sum and sum-of-squares over a 7-row frame, and
+    σ = sqrt(E[x²] − E[x]²) is derived from EXACT integer sums, so both
+    engines compute identical doubles before the display rounding.
+
+    Scale: one shuffle to (type, day) bars, one per-type window over
+    ~30 bar rows per series; the stream itself is touched once.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wday = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (ev.select("event_type", F.dayofmonth("ts").cast("long").alias("day"),
+                       "ts", "event_id",
+                       F.round(F.col("value") * 100, 0).cast("long")
+                       .alias("close_c"))
+             .withColumn("rn", F.row_number().over(wday))
+             .filter(F.col("rn") == 1))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("close_c").over(w)
+    sq = F.sum(F.col("close_c") * F.col("close_c")).over(w)
+    mid = s / 7.0 / 100.0
+    sigma = F.sqrt(sq / 7.0 - (s / 7.0) * (s / 7.0)) / 100.0
+    return (daily.select("event_type", "day",
+                         F.round(F.col("close_c") / 100.0, 2).alias("close"),
+                         F.round(mid, 6).alias("mid"),
+                         F.round(mid + 2 * sigma, 6).alias("upper"),
+                         F.round(mid - 2 * sigma, 6).alias("lower"),
+                         n.alias("n"))
+            .filter(F.col("n") == 7).drop("n"))

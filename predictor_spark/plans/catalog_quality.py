@@ -406,3 +406,221 @@ def hourly_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_missing"),
                     F.coalesce(F.col("max_gap_hours"), F.lit(0)).cast("long")
                     .alias("max_gap_hours")))
+
+
+@query(
+    "bfs_hops_trade_graph",
+    oracle="""
+    WITH RECURSIVE pc AS MATERIALIZED (
+        SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+               greatest(c.c_nationkey, s.s_nationkey) AS v,
+               count(DISTINCT o.o_orderkey) AS w
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY u, v
+    ),
+    thr AS (SELECT quantile_disc(w, 0.9) AS t FROM pc),
+    e0 AS MATERIALIZED (SELECT u, v FROM pc, thr WHERE w >= t),
+    edges AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM e0
+        UNION ALL SELECT v AS a, u AS b FROM e0
+    ),
+    walk(n, hop) AS (
+        SELECT (SELECT min(a) FROM edges), 0
+        UNION
+        SELECT e.b, w.hop + 1
+        FROM walk w JOIN edges e ON e.a = w.n
+        WHERE w.hop < 6
+    ),
+    d AS (SELECT n, min(hop) AS hops FROM walk GROUP BY n)
+    SELECT nt.n_nationkey,
+           CAST(coalesce(d.hops, -1) AS BIGINT) AS hops
+    FROM nation nt LEFT JOIN d ON d.n = nt.n_nationkey
+    """,
+)
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance over the HIGH-VOLUME trade graph (edges = the
+    top-decile nation pairs by distinct-order volume, p90 discrete
+    quantile) from the smallest participating nation: every nation's
+    hop count, −1 when unreachable — the reachability audit that tells
+    an integrity pass which partitions of the graph a flow metric can
+    even see.  Capped at 6 hops; the DuckDB oracle replays it as a
+    recursive CTE with the same cap.
+
+    Scale: the fact stream reduces to the <=300-row pair-volume table
+    exactly as triangle_count_trade_graph; the level expansion then
+    runs 6 fixed frontier⋈edges joins against the CACHED symmetric
+    edge list (InMemoryTableScan — no fact re-scan per hop), all in
+    ONE lazy plan with no driver collect at all.  At 100 TB nothing in
+    the loop grows with rows; for graphs with billions of NODES the
+    same level iteration runs with shuffled frontier frames plus a
+    visited-set anti-join per level materialized via checkpoints —
+    the standard Pregel shape.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pc = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .join(li, o.o_orderkey == li.l_orderkey)
+          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .select(F.least("c_nationkey", "s_nationkey").alias("u"),
+                  F.greatest("c_nationkey", "s_nationkey").alias("v"),
+                  "o_orderkey")
+          .groupBy("u", "v")
+          .agg(F.countDistinct("o_orderkey").alias("w"))
+          .cache())
+    # p90 via the same discrete-quantile idiom as the fence screens
+    wv = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pc.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nall = tot.agg(F.sum("c").alias("n"))
+    thr = (tot.crossJoin(F.broadcast(nall))
+           .select("w", (F.sum("c").over(wv) / F.col("n")).alias("cd"))
+           .agg(F.min(F.when(F.col("cd") >= 0.9, F.col("w"))).alias("t")))
+    e0 = (pc.crossJoin(F.broadcast(thr))
+          .filter(F.col("w") >= F.col("t")).select("u", "v"))
+    # ONE eager checkpoint of the <=600-row symmetric edge list: every
+    # level below references `edges` twice, so an un-truncated lineage
+    # embeds the 4-table fact join O(cap^2) times and Catalyst spends
+    # seconds re-analyzing it; checkpointed, the levels join a leaf.
+    edges = (e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+             .unionAll(e0.select(F.col("v").alias("a"),
+                                 F.col("u").alias("b")))
+             .coalesce(1).localCheckpoint(eager=True))
+    # walk expansion, NOT visited-set BFS: each level is frontier⋈edges
+    # with a distinct — no reference back to the accumulated result, so
+    # the lineage stays LINEAR in the hop cap and the whole census is
+    # ONE lazy plan (a visited-set anti-join per level doubles the plan
+    # per hop and needed eager checkpoints — measured 100 s cold; this
+    # form is 2 s).  Revisited nodes carry larger hops; min() below
+    # recovers the BFS level, exactly like the oracle's UNION recursion.
+    seed = (edges.agg(F.min("a").alias("n"))
+            .select("n", F.lit(0).alias("hop")))
+    levels, frontier = [seed], seed
+    for hop in range(1, 7):  # fixed cap, mirrored by the oracle
+        frontier = (frontier.join(edges, frontier.n == edges.a)
+                    .select(F.col("b").alias("n"), F.lit(hop).alias("hop"))
+                    .distinct())
+        levels.append(frontier)
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    dist = walk.groupBy("n").agg(F.min("hop").alias("hop"))
+    nt = _t(spark, sf_dir, "nation").select("n_nationkey")
+    return (nt.join(F.broadcast(dist),
+                    nt.n_nationkey == F.col("n"), "left")
+            .select("n_nationkey",
+                    F.coalesce(F.col("hop"), F.lit(-1)).cast("long")
+                    .alias("hops")))
+
+
+@query(
+    "promo_session_overlap",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS MATERIALIZED (
+        SELECT user_id, session_id,
+               epoch_us(min(ts)) AS s_lo, epoch_us(max(ts)) AS s_hi
+        FROM (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        GROUP BY user_id, session_id
+    ),
+    promo AS (
+        SELECT CAST(day(generate_series) AS BIGINT) AS day,
+               epoch_us(generate_series + INTERVAL 12 HOUR) AS p_lo,
+               epoch_us(generate_series + INTERVAL 14 HOUR) AS p_hi
+        FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                             INTERVAL 1 DAY)
+    ),
+    hits AS (
+        SELECT p.day, s.user_id,
+               least(s.s_hi, p.p_hi) - greatest(s.s_lo, p.p_lo) AS ov_us
+        FROM promo p JOIN sessions s
+          ON s.s_lo <= p.p_hi AND s.s_hi >= p.p_lo
+    )
+    SELECT p.day,
+           CAST(coalesce(h.n_sessions, 0) AS BIGINT) AS n_sessions,
+           CAST(coalesce(h.n_users, 0) AS BIGINT) AS n_users,
+           CAST(coalesce(h.overlap_us, 0) AS BIGINT) AS overlap_us
+    FROM promo p LEFT JOIN (
+        SELECT day, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               sum(ov_us) AS overlap_us
+        FROM hits GROUP BY day
+    ) h USING (day)
+    """,
+)
+def promo_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join: user activity sessions (the
+    sessionize_counts 30-minute-gap idiom, collapsed to [first, last]
+    event intervals) against a daily promo window (12:00-14:00), per
+    promo day: overlapping sessions, distinct users, and total overlap
+    in exact integer microseconds — the attribution query behind
+    "was the user active DURING the campaign", and a genuinely harder
+    join class than the point-in-interval range join
+    (range_join_event_windows): BOTH sides are intervals.
+
+    Scale: sessions bin by the days they span (a session crossing
+    midnight lands in both bins) so the join is an equi-join on the day
+    key with the residual overlap predicate applied inside the bin —
+    never an unbounded theta join.  The promo side is 30 rows and
+    broadcasts; overlap arithmetic is integer microseconds end to end.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wl)
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0).alias("is_new"))
+    sid = F.sum("is_new").over(
+        wl.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id")
+    sessions = (marked.select("user_id", "ts", sid)
+                .groupBy("user_id", "session_id")
+                .agg(F.unix_micros(F.min("ts")).alias("s_lo"),
+                     F.unix_micros(F.max("ts")).alias("s_hi")))
+    promo = (spark.range(1).select(F.explode(F.expr(
+        "sequence(timestamp'2024-01-01 00:00:00',"
+        " timestamp'2024-01-30 00:00:00', interval 1 day)")).alias("d"))
+        .select(F.dayofmonth("d").cast("long").alias("day"),
+                F.unix_micros(F.col("d") + F.expr("interval 12 hours"))
+                .alias("p_lo"),
+                F.unix_micros(F.col("d") + F.expr("interval 14 hours"))
+                .alias("p_hi")))
+    # bin sessions by the calendar days they span -> equi-join on day
+    spans = sessions.select(
+        "user_id", "s_lo", "s_hi",
+        F.explode(F.sequence(
+            F.dayofmonth(F.timestamp_micros(F.col("s_lo"))).cast("long"),
+            F.dayofmonth(F.timestamp_micros(F.col("s_hi"))).cast("long")))
+        .alias("day"))
+    hits = (spans.join(F.broadcast(promo), "day")
+            .filter((F.col("s_lo") <= F.col("p_hi"))
+                    & (F.col("s_hi") >= F.col("p_lo")))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.least("s_hi", "p_hi")
+                       - F.greatest("s_lo", "p_lo")).alias("overlap_us")))
+    return (promo.select("day").join(hits, "day", "left")
+            .select("day",
+                    F.coalesce("n_sessions", F.lit(0)).cast("long")
+                    .alias("n_sessions"),
+                    F.coalesce("n_users", F.lit(0)).cast("long")
+                    .alias("n_users"),
+                    F.coalesce("overlap_us", F.lit(0)).cast("long")
+                    .alias("overlap_us")))

@@ -280,3 +280,37 @@ def test_hourly_gaps_partition_the_grid(r5):
     for r in qs["hourly_gap_detection"](spark, SF_DIR).collect():
         assert r["n_observed"] + r["n_missing"] == r["n_expected"] == 720
         assert r["max_gap_hours"] <= r["n_missing"]
+
+
+def test_bollinger_band_ordering(r5):
+    spark, qs = r5
+    rows = qs["bollinger_bands_daily"](spark, SF_DIR).collect()
+    assert len(rows) == 120  # 5 types x 24 full-window days
+    for r in rows:
+        assert r["lower"] <= r["mid"] <= r["upper"]
+        assert 7 <= r["day"] <= 30
+
+
+def test_bfs_levels_well_formed(r5):
+    spark, qs = r5
+    rows = qs["bfs_hops_trade_graph"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    hops = [r["hops"] for r in rows]
+    assert hops.count(0) == 1  # exactly one source
+    assert all(h == -1 or 0 <= h <= 6 for h in hops)
+    # BFS levels have no holes: if some node is at hop h >= 2, a node
+    # at hop h-1 must exist
+    present = {h for h in hops if h > 0}
+    for h in present:
+        if h >= 2:
+            assert (h - 1) in present or (h - 1) == 0
+
+
+def test_promo_overlap_bounds(r5):
+    spark, qs = r5
+    rows = qs["promo_session_overlap"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    two_hours_us = 2 * 3600 * 1_000_000
+    for r in rows:
+        assert r["n_users"] <= r["n_sessions"]
+        assert 0 <= r["overlap_us"] <= r["n_sessions"] * two_hours_us

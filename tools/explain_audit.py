@@ -446,6 +446,31 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2,
     },
+    # finite-window indicator: pure JVM window math, one stream scan,
+    # exactly two window passes (daily close + rolling moments)
+    "bollinger_bands_daily": {
+        "must": [],
+        "not": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "FlatMapGroupsInPandas"],
+        "max_window_execs": 2,
+        "max_scans": 1,
+    },
+    # level iteration over the checkpointed edge list: the returned plan
+    # must join broadcast level frames (leaf ExistingRDD), never re-scan
+    # the fact join
+    "bfs_hops_trade_graph": {
+        "must": ["BroadcastHashJoin", "ExistingRDD"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    # interval-interval overlap: day-binned equi-join with the 30-row
+    # promo side broadcast; sessionization shares one user_id sort
+    "promo_session_overlap": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 2,
+        "max_scans": 1,
+    },
 }
 
 
