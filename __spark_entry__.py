@@ -38,7 +38,8 @@ def _load_catalog():
                 "catalog_e2e", "champion", "catalog_datapipe",
                 "catalog_behavior", "catalog_relational", "catalog_tsa",
                 "catalog_tpch", "catalog_mlprep", "catalog_indicators",
-                "catalog_drift", "catalog_sketches", "catalog_quality"):
+                "catalog_drift", "catalog_sketches", "catalog_quality",
+                "catalog_featprep"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

@@ -314,3 +314,59 @@ def test_promo_overlap_bounds(r5):
     for r in rows:
         assert r["n_users"] <= r["n_sessions"]
         assert 0 <= r["overlap_us"] <= r["n_sessions"] * two_hours_us
+
+
+def test_inverted_index_postings_sorted_and_capped(r5):
+    spark, qs = r5
+    rows = qs["inverted_index_postings"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        p = list(r["postings_head"])
+        assert p == sorted(p) and len(set(p)) == len(p)
+        assert len(p) == min(r["df"], 10)
+
+
+def test_negative_samples_are_true_negatives(r5, spark):
+    _, qs = r5
+    from pyspark.sql import functions as F
+
+    from predictor_spark.sources.tables import load_table
+
+    neg = qs["negative_sampling_brands"](spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    pos = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .join(p, li.l_partkey == p.p_partkey)
+           .select("o_custkey", F.col("p_brand").alias("neg_brand"))
+           .distinct())
+    assert neg.join(pos, ["o_custkey", "neg_brand"]).count() == 0
+    per_cust = neg.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert per_cust <= 2
+
+
+def test_quantile_normalization_equalizes_marginals(r5):
+    spark, qs = r5
+    rows = qs["quantile_normalize_daily"](spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["rank"], r["normalized"], r["orig"]))
+    dists = {t: sorted(v) for t, v in by_type.items()}
+    # after normalization every series has the SAME sorted value list
+    vals = {t: [x[1] for x in v] for t, v in dists.items()}
+    first = next(iter(vals.values()))
+    assert all(v == first for v in vals.values())
+    # and within a series the mapping is monotone in the original order
+    for v in dists.values():
+        origs = [x[2] for x in v]
+        assert origs == sorted(origs)
+
+
+def test_reconciled_forecasts_sum_to_total(r5):
+    spark, qs = r5
+    rows = qs["forecast_reconcile_topdown"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    total = rows[0]["total_forecast"]
+    assert sum(r["reconciled_forecast"] for r in rows) == pytest.approx(
+        total, abs=5e-4 * 5)  # coherence up to per-row display rounding

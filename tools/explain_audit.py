@@ -471,6 +471,33 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_window_execs": 2,
         "max_scans": 1,
     },
+    # feature/index construction: rank-capped collect in one agg pass
+    "inverted_index_postings": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        "max_window_execs": 1,
+        "max_scans": 1,
+    },
+    # positives cached; the orders x lineitem fact join may legitimately
+    # sort-merge, but candidates must come from the broadcast brand dim
+    "negative_sampling_brands": {
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 1,
+        "max_scans": 4,
+    },
+    "quantile_normalize_daily": {
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    # scalars broadcast onto the |types|-row bottom frame read from the
+    # cached daily aggregate
+    "forecast_reconcile_topdown": {
+        "must": ["InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
 }
 
 
