@@ -94,6 +94,9 @@ HEADLINE = [
     # integrity screens: fact-join graph reduction + hour-grid coverage
     "triangle_count_trade_graph",
     "hourly_gap_detection",
+    # feature/index construction: posting-list build + hash-ranked negatives
+    "inverted_index_postings",
+    "negative_sampling_brands",
 ]
 
 # Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full

@@ -136,9 +136,11 @@ def test_prophet_like_matches_numpy_and_recovers_structure(spark):
     got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
     pdf = ev.select("user_id", "ts", "value").toPandas()
     cutoff = np.datetime64("2024-01-22T00:00:00", "us")
+    import pandas as pd
+
     want = (
-        pdf.groupby("user_id", group_keys=False)
-        .apply(lambda g: fit_predict_series(g, "value", "ts", cutoff, 3, 2))
+        pd.concat([fit_predict_series(g, "value", "ts", cutoff, 3, 2)
+                   for _, g in pdf.groupby("user_id")])
         .sort_values(["user_id", "ts"]).reset_index(drop=True)
     )
     assert np.array_equal(got["yhat"].to_numpy(), want["yhat"].to_numpy())
