@@ -370,3 +370,33 @@ def test_reconciled_forecasts_sum_to_total(r5):
     total = rows[0]["total_forecast"]
     assert sum(r["reconciled_forecast"] for r in rows) == pytest.approx(
         total, abs=5e-4 * 5)  # coherence up to per-row display rounding
+
+
+def test_cuped_reduces_or_preserves_spread(r5):
+    spark, qs = r5
+    rows = {r["arm"]: r for r in qs["ab_test_cuped"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    t0, t1 = rows[0]["theta"], rows[1]["theta"]
+    assert t0 == t1  # theta is pooled, identical on both rows
+    for r in rows.values():
+        assert r["n_users"] > 0 and r["mean_y"] >= 0 and r["mean_x"] >= 0
+
+
+def test_tfidf_ranks_and_df_consistency(r5):
+    spark, qs = r5
+    from pyspark.sql import functions as F
+
+    out = qs["tfidf_top_terms"](spark, SF_DIR)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"), F.min("rank").alias("mn"),
+        F.max("rank").alias("mx")).collect()
+    for r in per_doc:
+        assert r["mn"] == 1 and r["mx"] == r["k"] <= 3
+    assert out.filter(F.col("score") < 0).count() == 0
+
+
+def test_incremental_rollup_coherent(r5):
+    spark, qs = r5
+    rows = qs["incremental_daily_rollup"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r["matches_full"] for r in rows)

@@ -498,6 +498,27 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1,
     },
+    # experimentation + incremental maintenance: per-user/per-term
+    # reductions cached, scalar moment frames broadcast
+    "ab_test_cuped": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+        "max_window_execs": 0,
+    },
+    "tfidf_top_terms": {
+        "must": ["BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+        "max_window_execs": 1,
+    },
+    # both legs must push their ts bound into the parquet scan
+    "incremental_daily_rollup": {
+        "must": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(ts), LessThan(ts",
+                 "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
 }
 
 
