@@ -235,3 +235,80 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_events") == F.col("n_full"))
                      & (F.col("total_c") == F.col("c_full")))
                     .alias("matches_full")))
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS block,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    ),
+    e0 AS (
+        SELECT a.p_name AS x, b.p_name AS y
+        FROM names a JOIN names b
+          ON a.block = b.block AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (SELECT x AS a, y AS b FROM e0
+              UNION ALL SELECT y AS a, x AS b FROM e0),
+    reach(n, m, hop) AS (
+        SELECT p_name, p_name, 0 FROM names
+        UNION
+        SELECT r.n, e.b, r.hop + 1
+        FROM reach r JOIN edges e ON e.a = r.m
+        WHERE r.hop < 4
+    ),
+    rep AS (SELECT n, min(m) AS cluster_rep FROM reach GROUP BY n)
+    SELECT nm.p_name, r.cluster_rep,
+           CAST(count(*) OVER (PARTITION BY r.cluster_rep) AS BIGINT)
+               AS cluster_size,
+           nm.n_parts
+    FROM names nm JOIN rep r ON r.n = nm.p_name
+    """,
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the blocked Levenshtein pair graph
+    (fuzzy_match_part_names, catalog_quality.py) closed under
+    TRANSITIVE reachability — every name labelled with its cluster
+    representative (the lexicographic min of its connected component)
+    and the component size.  This is the step that turns pairwise
+    match candidates into a usable canonical-id mapping ('cold bolt',
+    'old bolt' -> one entity key).
+
+    Scale: the pair graph lives on the distinct-name vocabulary (64
+    names), so the min-label closure is the same walk-expansion-over-
+    a-tiny-leaf shape as bfs_hops_trade_graph — 4 capped levels in one
+    lazy plan, mirrored exactly by the oracle's recursive CTE; min()
+    recovers the component representative.  For web-scale graphs the
+    repo's large/small-star connected components (operators/dedup.py)
+    is the O(log n)-round variant of this same closure.
+    """
+    from predictor_spark.plans.catalog_quality import fuzzy_match_part_names
+
+    names = (_t(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+             .cache())
+    e0 = fuzzy_match_part_names(spark, sf_dir).select("name_a", "name_b")
+    edges = (e0.select(F.col("name_a").alias("a"), F.col("name_b").alias("b"))
+             .unionAll(e0.select(F.col("name_b").alias("a"),
+                                 F.col("name_a").alias("b")))
+             .coalesce(1).localCheckpoint(eager=True))
+    seed = names.select(F.col("p_name").alias("n"), F.col("p_name").alias("m"))
+    levels, frontier = [seed], seed
+    for _ in range(4):  # cap mirrored by the oracle's hop < 4
+        frontier = (frontier.join(edges, frontier.m == edges.a)
+                    .select(F.col("n"), F.col("b").alias("m"))
+                    .distinct())
+        levels.append(frontier)
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    rep = walk.groupBy("n").agg(F.min("m").alias("cluster_rep"))
+    size = Window.partitionBy("cluster_rep")
+    return (names.join(F.broadcast(rep), names.p_name == rep.n)
+            .select("p_name", "cluster_rep",
+                    F.count(F.lit(1)).over(size).cast("long")
+                    .alias("cluster_size"),
+                    "n_parts"))

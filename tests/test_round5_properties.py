@@ -400,3 +400,25 @@ def test_incremental_rollup_coherent(r5):
     rows = qs["incremental_daily_rollup"](spark, SF_DIR).collect()
     assert len(rows) == 5
     assert all(r["matches_full"] for r in rows)
+
+
+def test_entity_clusters_closed_and_canonical(r5, spark):
+    _, qs = r5
+    from predictor_spark.sources.tables import load_table
+
+    n_names = (load_table(spark, SF_DIR, "part")
+               .select("p_name").distinct().count())
+    rows = qs["entity_resolution_clusters"](spark, SF_DIR).collect()
+    assert len(rows) == n_names
+    by_rep = {}
+    for r in rows:
+        assert r["cluster_rep"] <= r["p_name"]  # rep is the component min
+        by_rep.setdefault(r["cluster_rep"], []).append(r)
+    for rep, members in by_rep.items():
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert any(m["p_name"] == rep for m in members)  # rep is a member
+    # the pairwise matches are a subset of the clusters (closure property)
+    pairs = qs["fuzzy_match_part_names"](spark, SF_DIR).collect()
+    rep_of = {r["p_name"]: r["cluster_rep"] for r in rows}
+    for p in pairs:
+        assert rep_of[p["name_a"]] == rep_of[p["name_b"]]

@@ -512,6 +512,13 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1,
         "max_window_execs": 1,
     },
+    # transitive closure over the checkpointed vocabulary pair graph:
+    # level joins read a leaf, never re-run the part scan per hop
+    "entity_resolution_clusters": {
+        "must": ["BroadcastHashJoin", "ExistingRDD", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
     # both legs must push their ts bound into the parquet scan
     "incremental_daily_rollup": {
         "must": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(ts), LessThan(ts",
