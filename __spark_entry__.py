@@ -39,7 +39,7 @@ def _load_catalog():
                 "catalog_behavior", "catalog_relational", "catalog_tsa",
                 "catalog_tpch", "catalog_mlprep", "catalog_indicators",
                 "catalog_drift", "catalog_sketches", "catalog_quality",
-                "catalog_featprep", "catalog_experiment"):
+                "catalog_featprep", "catalog_experiment", "catalog_robust"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

@@ -422,3 +422,22 @@ def test_entity_clusters_closed_and_canonical(r5, spark):
     rep_of = {r["p_name"]: r["cluster_rep"] for r in rows}
     for p in pairs:
         assert rep_of[p["name_a"]] == rep_of[p["name_b"]]
+
+
+def test_robust_trend_statistics_consistent(r5):
+    spark, qs = r5
+    sen = {r["event_type"]: r for r in
+           qs["theil_sen_trend"](spark, SF_DIR).collect()}
+    mk = {r["event_type"]: r for r in
+          qs["mann_kendall_trend"](spark, SF_DIR).collect()}
+    assert set(sen) == set(mk) and len(sen) == 5
+    for t in sen:
+        n = sen[t]["n_days"]
+        assert n == mk[t]["n_days"] <= 31
+        max_pairs = n * (n - 1) // 2
+        assert abs(mk[t]["s_stat"]) <= max_pairs
+        assert mk[t]["var_s"] > 0
+        # the two estimators agree on trend direction when MK is
+        # decisive (|z| > 1.96)
+        if abs(mk[t]["z"]) > 1.96:
+            assert (mk[t]["s_stat"] > 0) == (sen[t]["sen_slope"] > 0)

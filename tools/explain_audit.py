@@ -512,6 +512,18 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1,
         "max_window_execs": 1,
     },
+    # robust trend stats: bars cached, pairwise slopes broadcast-joined
+    # on the reduced frame, never on events
+    "theil_sen_trend": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "mann_kendall_trend": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
     # transitive closure over the checkpointed vocabulary pair graph:
     # level joins read a leaf, never re-run the part scan per hop
     "entity_resolution_clusters": {
