@@ -159,6 +159,19 @@ def main() -> None:
     # window/codegen path too so its row is plan signal, not first-run
     # noise (VERDICT r4 #8: 1.55x driver drift on a sub-2 s row)
     materialize(qs["flagship_persistence_metrics"](spark, sf_dir))
+    # spawn the Arrow python-worker pool + numpy import ONCE: the
+    # applyInPandas rows (champion/GA/indicators) otherwise pay
+    # 6-20 s of daemon spawn on their first run depending on box
+    # state — that is environment cost, not plan cost (champion
+    # measured 27.9 s cold vs 3.4 s warm in one session on an aged
+    # box; the spread is pure worker startup)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    (spark.range(64).withColumn("g", F.col("id") % 32)
+     .groupBy("g")
+     .applyInPandas(lambda p: p.assign(id=p["id"] * 0 + __import__("numpy").int64(1)),
+                    "id bigint, g bigint").count())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
