@@ -99,9 +99,10 @@ HEADLINE = [
     "negative_sampling_brands",
 ]
 
-# Heavyweight end-to-end rows: run ONCE (not min-of-2) — each is a full
-# distributed training job, so a second run would double bench time for
-# no extra signal. champion_tcn_e2e is the reference's production shape
+# Heavyweight end-to-end rows: each is a full distributed training job,
+# run twice with BOTH timings reported (single_run_cold_warm in the JSON)
+# — the headline number is the warm run. champion_tcn_e2e is the
+# reference's production shape
 # (window 79 x ~50 features, TCN 19 filters/3 layers/kernel 3, horizons
 # {9..24}, champion_1d_config.json) trained per event-type series; the
 # reference spends ~25 min per candidate of this shape (BASELINE.md) —
@@ -159,19 +160,33 @@ def main() -> None:
     # window/codegen path too so its row is plan signal, not first-run
     # noise (VERDICT r4 #8: 1.55x driver drift on a sub-2 s row)
     materialize(qs["flagship_persistence_metrics"](spark, sf_dir))
-    # spawn the Arrow python-worker pool + numpy import ONCE: the
-    # applyInPandas rows (champion/GA/indicators) otherwise pay
-    # 6-20 s of daemon spawn on their first run depending on box
-    # state — that is environment cost, not plan cost (champion
-    # measured 27.9 s cold vs 3.4 s warm in one session on an aged
-    # box; the spread is pure worker startup)
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
+    # spawn the Arrow python-worker pool AND warm the champion's REAL
+    # cold path: its applyInPandas tasks import the predictor_spark
+    # model stack (via the shiplib zip) inside every worker — numpy
+    # alone does not cover that (VERDICT r5 #3: the r5 driver bench
+    # still absorbed 20+ s of model-import cold-start into the
+    # champion row). A 1-series micro-fit through the SAME estimator
+    # entry point exercises zip shipping, worker spawn, Arrow, numpy
+    # and the tcn module import on every daemon the pool hands out.
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
 
-    (spark.range(64).withColumn("g", F.col("id") % 32)
-     .groupBy("g")
-     .applyInPandas(lambda p: p.assign(id=p["id"] * 0 + __import__("numpy").int64(1)),
-                    "id bigint, g bigint").count())
+    from predictor_spark.models import tcn
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    # 32 micro-series -> 32 concurrent tasks: python workers are reused
+    # per-core, so every daemon in the local[32] pool pays the model
+    # import HERE instead of inside a timed row
+    ts = pd.date_range("2024-01-01", periods=48, freq="6h")
+    micro = pd.concat([
+        pd.DataFrame({"user_id": s, "ts": ts,
+                      "value": [float((i + s) % 7) for i in range(48)]})
+        for s in range(32)
+    ], ignore_index=True)
+    warm_df = spark.createDataFrame(micro).repartition(32)
+    materialize(fit_predict_per_series(
+        warm_df, core=tcn, window=4, horizons=(1,),
+        train_kwargs={"epochs": 1, "channels": 2, "layers": 1, "kernel": 2}))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -185,10 +200,20 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # training rows run TWICE and report both timings (VERDICT r5 #6:
+    # champion measured 7.9-33.7 s across r5 with an identical plan —
+    # the cold/warm split makes driver-box noise diagnosable from the
+    # JSON alone). The headline number is the warm (second) run: plan
+    # cost, not scheduler/import noise the warm-up may have missed.
+    cold_warm: dict[str, dict[str, float]] = {}
     for name, fn in SINGLE_RUN.items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold_warm[name] = {"cold": runs[0], "warm": runs[1]}
+        timings[name] = runs[1]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -196,6 +221,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "single_run_cold_warm": cold_warm,
         "sf": sf,
     }))
 

@@ -109,8 +109,12 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i, p in zip(pdf[id_col], pdf["payload"]):
                 try:
                     w, h, c, px = decode_png(bytes(p))
-                    rows.append((int(i), True, w, h, c,
-                                 round(sum(px) / (len(px) * 255.0), 6)))
+                    # zero-area PNG (width or height 0) decodes fine but
+                    # has no samples: decoded=true, mean_lum null
+                    # (ADVICE r5 — the old sum/len raised ZeroDivisionError
+                    # and misrouted a valid decode to quarantine)
+                    lum = round(sum(px) / (len(px) * 255.0), 6) if px else None
+                    rows.append((int(i), True, w, h, c, lum))
                 except Exception:  # ValueError / zlib.error -> quarantine row
                     rows.append((int(i), False, None, None, None, None))
             yield pd.DataFrame(rows, columns=[

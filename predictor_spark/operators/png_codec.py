@@ -49,11 +49,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
     """Decode a PNG -> (width, height, channels, raw pixel bytes).
 
     Pixel bytes are row-major, ``height * width * channels`` long.
-    Raises ValueError on non-PNG input or unsupported subtypes
-    (palette, 16-bit, interlaced) — callers surface that as a
-    null-feature row, mirroring how a production decode stage routes
-    undecodable payloads to a quarantine column instead of failing the
-    job.
+    Raises ValueError on ANY undecodable input — non-PNG, unsupported
+    subtypes (palette, 16-bit, interlaced), truncated chunks, and
+    corrupt IHDR/IDAT payloads (struct/zlib failures are wrapped, so
+    the documented contract holds for external callers too, ADVICE r5)
+    — callers surface that as a null-feature row, mirroring how a
+    production decode stage routes undecodable payloads to a
+    quarantine column instead of failing the job.
     """
     data = bytes(data)
     if not is_png(data):
@@ -63,11 +65,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated chunk (body shorter than declared length)")
         body = data[pos + 8:pos + 8 + length]
         pos += 12 + length  # len + type + body + crc
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated IHDR")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body)
+                ">IIBBBBB", body[:13])
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:
@@ -81,7 +87,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
             break
     if width < 0 or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("scanline payload size mismatch")

@@ -50,7 +50,9 @@ _CENTS = "CAST(round(value * 100) AS BIGINT)"
         FROM pairs
     )
     SELECT term, CAST(count(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 10)
+           array_to_string(
+               list(CAST(doc_id AS VARCHAR) ORDER BY doc_id)
+                   FILTER (WHERE rn <= 10), ',')
                AS postings_head
     FROM ranked GROUP BY term
     """,
@@ -65,7 +67,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting cap is applied by rank BEFORE collect_list, so no task ever
     materializes an unbounded list (full posting lists at 100 TB are a
     partitioned WRITE, not a collected column).  df and the capped list
-    come out of the same aggregation pass.
+    come out of the same aggregation pass.  The posting head is emitted
+    as a comma-joined STRING, not array<bigint>: the gate's canonical
+    form is flat (nested output types are forbidden — see
+    tools/check_correctness.py), and a joined string carries identical
+    information for a head-capped list.
     """
     docs = _t(spark, sf_dir, "documents")
     pairs = (docs.select("doc_id",
@@ -76,9 +82,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", rn)
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"),
-                 F.sort_array(F.collect_list(
-                     F.when(F.col("rn") <= 10, F.col("doc_id"))))
-                 .alias("postings_head")))
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.when(F.col("rn") <= 10, F.col("doc_id")))),
+                         lambda x: x.cast("string")),
+                     ",").alias("postings_head")))
 
 
 @query(

@@ -395,8 +395,7 @@ def hourly_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = (missing.select("event_type", grp)
             .groupBy("event_type", "grp").agg(F.count(F.lit(1)).alias("run"))
             .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_runs"),
-                 F.sum("run").alias("n_missing"),
+            .agg(F.sum("run").alias("n_missing"),
                  F.max("run").alias("max_gap_hours")))
     return (types.join(runs, "event_type", "left")
             .select("event_type", F.lit(720).cast("long").alias("n_expected"),

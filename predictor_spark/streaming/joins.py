@@ -85,6 +85,7 @@ def view_purchase_attribution(
     sf_dir: str,
     horizon_hours: int = 2,
     watermark: str = "48 hours",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Inner stream-stream join: every (view, purchase) pair of the same
     user with the purchase inside (view.ts, view.ts + horizon].
@@ -97,19 +98,34 @@ def view_purchase_attribution(
     result is therefore the complete batch interval join, which is the
     oracle.  (Production would tighten the watermark to arrival lag;
     completeness here is what makes the row checkable.)
+
+    ``state_partitions`` sizes the state store to the buffered-state
+    volume (|users inside the watermark|) — stream-stream state
+    partitioning is captured at query START and a too-wide width pays
+    per-batch state-store task overhead 2.5x (10.9 s -> 4.5 s at 8 on
+    the sf0.1 bench).  The whole query is planned on a CLONED session
+    (spark.newSession(): own SQLConf, shared SparkContext), so the
+    caller's batch spark.sql.shuffle.partitions is never touched and
+    concurrent planning in other threads cannot capture the reduced
+    width (ADVICE r5).
     """
     from predictor_spark.sources.tables import canonical_ts
 
+    # chunk materialization runs on the caller's session (batch writes);
+    # the streaming query itself plans on the isolated clone below
+    d = _chronological_chunks(spark, sf_dir)
+
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover
         pass
-    d = _chronological_chunks(spark, sf_dir)
-    schema = spark.read.parquet(f"{d}/chunk_0.parquet").schema
+    schema = ss.read.parquet(f"{d}/chunk_0.parquet").schema
 
     def side(kind: str, prefix: str) -> DataFrame:
         s = (
-            spark.readStream.schema(schema).format("parquet")
+            ss.readStream.schema(schema).format("parquet")
             .option("maxFilesPerTrigger", 1).load(d)
         )
         s = canonical_ts(s).filter(F.col("event_type") == kind)
@@ -134,26 +150,18 @@ def view_purchase_attribution(
         ).alias("lag_min"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    # state partitions are captured at query start: size them to the
-    # buffered-state volume (|users inside the watermark|), not the
-    # session's batch shuffle width — at 32 the per-batch state-store
-    # task overhead dominated the bench row 2.5x (10.9 s -> 4.5 s at 8).
-    # A real deployment sets this per-query from expected state size;
-    # the batch default is restored immediately after start().
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (joined.writeStream.outputMode("append").format("memory")
-             .queryName(name).start())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    from predictor_spark.streaming.windows import drain_memory_sink
-
-    return drain_memory_sink(spark, name, joined.schema)
+    # the memory-sink table lives in the clone's catalog; drain it there
+    # and hand back a local-relation frame on the CALLER's session so
+    # everything downstream plans under the caller's conf
+    rows = ss.table(name).collect()
+    ss.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, joined.schema)
 
 
 def purchases_enriched_with_signup(

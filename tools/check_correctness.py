@@ -75,6 +75,20 @@ def dtype_class(dtype) -> str:
     return "other"
 
 
+def nested_output_columns(df) -> list[str]:
+    """Columns of a Spark DataFrame whose type is Array/Map/Struct.
+
+    The driver's canonicalizer sorts raw pandas columns; a list/dict cell
+    raises `unhashable type` and the whole row ERRs (r5:
+    inverted_index_postings). Nested output types are therefore FORBIDDEN
+    in registered queries — emit array_join/to_json strings instead. This
+    is a plan-only check (df.schema, no execution)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [f.name for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     out = []
     for col in sorted(set(sdf.columns) & set(odf.columns)):
@@ -117,7 +131,16 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            nested = nested_output_columns(df)
+            if nested:
+                # hard FAIL before execution: the driver harness cannot
+                # canonicalize nested cells (4th local/driver divergence)
+                print(f"FAIL  {name}: nested output type(s) {nested} — "
+                      "emit array_join/to_json strings instead")
+                n_fail += 1
+                continue
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
