@@ -39,7 +39,10 @@ def _load_catalog():
                 "catalog_behavior", "catalog_relational", "catalog_tsa",
                 "catalog_tpch", "catalog_mlprep", "catalog_indicators",
                 "catalog_drift", "catalog_sketches", "catalog_quality",
-                "catalog_featprep", "catalog_experiment", "catalog_robust"):
+                "catalog_featprep", "catalog_experiment", "catalog_robust",
+                "catalog_eval", "catalog_sampling", "catalog_graph2",
+                "catalog_tsfeat", "catalog_textstats", "catalog_stats2",
+                "catalog_integrity", "catalog_finance2", "catalog_recsys"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

@@ -186,6 +186,7 @@ def main() -> None:
     warm_df = spark.createDataFrame(micro).repartition(32)
     materialize(fit_predict_per_series(
         warm_df, core=tcn, window=4, horizons=(1,),
+        train_end="2024-01-08 00:00:00",
         train_kwargs={"epochs": 1, "channels": 2, "layers": 1, "kernel": 2}))
 
     timings: dict[str, float] = {}

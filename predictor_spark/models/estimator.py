@@ -177,7 +177,17 @@ def fit_predict_per_series(
                 out_cols[f"target_h{h}"] += list(v[e_te + h])
                 out_cols[f"pred_h{h}"] += list(preds[h] * sd + mu)
                 out_cols[f"unc_h{h}"] += list(uncs[h] * sd)
-        return pd.DataFrame(out_cols)
+        out = pd.DataFrame(out_cols)
+        if not len(out):
+            # a series with too little train data (or no test window)
+            # yields ZERO rows: all-empty lists make float64 columns and
+            # Arrow refuses the double->timestamp cast, killing the whole
+            # job for one thin series — pin the dtypes the schema declares
+            out[ts_col] = pd.to_datetime(out[ts_col])
+            out[series_col] = out[series_col].astype("int64")
+            if emit_train:
+                out["is_train"] = out["is_train"].astype(bool)
+        return out
 
     # ship the package zip: fit_group references the core module, which a
     # vanilla driver session's workers cannot import otherwise
