@@ -1,0 +1,213 @@
+"""Catalog part — corpus-statistics screens for LLM training data.
+
+Three statistical profiles a corpus team reads before (and after)
+every curation change:
+
+- bigram_logprob_per_doc  add-one-smoothed bigram language model
+                          trained ON the corpus, scoring each doc's
+                          mean log-probability — the classic fluency /
+                          outlier screen (low = gibberish or
+                          out-of-domain; complements the unigram
+                          perplexity row, catalog_mlprep)
+- zipf_rank_slope         OLS slope of log-frequency on log-rank over
+                          the top terms (Zipf 1949: natural language
+                          sits near -1; far off = boilerplate or spam)
+- heaps_vocab_growth      vocabulary size vs corpus-prefix size at
+                          fixed fractions (Heaps 1978) — sublinear
+                          growth is the fingerprint of natural text,
+                          and the curve calibrates tokenizer vocab
+                          budgets
+
+Determinism: all counts are exact integers (vocab growth is integers
+END TO END via the first-occurrence trick); the bigram model divides
+smoothed integer counts once per bigram; the Zipf regression runs over
+exactly 100 (freq, rank) integer pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.text import tokens_col
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@query(
+    "bigram_logprob_per_doc",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT u.w) AS v FROM (
+        SELECT w1 AS w FROM bg UNION SELECT w2 AS w FROM bg) u),
+    scored AS (
+        SELECT b.doc_id,
+               ln((c12.c + 1.0) / (c1.c + vocab.v)) AS lp
+        FROM bg b
+        JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id LIMIT 20
+    """,
+)
+def bigram_logprob_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram LM fluency screen: P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V) trained on the corpus itself, each document scored by
+    its mean token log-probability; the 20 LOWEST-scoring docs (the
+    outlier review queue) are the output.
+
+    Scale: bigrams are a map-side transform of the token array (no
+    positional self-join); the model is two groupBys; scoring joins
+    the bigram stream to the count tables ON THE BIGRAM KEY — at
+    100 TB the c12 table is the big dim and the join shuffles both
+    sides by (w1, w2), with c1 broadcastable.  Train and apply read
+    the same shuffled bigrams, so the corpus is scanned once."""
+    toks = tokens_col("text")
+    bg = (_t(spark, sf_dir, "documents")
+          .select("doc_id", toks.alias("t"))
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(t) - 1),"
+              " i -> struct(t[i-1] AS w1, t[i] AS w2))")).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    bg = bg.cache()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (bg.select(F.col("w1").alias("w"))
+             .union(bg.select(F.col("w2").alias("w")))
+             .distinct().agg(F.count(F.lit(1)).alias("v")))
+    scored = (bg.join(c12, ["w1", "w2"])
+              .join(c1, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      F.log((F.col("c12") + 1.0)
+                            / (F.col("c1") + F.col("v"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(F.sum("lp") / F.count(F.lit(1)), 6)
+                 .alias("avg_logprob"))
+            .orderBy("avg_logprob", "doc_id").limit(20))
+
+
+@query(
+    "zipf_rank_slope",
+    oracle=f"""
+    WITH tf AS (
+        SELECT u.term, count(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS term FROM documents) u
+        GROUP BY u.term
+    ),
+    top AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rnk
+        FROM tf ORDER BY freq DESC, term LIMIT 100
+    ),
+    xy AS (
+        SELECT ln(rnk) AS x, ln(freq) AS y FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS slope,
+           round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                           / (count(*) * sum(x * x) - sum(x) * sum(x))
+                           * sum(x)) / count(*), 4) AS intercept
+    FROM xy
+    """,
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(freq) on ln(rank) over the 100 most
+    frequent terms — natural-language corpora slope near -1; a corpus
+    drifting toward 0 (flat) or below -2 (spiky) signals boilerplate
+    injection or template spam before any model sees it.
+
+    Scale: term frequencies are one explode + groupBy; the top-100 is
+    TakeOrderedAndProject (per-partition heads, driver merge); the
+    regression reduces 100 rows to one.  Ranks are integers (freq
+    desc, term tie-break), so both engines fit the same 100 points."""
+    tf = (_t(spark, sf_dir, "documents")
+          .select(F.explode(tokens_col("text")).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    top = (tf.orderBy(F.col("freq").desc(), "term").limit(100)
+           .withColumn("rnk", F.row_number().over(
+               Window.orderBy(F.col("freq").desc(), "term"))))
+    xy = top.select(F.log("rnk").alias("x"), F.log("freq").alias("y"))
+    n = F.count(F.lit(1))
+    slope = ((n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+             / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")))
+    return xy.agg(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 4).alias("intercept"))
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, {_TOKS} AS t,
+               row_number() OVER (ORDER BY doc_id) AS r
+        FROM documents
+    ),
+    d AS (SELECT max(r) AS nd FROM ranked),
+    first_seen AS (
+        SELECT u.term, min(r) AS first_r
+        FROM (SELECT r, unnest(t) AS term FROM ranked) u
+        GROUP BY u.term
+    ),
+    tokcum AS (SELECT r, len(t) AS ntok FROM ranked),
+    cp AS (
+        SELECT f.frac, CAST(ceil(f.frac * d.nd) AS BIGINT) AS k_docs
+        FROM (VALUES (0.1), (0.25), (0.5), (1.0)) f(frac), d
+    )
+    SELECT cp.frac, cp.k_docs,
+           (SELECT CAST(sum(ntok) AS BIGINT) FROM tokcum
+            WHERE r <= cp.k_docs) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM first_seen
+            WHERE first_r <= cp.k_docs) AS vocab
+    FROM cp
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size after the first 10/25/50/100%
+    of documents (by doc_id order), paired with the token count of the
+    same prefix — the V(N) ~ K*N^beta growth curve that sizes
+    tokenizer vocabularies and detects template-heavy corpora (flat
+    growth = repetitive text).
+
+    Scale: the naive "distinct terms per prefix" is quadratic; the
+    first-occurrence trick makes it ONE pass — vocab(k) = |terms whose
+    MIN doc-rank <= k| — so each checkpoint is a filtered count over
+    the per-term first_r frame.  Every output cell is an exact
+    integer; no floats anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    r = F.row_number().over(Window.orderBy("doc_id"))
+    ranked = docs.select("doc_id", tokens_col("text").alias("t")) \
+        .withColumn("r", r).cache()
+    nd = ranked.agg(F.max("r").alias("nd"))
+    first_seen = (ranked.select("r", F.explode("t").alias("term"))
+                  .groupBy("term").agg(F.min("r").alias("first_r")))
+    tokcum = ranked.select("r", F.size("t").alias("ntok"))
+    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
+                                "frac double")
+          .crossJoin(F.broadcast(nd))
+          .select("frac", F.ceil(F.col("frac") * F.col("nd"))
+                  .cast("long").alias("k_docs")))
+    toks_at = (cp.join(tokcum, tokcum.r <= cp.k_docs)
+               .groupBy("frac", "k_docs")
+               .agg(F.sum("ntok").cast("long").alias("n_tokens")))
+    vocab_at = (cp.join(first_seen, first_seen.first_r <= cp.k_docs)
+                .groupBy("frac", "k_docs")
+                .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
+    return toks_at.join(vocab_at, ["frac", "k_docs"]) \
+        .select("frac", "k_docs", "n_tokens", "vocab")
