@@ -97,6 +97,17 @@ HEADLINE = [
     # feature/index construction: posting-list build + hash-ranked negatives
     "inverted_index_postings",
     "negative_sampling_brands",
+    # round-6 additions: eval battery, corpus stats, graph similarity,
+    # item-item CF, white-noise gate, FK audit — the heaviest row of each
+    # new family so regressions stay visible round-over-round
+    "roc_auc_rank",
+    "precision_recall_at_k",
+    "bigram_logprob_per_doc",
+    "heaps_vocab_growth",
+    "node_jaccard_similarity",
+    "item_cooccurrence_similarity",
+    "ljung_box_q",
+    "referential_orphan_counts",
 ]
 
 # Heavyweight end-to-end rows: each is a full distributed training job,

@@ -1,0 +1,293 @@
+"""Invariant tests for the round-6 rows — properties the DuckDB oracle
+equality cannot express (the oracle proves Spark == SQL replay; these
+prove both match the MATH each row claims to compute)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def r6(spark):
+    import __spark_entry__ as entry
+
+    return spark, entry.queries()
+
+
+# ---------------------------------------------------------------------------
+# estimator robustness (the bench warm-up exposure)
+# ---------------------------------------------------------------------------
+
+def test_estimator_survives_empty_series_group(spark):
+    """A series whose windows all fall before the cutoff produces ZERO
+    output rows; the empty pandas frame must keep schema dtypes (the
+    float64 ts column crashed Arrow with 'Unsupported cast from double
+    to timestamp' and killed the whole job for one thin series)."""
+    from predictor_spark.models import tcn
+    from predictor_spark.models.estimator import fit_predict_per_series
+
+    ts_thin = pd.date_range("2024-01-01", periods=12, freq="6h")
+    ts_full = pd.date_range("2024-01-01", periods=60, freq="6h")
+    pdf = pd.concat([
+        # thin series: ends Jan 3, entirely before the cutoff -> 0 rows
+        pd.DataFrame({"user_id": 0, "ts": ts_thin,
+                      "value": np.arange(12.0)}),
+        pd.DataFrame({"user_id": 1, "ts": ts_full,
+                      "value": np.cumsum(np.ones(60)) + 3.0}),
+    ], ignore_index=True)
+    out = fit_predict_per_series(
+        spark.createDataFrame(pdf), core=tcn, window=4, horizons=(1,),
+        train_end="2024-01-08 00:00:00",
+        train_kwargs={"epochs": 1, "channels": 2, "layers": 1, "kernel": 2},
+    ).toPandas()
+    assert set(out["user_id"]) == {1}          # thin series dropped, job alive
+    assert len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# eval family
+# ---------------------------------------------------------------------------
+
+def test_roc_auc_matches_numpy_pairwise(r6):
+    """AUC from midranks == the O(n^2) pairwise definition
+    P(score_pos > score_neg) + 0.5 P(tie), recomputed in numpy from the
+    same base frame."""
+    spark, qs = r6
+    from predictor_spark.plans.catalog_eval import _eval_base
+
+    base = _eval_base(spark, SF_DIR).toPandas()
+    pos = base.loc[base.label == 1, "score_int"].to_numpy()
+    neg = base.loc[base.label == 0, "score_int"].to_numpy()
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    row = qs["roc_auc_rank"](spark, SF_DIR).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_confusion_counts_partition_population(r6):
+    spark, qs = r6
+    rows = qs["confusion_matrix_threshold"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    totals = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(totals) == 1                    # same population per threshold
+    for r in rows:
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_lift_gain_monotone_and_complete(r6):
+    spark, qs = r6
+    rows = sorted(qs["lift_gain_deciles"](spark, SF_DIR).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["cum_gain"] for r in rows]
+    assert all(b >= a for a, b in zip(gains, gains[1:]))  # gain is cumulative
+    assert gains[-1] == pytest.approx(1.0, abs=1e-6)      # captures everyone
+
+
+# ---------------------------------------------------------------------------
+# graph family
+# ---------------------------------------------------------------------------
+
+def test_jaccard_bounds_and_symmetric_inputs(r6):
+    spark, qs = r6
+    rows = qs["node_jaccard_similarity"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["u"] < r["v"]
+
+
+def test_label_propagation_two_rounds_reaches_two_hop_min(spark):
+    """On a path graph 5-3-9-1-7 the 2-round min label of the middle
+    node is the minimum over its 2-hop neighborhood (=1), not the
+    global min when that sits 3 hops away."""
+    from predictor_spark.plans import catalog_graph2 as g2
+
+    edges_pd = pd.DataFrame({"a": [5, 3, 3, 9, 9, 1, 1, 7],
+                             "b": [3, 5, 9, 3, 1, 9, 7, 1]})
+    edges = spark.createDataFrame(edges_pd)
+    # replay the query's loop body on the fixture graph
+    from pyspark.sql import functions as F
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(2):
+        nbr = (edges.join(labels, edges.b == labels.node)
+               .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        labels = (labels.join(nbr, labels.node == nbr.a, "left")
+                  .select(labels.node,
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nbr_label"),
+                                             F.col("label"))).alias("label")))
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got[9] == 1      # 2 hops: min(9, 3, 1, 5-excluded? 5 is 2 hops) -> 1
+    assert got[5] == 3 or got[5] == 1  # depends on radius; must not exceed 2 hops
+    assert got[7] == 1
+
+
+# ---------------------------------------------------------------------------
+# ts-feature family
+# ---------------------------------------------------------------------------
+
+def test_seasonality_strength_in_unit_interval(r6):
+    spark, qs = r6
+    rows = qs["seasonality_strength_anova"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["seasonal_strength"] <= 1.0 + 1e-9
+
+
+def test_ljung_box_matches_statsmodels_formula(r6):
+    """Q recomputed in numpy from the same daily bars."""
+    spark, qs = r6
+    from predictor_spark.plans.catalog_tsfeat import _daily_bars
+
+    daily = _daily_bars(spark, SF_DIR).toPandas()
+    rows = {r["event_type"]: r
+            for r in qs["ljung_box_q"](spark, SF_DIR).collect()}
+    for etype, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day")["m"].to_numpy()
+        n = len(x)
+        xc = x - x.mean()
+        d2 = (xc ** 2).sum()
+        q = n * (n + 2) * sum(
+            ((xc[:-k] * xc[k:]).sum() / d2) ** 2 / (n - k)
+            for k in range(1, 7))
+        assert rows[etype]["q_stat"] == pytest.approx(q, abs=1e-3), etype
+        assert rows[etype]["reject_white_noise"] == (q > 12.592)
+
+
+def test_ewma_matches_scalar_recursion(r6):
+    """The unrolled weighted-sum EWMA == the literal z_t = 0.2 x_t +
+    0.8 z_{t-1} recursion seeded at the mean."""
+    spark, qs = r6
+    from predictor_spark.plans.catalog_tsfeat import _daily_bars
+
+    daily = _daily_bars(spark, SF_DIR).toPandas()
+    rows = {r["event_type"]: r
+            for r in qs["ewma_control_chart"](spark, SF_DIR).collect()}
+    for etype, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day")["m"].to_numpy()
+        days = grp.sort_values("day")["day"].to_numpy()
+        mu, sigma = x.mean(), x.std()
+        z, n_ooc, first = mu, 0, None
+        for t, (xi, day) in enumerate(zip(x, days), start=1):
+            z = 0.2 * xi + 0.8 * z
+            lim = 3 * sigma * math.sqrt(0.2 / 1.8 * (1 - 0.8 ** (2 * t)))
+            if abs(z - mu) > lim:
+                n_ooc += 1
+                first = int(day) if first is None else first
+        assert rows[etype]["n_ooc"] == n_ooc, etype
+        assert rows[etype]["first_ooc_day"] == first, etype
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+def test_heaps_curve_monotone_and_final_equals_vocab(r6):
+    spark, qs = r6
+    rows = sorted(qs["heaps_vocab_growth"](spark, SF_DIR).collect(),
+                  key=lambda r: r["k_docs"])
+    vocabs = [r["vocab"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert all(b >= a for a, b in zip(vocabs, vocabs[1:]))
+    assert all(b >= a for a, b in zip(toks, toks[1:]))
+    # sublinear: vocab grows slower than tokens (Heaps' law, beta < 1)
+    assert vocabs[-1] / vocabs[0] < toks[-1] / toks[0]
+
+
+def test_bigram_logprobs_are_valid_probabilities(r6):
+    spark, qs = r6
+    rows = qs["bigram_logprob_per_doc"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["avg_logprob"] < 0 for r in rows)        # log P < 0
+    # output is the review queue: sorted ascending by score
+    lps = [r["avg_logprob"] for r in rows]
+    assert lps == sorted(lps)
+
+
+# ---------------------------------------------------------------------------
+# experiment statistics
+# ---------------------------------------------------------------------------
+
+def test_welch_t_matches_scipy_formula(r6):
+    spark, qs = r6
+    from predictor_spark.plans.catalog_stats2 import _arms
+
+    arms = _arms(spark, SF_DIR).toPandas()
+    g0 = arms.loc[arms.arm == 0, "y"].to_numpy(dtype=float)
+    g1 = arms.loc[arms.arm == 1, "y"].to_numpy(dtype=float)
+    se2 = g0.var(ddof=1) / len(g0) + g1.var(ddof=1) / len(g1)
+    t = (g0.mean() - g1.mean()) / math.sqrt(se2)
+    row = qs["welch_t_arms"](spark, SF_DIR).collect()[0]
+    assert row["t_stat"] == pytest.approx(t, abs=1e-3)
+    assert row["significant"] == (abs(t) > 1.96)
+
+
+def test_jackknife_se_matches_numpy_loop(r6):
+    spark, qs = r6
+    from pyspark.sql import functions as F
+    from predictor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    pdf = (ev.groupBy("user_id")
+           .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .alias("y")).toPandas())
+    pdf["grp"] = pdf["user_id"] % 20
+    mis = []
+    for g in sorted(pdf["grp"].unique()):
+        rest = pdf[pdf.grp != g]
+        mis.append(rest["y"].sum() / len(rest))
+    mis = np.array(mis, dtype=float)
+    k = len(mis)
+    se = math.sqrt((k - 1) / k * ((mis - mis.mean()) ** 2).sum()) / 100
+    row = qs["jackknife_mean_se"](spark, SF_DIR).collect()[0]
+    assert row["n_groups"] == k
+    assert row["jackknife_se"] == pytest.approx(se, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# integrity / risk
+# ---------------------------------------------------------------------------
+
+def test_fk_edges_clean_on_generated_data(r6):
+    """The driver's generator produces referentially-intact tables; a
+    nonzero orphan count here means the audit itself is wrong."""
+    spark, qs = r6
+    rows = qs["referential_orphan_counts"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert all(r["n_orphans"] == 0 for r in rows)
+    pk = qs["duplicate_pk_check"](spark, SF_DIR).collect()
+    assert len(pk) == 9
+    assert all(r["n_dup_rows"] == 0 for r in pk)
+
+
+def test_max_drawdown_matches_numpy_scan(r6):
+    spark, qs = r6
+    from predictor_spark.plans.catalog_tsfeat import _daily_bars  # noqa: F401
+    from pyspark.sql import functions as F
+    from predictor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = (ev.groupBy("event_type",
+                        F.dayofmonth("ts").cast("long").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("c")).toPandas())
+    rows = {r["event_type"]: r
+            for r in qs["max_drawdown_per_type"](spark, SF_DIR).collect()}
+    for etype, grp in daily.groupby("event_type"):
+        c = grp.sort_values("day")["c"].to_numpy()
+        cum = np.cumsum(c)
+        dd = np.maximum.accumulate(cum) - cum
+        assert rows[etype]["max_drawdown"] == pytest.approx(
+            dd.max() / 100, abs=1e-6), etype
