@@ -270,7 +270,10 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("score_int").desc(), "user_id"))
     agg = (base.select("label", dec.alias("decile"))
            .groupBy("decile")
-           .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
+           # 10-row frame read by the total AND the output; uncached each
+           # re-runs the events scan + ntile sort
+           .cache())
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
     cum = F.sum("pos").over(
         Window.orderBy("decile")
@@ -349,7 +352,10 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit("1999-01-01").cast("date")
     bought = (o.join(li, o.o_orderkey == li.l_orderkey)
               .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-              .select("o_custkey", "p_brand", "o_orderdate"))
+              .select("o_custkey", "p_brand", "o_orderdate")
+              # train (-> topk) and test (-> per_user) both read this
+              # fact join; uncached each re-runs it
+              .cache())
     train = (bought.filter(F.col("o_orderdate") < split)
              .select("o_custkey", "p_brand").distinct())
     test = (bought.filter(F.col("o_orderdate") >= split)

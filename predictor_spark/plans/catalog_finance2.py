@@ -71,15 +71,17 @@ def max_drawdown_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("day") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dd = (daily.withColumn("cum", F.sum("c").over(w))
-          .withColumn("drawdown", F.max("cum").over(w) - F.col("cum")))
+          .withColumn("drawdown", F.max("cum").over(w) - F.col("cum"))
+          # bar-sized frame read by the max AND the trough lookup
+          .cache())
     mx = (dd.groupBy("event_type")
           .agg(F.max("drawdown").alias("mdd"),
                F.max("cum").alias("peak")))
-    trough = (dd.join(mx, "event_type")
+    trough = (dd.join(F.broadcast(mx), "event_type")
               .filter(F.col("drawdown") == F.col("mdd"))
               .groupBy("event_type")
               .agg(F.min("day").alias("trough_day")))
-    return (mx.join(trough, "event_type")
+    return (mx.join(F.broadcast(trough), "event_type")
             .select("event_type",
                     F.round(F.col("mdd").cast("double") / 100, 2)
                     .alias("max_drawdown"),
@@ -133,13 +135,15 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("event_type",
                       F.dayofmonth("ts").cast("long").alias("day"))
              .agg((F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-                   .cast("double") / F.count(F.lit(1)) / 100).alias("m")))
+                   .cast("double") / F.count(F.lit(1)) / 100).alias("m"))
+             # read by both legs of the spread self-join
+             .cache())
     a = daily.filter(F.col("event_type") == "purchase") \
         .select("day", F.col("m").alias("ma"))
     b = daily.filter(F.col("event_type") == "view") \
         .select("day", F.col("m").alias("mb"))
-    spread = a.join(b, "day").select("day",
-                                     (F.col("ma") - F.col("mb")).alias("s"))
+    spread = a.join(b, "day").select(
+        "day", (F.col("ma") - F.col("mb")).alias("s")).cache()
     st = spread.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("s") / F.count(F.lit(1))).alias("mu"),

@@ -95,7 +95,9 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight table itself is |classes| rows and ships to trainers as a
     broadcast literal."""
     cls = (_t(spark, sf_dir, "events")
-           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+           # read by the total and the output row set
+           .cache())
     tot = cls.agg(F.sum("n").alias("nt"), F.count(F.lit(1)).alias("k"))
     return (cls.crossJoin(F.broadcast(tot))
             .select("event_type", F.col("n").cast("long").alias("n_rows"),

@@ -77,8 +77,10 @@ def srm_check_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy(user) then a 2-row aggregate; exact integer
     counts all the way to the single division."""
-    cnt = _arms(spark, sf_dir).groupBy("arm") \
-        .agg(F.count(F.lit(1)).alias("n"))
+    cnt = (_arms(spark, sf_dir).groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n"))
+           # read by the total and the chi-square assembly
+           .cache())
     tot = cnt.agg(F.sum("n").alias("nt"))
     chi = F.sum((F.col("n") - F.col("nt") / 2.0)
                 * (F.col("n") - F.col("nt") / 2.0) / (F.col("nt") / 2.0))
@@ -277,7 +279,9 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
                      .alias("y"))
                 .groupBy("grp")
-                .agg(F.sum("y").alias("sg"), F.count(F.lit(1)).alias("ng")))
+                .agg(F.sum("y").alias("sg"), F.count(F.lit(1)).alias("ng"))
+                # 20-row frame read by the total and the LOO assembly
+                .cache())
     tot = per_user.agg(F.sum("sg").alias("s"), F.sum("ng").alias("n"),
                        F.count(F.lit(1)).alias("k"))
     loo = (per_user.crossJoin(F.broadcast(tot))

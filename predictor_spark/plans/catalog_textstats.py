@@ -209,5 +209,5 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_at = (cp.join(first_seen, first_seen.first_r <= cp.k_docs)
                 .groupBy("frac", "k_docs")
                 .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
-    return toks_at.join(vocab_at, ["frac", "k_docs"]) \
+    return toks_at.join(F.broadcast(vocab_at), ["frac", "k_docs"]) \
         .select("frac", "k_docs", "n_tokens", "vocab")

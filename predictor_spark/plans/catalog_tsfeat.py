@@ -96,7 +96,7 @@ def seasonality_strength_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bars are one groupBy; both SS terms come from SUMS (sum v,
     sum v^2, per-hod sum^2/n) — two tiny aggregates over <=24*|types|
     rows after the bar reduction, no window, no sort."""
-    bars = _hourly_bars(spark, sf_dir)
+    bars = _hourly_bars(spark, sf_dir).cache()
     hod = (bars.groupBy("event_type", "hod")
            .agg(F.sum("v").alias("sh"), F.count(F.lit(1)).alias("nh")))
     tot = (bars.groupBy("event_type")
@@ -105,7 +105,7 @@ def seasonality_strength_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n")))
     expl = (hod.groupBy("event_type")
             .agg(F.sum(F.col("sh") * F.col("sh") / F.col("nh")).alias("ssh")))
-    return (tot.join(expl, "event_type")
+    return (tot.join(F.broadcast(expl), "event_type")
             .select("event_type", F.col("n").cast("long").alias("n_bars"),
                     F.round(1.0 - (F.col("ss") - F.col("ssh"))
                             / (F.col("ss")
@@ -164,7 +164,7 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = (daily.groupBy("event_type")
           .agg((F.sum("m") / F.count(F.lit(1))).alias("mu"),
                F.count(F.lit(1)).alias("n")))
-    dm = daily.join(mu, "event_type")
+    dm = daily.join(F.broadcast(mu), "event_type")
     denom = (dm.groupBy("event_type")
              .agg(F.sum((F.col("m") - F.col("mu"))
                         * (F.col("m") - F.col("mu"))).alias("d2")))
@@ -172,11 +172,12 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("m") - F.col("mu")).alias("xa"))
     b = dm.select("event_type", F.col("day").alias("db"),
                   (F.col("m") - F.col("mu")).alias("xb"))
-    rho = (a.join(b, ["event_type"])
+    rho = (a.join(F.broadcast(b), ["event_type"])
            .filter((F.col("db") - F.col("da")).between(1, 6))
            .groupBy("event_type", (F.col("db") - F.col("da")).alias("k"))
            .agg(F.sum(F.col("xa") * F.col("xb")).alias("num")))
-    q = (rho.join(mu, "event_type").join(denom, "event_type")
+    q = (rho.join(F.broadcast(mu), "event_type")
+         .join(F.broadcast(denom), "event_type")
          .groupBy("event_type", "n")
          .agg(F.sum((F.col("num") / F.col("d2"))
                     * (F.col("num") / F.col("d2"))
@@ -248,10 +249,11 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     t = F.row_number().over(
         Window.partitionBy("event_type").orderBy("day"))
-    idx = daily.withColumn("t", t)
+    idx = daily.withColumn("t", t).cache()
     a = idx.select("event_type", F.col("t").alias("ta"), F.col("m").alias("ma"))
     b = idx.select("event_type", "day", F.col("t").alias("tb"))
-    z = (b.join(a, ["event_type"]).filter(F.col("ta") <= F.col("tb"))
+    z = (b.join(F.broadcast(a), ["event_type"])
+         .filter(F.col("ta") <= F.col("tb"))
          .join(F.broadcast(stats), "event_type")
          .groupBy("event_type", "day", "tb", "mu", "sigma")
          .agg((0.2 * F.sum(F.pow(F.lit(0.8), F.col("tb") - F.col("ta"))

@@ -538,6 +538,153 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 3,
     },
+    # ---- round 6 ----
+    # eval battery: per-user base is one events scan + map-side partial;
+    # threshold grid / moment frames ride broadcast loops, never SMJ
+    "confusion_matrix_threshold": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "roc_auc_rank": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "calibration_reliability_bins": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "lift_gain_deciles": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,  # ntile + cumulative gain
+    },
+    "precision_recall_at_k": {
+        # bought fact-join cached; topk broadcast onto the test side
+        "must": ["BroadcastHashJoin", "InMemoryTableScan",
+                 "TakeOrderedAndProject"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    # sampling: pure map-side expressions + one summary aggregate
+    "group_kfold_assignment": {
+        "must": ["partial_"], "not": ["Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "class_balance_weights": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "stratified_hash_sample": {
+        "must": ["partial_"], "not": ["Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # graph: dims broadcast onto the fact join; candidate pairs from the
+    # wedge join on the REDUCED edge list, cached where reused
+    "trade_degree_distribution": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 0,
+    },
+    "label_propagation_rounds": {
+        "must": ["InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+    },
+    "node_jaccard_similarity": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        "not": ["CartesianProduct"],
+    },
+    # ts-feature screens: one events scan, bar-frame joins broadcast
+    "seasonality_strength_anova": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "ljung_box_q": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "ewma_control_chart": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,  # row_number per series
+    },
+    # corpus statistics: bigram c12 join legitimately shuffles on the
+    # bigram key (SMJ allowed there — both sides are big at scale)
+    "bigram_logprob_per_doc": {
+        "must": ["InMemoryTableScan", "TakeOrderedAndProject"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
+    "zipf_rank_slope": {
+        "must": ["partial_", "TakeOrderedAndProject"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "heaps_vocab_growth": {
+        "must": ["InMemoryTableScan", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # experiment statistics: one events scan, grouped-value ranks
+    "srm_check_chi2": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "welch_t_arms": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "mann_whitney_arms": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,  # cumulative midranks
+    },
+    "jackknife_mean_se": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # integrity audits: parents broadcast, key columns only
+    "referential_orphan_counts": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 0,
+    },
+    "duplicate_pk_check": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_window_execs": 0,
+    },
+    "order_reconciliation": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    # risk: per-series windows, day-keyed self-join on the bar frame
+    "max_drawdown_per_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "pairs_spread_zscore": {
+        "must": ["partial_", "In(event_type, [purchase,view])"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # recsys: wedge join on customer over the cached distinct matrix
+    "item_cooccurrence_similarity": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        "not": ["CartesianProduct"],
+        "max_scans": 3,
+    },
 }
 
 
