@@ -321,7 +321,9 @@ def test_inverted_index_postings_sorted_and_capped(r5):
     rows = qs["inverted_index_postings"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        p = list(r["postings_head"])
+        # postings_head is a comma-joined STRING (nested output types are
+        # forbidden by the gate — r6); parse back to numeric postings
+        p = [int(x) for x in r["postings_head"].split(",")]
         assert p == sorted(p) and len(set(p)) == len(p)
         assert len(p) == min(r["df"], 10)
 
