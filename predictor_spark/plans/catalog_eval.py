@@ -295,14 +295,14 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "precision_recall_at_k",
     oracle="""
-    WITH train AS (
+    WITH train AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey, p.p_brand
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE o.o_orderdate < DATE '1999-01-01'
     ),
-    test AS (
+    test AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey, p.p_brand
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from predictor_spark.plans.catalog import query, _t
 
 _EDGES = """
-    e0 AS (
+    e0 AS MATERIALIZED (
         SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
                greatest(c.c_nationkey, s.s_nationkey) AS v
         FROM orders o

@@ -21,7 +21,7 @@ from predictor_spark.plans.catalog import query, _t
 @query(
     "item_cooccurrence_similarity",
     oracle="""
-    WITH bought AS (
+    WITH bought AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey, p.p_brand
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey

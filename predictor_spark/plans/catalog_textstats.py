@@ -40,7 +40,7 @@ _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
     WITH toks AS (
         SELECT doc_id, {_TOKS} AS t FROM documents
     ),
-    bg AS (
+    bg AS MATERIALIZED (
         SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
         FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
     ),
@@ -154,7 +154,7 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "heaps_vocab_growth",
     oracle=f"""
-    WITH ranked AS (
+    WITH ranked AS MATERIALIZED (
         SELECT doc_id, {_TOKS} AS t,
                row_number() OVER (ORDER BY doc_id) AS r
         FROM documents
