@@ -52,3 +52,24 @@ def test_rotation_treats_unknown_hash_as_unverified(monkeypatch):
     monkeypatch.setattr(entry, "_driver_green", lambda: frozenset({"q"}))
     # driver-green but never locally recorded -> must stay in the window
     assert entry._ordered(queries, oracle) == ["q"]
+
+
+def test_every_catalog_module_imports_cleanly():
+    """_load_catalog swallows ImportError so a partial tree still
+    serves its working queries — but on a COMPLETE tree every module in
+    its list must import, or queries silently vanish from the driver's
+    grading window (a coverage loss nothing else would catch)."""
+    import ast
+    import importlib
+    import inspect
+
+    import __spark_entry__ as entry
+
+    src = inspect.getsource(entry._load_catalog)
+    names = [c.value for c in ast.walk(ast.parse(src))
+             if isinstance(c, ast.Constant) and isinstance(c.value, str)
+             and c.value.startswith("catalog") or
+             (isinstance(c, ast.Constant) and c.value == "champion")]
+    assert len(names) >= 25
+    for mod in names:
+        importlib.import_module(f"predictor_spark.plans.{mod}")
