@@ -42,7 +42,9 @@ def _load_catalog():
                 "catalog_featprep", "catalog_experiment", "catalog_robust",
                 "catalog_eval", "catalog_sampling", "catalog_graph2",
                 "catalog_tsfeat", "catalog_textstats", "catalog_stats2",
-                "catalog_integrity", "catalog_finance2", "catalog_recsys"):
+                "catalog_integrity", "catalog_finance2", "catalog_recsys",
+                "catalog_concentration", "catalog_indicators2",
+                "catalog_behavior2", "catalog_regression"):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:
