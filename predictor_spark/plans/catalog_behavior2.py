@@ -102,8 +102,11 @@ def streak_longest_updays(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rn") == 1)
              .drop("rn", "ts", "event_id"))
     w = Window.partitionBy("event_type").orderBy("day")
+    # bar-sized frame (days x series) read by BOTH the island pass and
+    # the per-type totals — cache so the stream scan runs once
     flagged = daily.withColumn(
-        "up", F.when(F.col("close") > F.lag("close").over(w), 1).otherwise(0))
+        "up", F.when(F.col("close") > F.lag("close").over(w), 1)
+        .otherwise(0)).cache()
     islands = flagged.withColumn(
         "sid", F.sum(F.when(F.col("up") == 1, 0).otherwise(1)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -685,6 +685,94 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_scans": 3,
     },
+    # concentration family: revenue reductions BEFORE rank windows,
+    # dims broadcast, no global (unpartitioned) sort
+    "gini_revenue_concentration": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
+    "lorenz_curve_deciles": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2,
+    },
+    "pareto_abc_classification": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "hhi_market_concentration": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 4,
+    },
+    # OHLC indicator family: one stream scan into (type, day) bars,
+    # then per-series windows only
+    "vwap_brand_year": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    "atr_14_daily": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
+    "obv_daily": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
+    "stochastic_oscillator_14_3": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
+    # behavioral sequences: bounded broadcast joins back onto reduced
+    # frames; the sweep line must never join, only project+union
+    "streak_longest_updays": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "peak_concurrency": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin", "Union"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "rfm_segments": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+        "max_scans": 3,
+    },
+    "interpurchase_intervals": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
+    # closed-form regression: single combinable aggregation (no solver
+    # loop); Durbin-Watson re-reads events once per pass (unbounded
+    # frame — NOT cached by design) and broadcasts 5 coefficient rows
+    "ols_trend_per_series": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "ols_price_qty_discount": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "price_elasticity_loglog": {
+        "must": ["BroadcastHashJoin", "partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    "durbin_watson_residuals": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
 }
 
 
