@@ -108,6 +108,13 @@ HEADLINE = [
     "item_cooccurrence_similarity",
     "ljung_box_q",
     "referential_orphan_counts",
+    # round-6 session-2 families: heaviest row of each (customer-rank
+    # windows / OHLC bar pipeline / sweep-line expansion / two-pass OLS)
+    "rfm_segments",
+    "gini_revenue_concentration",
+    "stochastic_oscillator_14_3",
+    "peak_concurrency",
+    "durbin_watson_residuals",
 ]
 
 # Heavyweight end-to-end rows: each is a full distributed training job,
