@@ -1,0 +1,34 @@
+"""Staging area for the NEXT grading round's catalog modules.
+
+The driver grades only the first ~50 registered queries per round
+(window arithmetic, VERDICT r5 #5): registering more new rows than
+free window slots guarantees never-graded queries.  Round 6 entered
+with 49 rows awaiting their first grade — a full window — so new
+families built during round 6 are STAGED here instead of registered:
+fully implemented, oracle-backed, locally verified (pytest +
+`tools/check_correctness.py --staged`), but invisible to the driver
+until a later round moves their module names into
+`__spark_entry__._load_catalog`.
+
+Flip procedure (next round): move names from STAGED_MODULES into the
+_load_catalog tuple (respecting that round's free-slot budget), run
+the full `--record` sweep, commit.
+"""
+
+from __future__ import annotations
+
+STAGED_MODULES: tuple[str, ...] = (
+    "catalog_r7_ireval",
+)
+
+
+def load_staged() -> list[str]:
+    """Import every staged catalog module (registering its queries into
+    predictor_spark.plans.catalog.QUERIES/ORACLE) and return the list of
+    staged QUERY names so callers can scope sweeps to them."""
+    import predictor_spark.plans.catalog as catalog
+
+    before = set(catalog.QUERIES)
+    for mod in STAGED_MODULES:
+        __import__(f"predictor_spark.plans.{mod}")
+    return sorted(set(catalog.QUERIES) - before)

@@ -1,0 +1,147 @@
+"""Tests for the STAGED round-7 catalog families (plans/staged.py).
+
+Staged modules are fully implemented and oracle-verified but not yet
+registered for the driver (window arithmetic, VERDICT r5 #5). These
+tests (a) pin the staging contract — staged modules must NOT be
+reachable from __spark_entry__._load_catalog — and (b) verify each
+family against an independent pure-pandas reimplementation of the
+metric spec (the DuckDB oracle proves Spark == SQL replay; this proves
+both match the MATH)."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+ENTRY = "/root/repo/__spark_entry__.py"
+
+
+def test_staged_modules_not_registered_for_driver():
+    """The driver must not see staged modules: none of their names may
+    appear in __spark_entry__.py (the _load_catalog tuple is the only
+    registration path)."""
+    from predictor_spark.plans.staged import STAGED_MODULES
+
+    with open(ENTRY) as fh:
+        src = fh.read()
+    for mod in STAGED_MODULES:
+        assert mod not in src, f"staged module {mod} leaked into the driver"
+
+
+def test_load_staged_registers_oracle_backed_rows():
+    import predictor_spark.plans.catalog as catalog
+    from predictor_spark.plans.staged import load_staged
+
+    names = load_staged()
+    assert "ndcg_at_10_brands" in names
+    for n in names:
+        assert n in catalog.QUERIES
+        assert n in catalog.ORACLE, f"staged row {n} has no oracle"
+
+
+@pytest.fixture(scope="module")
+def ireval_expected():
+    """Pure-pandas recompute of the three ranking metrics from raw
+    parquet — same spec (popularity ranking, micro-unit quantization),
+    independent implementation (no Spark, no shared SQL)."""
+    con = duckdb.connect()
+    q = lambda s: con.execute(s).fetchdf()  # noqa: E731
+    orders = q(f"SELECT o_orderkey, o_custkey, o_orderdate FROM '{SF_DIR}/orders.parquet'")
+    li = q(f"SELECT l_orderkey, l_partkey FROM '{SF_DIR}/lineitem.parquet'")
+    part = q(f"SELECT p_partkey, p_brand FROM '{SF_DIR}/part.parquet'")
+    cust = q(f"SELECT c_custkey, c_mktsegment FROM '{SF_DIR}/customer.parquet'")
+    con.close()
+
+    bought = (orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+              .merge(part, left_on="l_partkey", right_on="p_partkey"))
+    split = pd.Timestamp("1999-01-01")
+    train = bought[bought.o_orderdate < split][
+        ["o_custkey", "p_brand"]].drop_duplicates()
+    test = bought[bought.o_orderdate >= split][
+        ["o_custkey", "p_brand"]].drop_duplicates()
+    pop = (train.groupby("p_brand")["o_custkey"].nunique()
+           .reset_index(name="pop")
+           .sort_values(["pop", "p_brand"], ascending=[False, True]))
+    rank_of = {b: i + 1 for i, b in enumerate(pop.p_brand)}
+
+    disc = {r: round(1e9 / math.log2(r + 1)) for r in range(1, 11)}
+    idcg = {m: sum(disc[r] for r in range(1, m + 1)) for m in range(1, 11)}
+
+    rows = []
+    for cust_key, grp in test.groupby("o_custkey"):
+        ranks = sorted(rank_of[b] for b in grp.p_brand if b in rank_of)
+        n_rel = len(grp)
+        m = min(n_rel, 10)
+        dcg = sum(disc[r] for r in ranks if r <= 10)
+        ndcg_micro = math.floor((1e6 * dcg) / idcg[m])
+        numer = sum((i + 1) * (2520 // r)
+                    for i, r in enumerate(ranks) if r <= 10)
+        ap_micro = math.floor((1e6 * numer) / (2520.0 * m))
+        rr_micro = 1000000 // ranks[0] if ranks else 0
+        rows.append((cust_key, ndcg_micro, ap_micro, rr_micro))
+    per_user = pd.DataFrame(
+        rows, columns=["o_custkey", "ndcg", "ap", "rr"]).merge(
+        cust, left_on="o_custkey", right_on="c_custkey")
+    agg = per_user.groupby("c_mktsegment").agg(
+        n_users=("o_custkey", "count"), ndcg=("ndcg", "sum"),
+        ap=("ap", "sum"), rr=("rr", "sum"))
+    for col in ("ndcg", "ap", "rr"):
+        agg[col] = (agg[col] / (agg.n_users * 1e6)).round(6)
+    return agg
+
+
+def _run(spark, name):
+    from predictor_spark.plans.staged import load_staged
+    import predictor_spark.plans.catalog as catalog
+
+    load_staged()
+    return catalog.QUERIES[name](spark, SF_DIR).toPandas()
+
+
+@pytest.mark.parametrize("qname,col", [
+    ("ndcg_at_10_brands", "ndcg_at_10"),
+    ("map_at_10_brands", "map_at_10"),
+    ("mrr_brands", "mrr"),
+])
+def test_ireval_matches_pandas_recompute(spark, ireval_expected, qname, col):
+    out = _run(spark, qname).set_index("segment").sort_index()
+    exp = ireval_expected.sort_index()
+    assert list(out.index) == list(exp.index)
+    assert (out.n_users == exp.n_users).all()
+    metric = {"ndcg_at_10": "ndcg", "map_at_10": "ap", "mrr": "rr"}[col]
+    pd.testing.assert_series_equal(
+        out[col], exp[metric], check_names=False, atol=1e-9, rtol=0)
+    assert ((out[col] >= 0) & (out[col] <= 1)).all()
+
+
+def test_staged_rows_have_no_nested_outputs(spark):
+    """Same schema rule as registered rows (driver canonicalizer)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import nested_output_columns
+    import predictor_spark.plans.catalog as catalog
+    from predictor_spark.plans.staged import load_staged
+
+    for name in load_staged():
+        df = catalog.QUERIES[name](spark, SF_DIR)
+        assert nested_output_columns(df) == [], name
+
+
+def test_staged_oracles_quantize_before_mean():
+    """Every staged ranking oracle must carry the micro-unit floor (the
+    determinism contract documented in the module): a raw float mean
+    over users would be summation-order sensitive."""
+    import predictor_spark.plans.catalog as catalog
+    from predictor_spark.plans.staged import load_staged
+
+    for name in load_staged():
+        if name.endswith("_brands"):
+            assert re.search(r"floor|//", catalog.ORACLE[name]), name

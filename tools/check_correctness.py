@@ -5,7 +5,12 @@ given scale factor, compares row count, sorted column names, and an
 order-insensitive value comparison. Exact comparison after in-query
 rounding — stricter than any hash the driver could use.
 
-Usage: python tools/check_correctness.py [--record] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--record] [--staged] [sf_dir] [query ...]
+
+--staged: also load the staged next-round catalog modules
+(predictor_spark/plans/staged.py) so their rows can be verified before
+they are registered for the driver. Mutually exclusive with --record —
+staged rows must never enter the rotation's green-hash file.
 
 --record: after the sweep, write tools/graded_green.json mapping every
 PASSING oracle-backed query to its content hash (source + oracle SQL).
@@ -100,13 +105,26 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--record"]
+    argv = [a for a in sys.argv[1:] if a not in ("--record", "--staged")]
     record = "--record" in sys.argv[1:]
+    staged = "--staged" in sys.argv[1:]
+    if record and staged:
+        print("--record and --staged are mutually exclusive: staged rows "
+              "must not enter the rotation's green-hash file")
+        return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
 
+    if staged:
+        from predictor_spark.plans.staged import load_staged
+
+        staged_names = load_staged()
+        print(f"loaded {len(staged_names)} staged queries: "
+              + " ".join(staged_names))
+        if not only:
+            only = set(staged_names)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     passed: list[str] = []
