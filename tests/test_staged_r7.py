@@ -145,3 +145,76 @@ def test_staged_oracles_quantize_before_mean():
     for name in load_staged():
         if name.endswith("_brands"):
             assert re.search(r"floor|//", catalog.ORACLE[name]), name
+
+
+# ---------------------------------------------------------------------------
+# nonparametric rank statistics family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def li_small():
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT CAST(l_quantity AS BIGINT) AS q, l_discount AS d "
+        f"FROM '{SF_DIR}/lineitem.parquet'").fetchdf()
+    con.close()
+    return pdf
+
+
+def test_spearman_matches_pandas_ranks(spark, li_small):
+    """Spearman = Pearson over pandas average ranks (scipy-free)."""
+    out = _run(spark, "spearman_qty_discount")
+    rq = li_small["q"].rank(method="average")
+    rd = li_small["d"].rank(method="average")
+    expected = rq.corr(rd)  # plain Pearson over ranks
+    assert abs(out.spearman_rho[0] - round(expected, 6)) <= 1e-6
+    assert out.n[0] == len(li_small)
+
+
+def test_kendall_matches_cell_recount(spark, li_small):
+    """tau-b recomputed from a pandas crosstab with an independent
+    double loop over cells (different code path from the Spark
+    broadcast self-join)."""
+    ct = pd.crosstab(li_small["q"], li_small["d"])
+    xs, ys, cs = [], [], []
+    for xi, x in enumerate(ct.index):
+        for yi, y in enumerate(ct.columns):
+            c = int(ct.iloc[xi, yi])
+            if c:
+                xs.append(x); ys.append(y); cs.append(c)
+    nc = nd = 0
+    for i in range(len(cs)):
+        for j in range(len(cs)):
+            if xs[j] > xs[i]:
+                if ys[j] > ys[i]:
+                    nc += cs[i] * cs[j]
+                elif ys[j] < ys[i]:
+                    nd += cs[i] * cs[j]
+    n = len(li_small)
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in li_small["q"].value_counts())
+    n2 = sum(t * (t - 1) // 2 for t in li_small["d"].value_counts())
+    expected = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
+    out = _run(spark, "kendall_tau_qty_discount")
+    assert out.concordant[0] == nc and out.discordant[0] == nd
+    assert abs(out.tau_b[0] - round(expected, 6)) <= 1e-6
+    assert out.n[0] == n
+
+
+def test_kruskal_wallis_matches_manual_ranks(spark):
+    """Recompute H with pandas average ranks + the textbook formula."""
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'").fetchdf()
+    con.close()
+    ev["rank"] = ev["value"].rank(method="average")
+    n = len(ev)
+    rterm = sum(g["rank"].sum() ** 2 / len(g)
+                for _, g in ev.groupby("event_type"))
+    h = 12.0 * rterm / (n * (n + 1)) - 3.0 * (n + 1)
+    ties = ev.groupby("value").size()
+    h /= 1.0 - float((ties ** 3 - ties).sum()) / (n ** 3 - n)
+    out = _run(spark, "kruskal_wallis_value_by_type")
+    assert abs(out.h_statistic[0] - round(h, 6)) <= 1e-5
+    assert out.n[0] == n
+    assert out.df[0] == ev.event_type.nunique() - 1
