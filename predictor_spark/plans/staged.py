@@ -20,6 +20,7 @@ from __future__ import annotations
 STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_ireval",
     "catalog_r7_nonparam",
+    "catalog_r7_risk",
 )
 
 

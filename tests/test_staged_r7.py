@@ -218,3 +218,67 @@ def test_kruskal_wallis_matches_manual_ranks(spark):
     assert abs(out.h_statistic[0] - round(h, 6)) <= 1e-5
     assert out.n[0] == n
     assert out.df[0] == ev.event_type.nunique() - 1
+
+
+# ---------------------------------------------------------------------------
+# finance risk family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def daily_rets():
+    """Micro-unit daily returns per type recomputed in pure pandas."""
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE) AS d, value "
+        f"FROM '{SF_DIR}/events.parquet'").fetchdf()
+    con.close()
+    bars = (ev.groupby(["event_type", "d"])["value"].sum().round(6)
+            .reset_index(name="bar").sort_values(["event_type", "d"]))
+    bars["prev"] = bars.groupby("event_type")["bar"].shift(1)
+    bars = bars[bars.prev.notna() & (bars.prev > 0)]
+    bars["r"] = (1e6 * (bars.bar / bars.prev - 1.0)).round().astype("int64")
+    mk = (ev.groupby("d")["value"].sum().round(6)
+          .reset_index(name="bar").sort_values("d"))
+    mk["prev"] = mk.bar.shift(1)
+    mk = mk[mk.prev.notna() & (mk.prev > 0)]
+    mk["m"] = (1e6 * (mk.bar / mk.prev - 1.0)).round().astype("int64")
+    return bars, mk[["d", "m"]]
+
+
+def test_sharpe_sortino_matches_numpy(spark, daily_rets):
+    import numpy as np
+
+    bars, _ = daily_rets
+    out = _run(spark, "sharpe_sortino_by_type").set_index("event_type")
+    for t, g in bars.groupby("event_type"):
+        r = g.r.to_numpy(dtype=float)
+        sharpe = r.mean() / r.std(ddof=1)
+        neg = np.minimum(r, 0.0)
+        sortino = r.mean() / math.sqrt((neg ** 2).mean())
+        assert out.loc[t, "n_days"] == len(r)
+        assert abs(out.loc[t, "sharpe"] - round(sharpe, 6)) <= 1e-6, t
+        assert abs(out.loc[t, "sortino"] - round(sortino, 6)) <= 1e-6, t
+
+
+def test_var95_is_exact_order_statistic(spark, daily_rets):
+    bars, _ = daily_rets
+    out = _run(spark, "var_historical_95").set_index("event_type")
+    for t, g in bars.groupby("event_type"):
+        r = sorted(g.r)
+        k = (len(r) - 1) * 5 // 100 + 1
+        assert abs(out.loc[t, "var_95"] - round(-r[k - 1] / 1e6, 6)) <= 1e-9
+
+
+def test_capm_beta_matches_numpy_lstsq(spark, daily_rets):
+    import numpy as np
+
+    bars, mk = daily_rets
+    out = _run(spark, "capm_beta_by_type").set_index("event_type")
+    for t, g in bars.groupby("event_type"):
+        j = g.merge(mk, on="d")
+        x = j.m.to_numpy(dtype=float)
+        y = j.r.to_numpy(dtype=float)
+        beta, alpha = np.polyfit(x, y, 1)
+        assert out.loc[t, "n_days"] == len(j)
+        assert abs(out.loc[t, "beta"] - beta) <= 1e-4, t
+        assert abs(out.loc[t, "alpha"] - alpha / 1e6) <= 1e-4, t
