@@ -1,0 +1,272 @@
+"""Catalog part — multi-touch marketing attribution (STAGED for r7).
+
+The batch counterpart of the streaming `view_purchase_attribution`
+operator (streaming/joins.py) and the natural extension of the funnel /
+session family (catalog_behavior.py): given a conversion event and the
+touchpoints that preceded it inside a lookback window, split the
+conversion's value across channels under the four standard models
+(Google Analytics model-comparison surface; Shao & Li, KDD 2011):
+
+- attribution_last_touch    100% to the latest touch before conversion
+- attribution_first_touch   100% to the earliest touch in the window
+- attribution_linear        value split equally across all touches
+- attribution_position_u    U-shaped 40/20/40: first and last touch get
+                            40% each, middles share the remaining 20%
+                            (n=1 -> 100%, n=2 -> 50/50)
+
+Scenario on the events table: conversions are `purchase` events;
+touches are `view`/`click` events by the same user strictly before the
+purchase and at most 7 days earlier.  Purchases with no touch in the
+window are reported under the '(none)' channel so every model's
+attributed total reconciles against raw purchase revenue.
+
+Determinism: purchase value is exact integer cents; every fractional
+credit is INTEGER-DIV-quantized micro-cents (cents * share_micro div n)
+before any cross-row sum, so partial-aggregation order cannot move a
+hash; ties on touch timestamps break on event_id.  Each output value
+divides the exact integer sum once, then rounds.
+
+Scale: one events scan per leg (conversion / touch columns pruned
+independently); the touch join is per-user and time-bounded — the
+canonical user-keyed temporal join, co-partitioned on user_id, never a
+cross join; credits are map-side integer partials; output is <= 3 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+# conversions x lookback touches, LEFT so no-touch purchases keep a row
+_PAIR_BASE = f"""
+    conv AS MATERIALIZED (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+               {_CENTS} AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS MATERIALIZED (
+        SELECT user_id, event_type AS channel, ts AS touch_ts,
+               event_id AS touch_id
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS MATERIALIZED (
+        SELECT c.conv_id, c.cents, t.channel, t.touch_ts, t.touch_id
+        FROM conv c
+        LEFT JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    )"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, cents, channel, touch_ts, touch_id) — one row per
+    (purchase, lookback touch); purchases with no touch keep one row
+    with a NULL channel (left join, so reconciliation never drops
+    revenue)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("conv_id"),
+                    F.col("user_id").alias("c_user"),
+                    F.col("ts").alias("conv_ts"),
+                    cents.alias("cents")))
+    touch = (ev.filter(F.col("event_type").isin("view", "click"))
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("event_type").alias("channel"),
+                     F.col("ts").alias("touch_ts"),
+                     F.col("event_id").alias("touch_id")))
+    return (conv.join(
+        touch,
+        (F.col("t_user") == F.col("c_user"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts")
+           >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left")
+        .select("conv_id", "cents", "channel", "touch_ts", "touch_id"))
+
+
+def _single_touch(spark: SparkSession, sf_dir: str, last: bool) -> DataFrame:
+    """Shared engine plan for first/last-touch: rank the lookback touches
+    per conversion, keep rank 1, roll up by channel."""
+    pairs = _pairs(spark, sf_dir)
+    if last:
+        order = [F.col("touch_ts").desc(), F.col("touch_id").desc()]
+    else:
+        order = [F.col("touch_ts").asc(), F.col("touch_id").asc()]
+    rn = F.row_number().over(Window.partitionBy("conv_id").orderBy(*order))
+    return (pairs.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .groupBy(F.coalesce(F.col("channel"), F.lit("(none)"))
+                     .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum("cents").alias("s"))
+            .select("channel", "n_conversions",
+                    F.round(F.col("s").cast("double") / 100, 2)
+                    .alias("attributed_value")))
+
+
+def _single_touch_sql(desc: bool) -> str:
+    direction = "DESC" if desc else "ASC"
+    return f"""
+    WITH {_PAIR_BASE},
+    ranked AS (
+        SELECT conv_id, cents, channel,
+               row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY touch_ts {direction} NULLS LAST,
+                            touch_id {direction} NULLS LAST) AS rn
+        FROM pairs
+    )
+    SELECT coalesce(channel, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS attributed_value
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+    """
+
+
+@query("attribution_last_touch", oracle=_single_touch_sql(desc=True))
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's full value goes to the
+    channel of the latest view/click in the 7-day lookback (ties break
+    on event_id); untouched purchases report under '(none)'.
+
+    Scale: the per-user temporal join shuffles both legs once on
+    user_id; rank-1 selection is one window per conversion key; the
+    rollup is a <=3-group integer aggregate."""
+    return _single_touch(spark, sf_dir, last=True)
+
+
+@query("attribution_first_touch", oracle=_single_touch_sql(desc=False))
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: full value to the EARLIEST lookback
+    touch — the acquisition-oriented mirror of last-touch, same plan
+    with the window order reversed."""
+    return _single_touch(spark, sf_dir, last=False)
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH {_PAIR_BASE},
+    sized AS (
+        SELECT conv_id, cents, channel,
+               count(channel) OVER (PARTITION BY conv_id) AS n
+        FROM pairs
+    ),
+    credited AS (
+        SELECT CASE WHEN n = 0 THEN '(none)' ELSE channel END AS channel,
+               conv_id,
+               CASE WHEN n = 0 THEN cents * 1000000
+                    ELSE (cents * 1000000) // n END AS credit_micro
+        FROM sized
+        WHERE n = 0 OR channel IS NOT NULL
+    )
+    SELECT channel,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           round(CAST(sum(credit_micro) AS DOUBLE) / 100000000.0, 4)
+               AS attributed_value
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear attribution: each purchase's value splits equally across
+    its lookback touches.  Per-touch credit is the integer-quantized
+    (cents * 1e6) div n micro-cents, so channel sums are exact bigints
+    on both engines regardless of summation order.
+
+    Scale: n-per-conversion is a count window on the pair frame (same
+    partitioning as the join output — no extra shuffle); the rollup is
+    a <=3-group aggregate with a distinct-conversion count."""
+    pairs = _pairs(spark, sf_dir)
+    n = F.count("channel").over(Window.partitionBy("conv_id"))
+    sized = pairs.withColumn("n", n)
+    credited = (sized.filter((F.col("n") == 0) | F.col("channel").isNotNull())
+                .select(
+                    F.when(F.col("n") == 0, F.lit("(none)"))
+                    .otherwise(F.col("channel")).alias("channel"),
+                    "conv_id",
+                    F.when(F.col("n") == 0, F.col("cents") * 1000000)
+                    .otherwise(F.expr("(cents * 1000000) div n"))
+                    .alias("credit_micro")))
+    return (credited.groupBy("channel")
+            .agg(F.count_distinct("conv_id").alias("n_conversions"),
+                 F.sum("credit_micro").alias("s"))
+            .select("channel", "n_conversions",
+                    F.round(F.col("s").cast("double") / 100000000.0, 4)
+                    .alias("attributed_value")))
+
+
+@query(
+    "attribution_position_u",
+    oracle=f"""
+    WITH {_PAIR_BASE},
+    ranked AS (
+        SELECT conv_id, cents, channel,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS ra,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC)
+                   AS rd
+        FROM pairs
+    ),
+    credited AS (
+        -- n touches per conversion = ra + rd - 1 on ANY of its rows (the
+        -- two ranks run over the same partition), so no third window pass
+        SELECT CASE WHEN channel IS NULL THEN '(none)'
+                    ELSE channel END AS channel,
+               conv_id,
+               CASE WHEN channel IS NULL THEN cents * 1000000
+                    WHEN ra + rd - 1 = 1 THEN cents * 1000000
+                    WHEN ra + rd - 1 = 2 THEN cents * 500000
+                    WHEN ra = 1 OR rd = 1 THEN cents * 400000
+                    ELSE (cents * 200000) // (ra + rd - 3) END AS credit_micro
+        FROM ranked
+    )
+    SELECT channel,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           round(CAST(sum(credit_micro) AS DOUBLE) / 100000000.0, 4)
+               AS attributed_value
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_position_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution: first and last touch get
+    40% each, the middles share 20% equally; degenerate journeys fall
+    back to 100% (n=1) or 50/50 (n=2).  All shares are integer-div
+    micro-cents — exact under any summation order.
+
+    Scale: the touch count per conversion falls out of the two position
+    ranks (n = ra + rd - 1, both over the SAME conversion-key
+    partitioning: one shuffle, two sort orders, no third window pass);
+    the rollup is a <=3-group aggregate."""
+    pairs = _pairs(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id", "cents", "channel",
+        F.row_number().over(
+            w.orderBy(F.col("touch_ts").asc_nulls_last(),
+                      F.col("touch_id").asc_nulls_last())).alias("ra"),
+        F.row_number().over(
+            w.orderBy(F.col("touch_ts").desc_nulls_last(),
+                      F.col("touch_id").desc_nulls_last())).alias("rd"))
+    n = F.col("ra") + F.col("rd") - 1
+    credit = (F.when(F.col("channel").isNull(), F.col("cents") * 1000000)
+              .when(n == 1, F.col("cents") * 1000000)
+              .when(n == 2, F.col("cents") * 500000)
+              .when((F.col("ra") == 1) | (F.col("rd") == 1),
+                    F.col("cents") * 400000)
+              .otherwise(F.expr("(cents * 200000) div (ra + rd - 3)")))
+    credited = ranked.select(
+        F.when(F.col("channel").isNull(), F.lit("(none)"))
+        .otherwise(F.col("channel")).alias("channel"),
+        "conv_id", credit.alias("credit_micro"))
+    return (credited.groupBy("channel")
+            .agg(F.count_distinct("conv_id").alias("n_conversions"),
+                 F.sum("credit_micro").alias("s"))
+            .select("channel", "n_conversions",
+                    F.round(F.col("s").cast("double") / 100000000.0, 4)
+                    .alias("attributed_value")))

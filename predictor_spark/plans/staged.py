@@ -21,6 +21,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_ireval",
     "catalog_r7_nonparam",
     "catalog_r7_risk",
+    "catalog_r7_attribution",
 )
 
 

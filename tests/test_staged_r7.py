@@ -282,3 +282,111 @@ def test_capm_beta_matches_numpy_lstsq(spark, daily_rets):
         assert out.loc[t, "n_days"] == len(j)
         assert abs(out.loc[t, "beta"] - beta) <= 1e-4, t
         assert abs(out.loc[t, "alpha"] - alpha / 1e6) <= 1e-4, t
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def journeys():
+    """(matched, none, total_cents): lookback pairs recomputed in pure
+    pandas — cents quantized in duckdb so round() semantics (half-up)
+    match both engines, window applied with pandas timestamps."""
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, user_id, event_type, ts, "
+        f"CAST(round(value * 100) AS BIGINT) AS cents "
+        f"FROM '{SF_DIR}/events.parquet'").fetchdf()
+    con.close()
+    conv = (ev[ev.event_type == "purchase"]
+            [["event_id", "user_id", "ts", "cents"]]
+            .rename(columns={"event_id": "conv_id", "ts": "conv_ts"}))
+    touch = (ev[ev.event_type.isin(["view", "click"])]
+             [["user_id", "event_type", "ts", "event_id"]]
+             .rename(columns={"event_type": "channel", "ts": "touch_ts",
+                              "event_id": "touch_id"}))
+    m = conv.merge(touch, on="user_id", how="inner")
+    m = m[(m.touch_ts < m.conv_ts)
+          & (m.touch_ts >= m.conv_ts - pd.Timedelta(days=7))]
+    none = conv[~conv.conv_id.isin(m.conv_id)]
+    return m, none, int(conv.cents.sum())
+
+
+@pytest.mark.parametrize("qname,last", [
+    ("attribution_last_touch", True),
+    ("attribution_first_touch", False),
+])
+def test_single_touch_attribution_matches_pandas(spark, journeys, qname, last):
+    m, none, total_cents = journeys
+    ordered = m.sort_values(["touch_ts", "touch_id"]).groupby("conv_id")
+    pick = ordered.tail(1) if last else ordered.head(1)
+    exp = (pick.groupby("channel")
+           .agg(n_conversions=("conv_id", "nunique"), s=("cents", "sum")))
+    if len(none):
+        exp.loc["(none)"] = [none.conv_id.nunique(), none.cents.sum()]
+    out = _run(spark, qname).set_index("channel").sort_index()
+    exp = exp.sort_index()
+    assert list(out.index) == list(exp.index)
+    assert (out.n_conversions == exp.n_conversions).all()
+    for ch in exp.index:
+        assert abs(out.loc[ch, "attributed_value"]
+                   - round(exp.loc[ch, "s"] / 100, 2)) <= 1e-9, ch
+    # single-touch models assign whole conversions: exact reconciliation
+    assert int(exp.s.sum()) == total_cents
+
+
+def test_linear_attribution_matches_pandas(spark, journeys):
+    m, none, total_cents = journeys
+    n = m.groupby("conv_id")["touch_id"].transform("count")
+    credit = (m.cents * 1_000_000) // n
+    cr = pd.DataFrame({"channel": m.channel, "conv_id": m.conv_id,
+                       "credit": credit})
+    if len(none):
+        cr = pd.concat([cr, pd.DataFrame({
+            "channel": "(none)", "conv_id": none.conv_id,
+            "credit": none.cents * 1_000_000})])
+    exp = (cr.groupby("channel")
+           .agg(n_conversions=("conv_id", "nunique"), s=("credit", "sum")))
+    out = _run(spark, "attribution_linear").set_index("channel").sort_index()
+    exp = exp.sort_index()
+    assert list(out.index) == list(exp.index)
+    assert (out.n_conversions == exp.n_conversions).all()
+    for ch in exp.index:
+        assert abs(out.loc[ch, "attributed_value"]
+                   - round(exp.loc[ch, "s"] / 1e8, 4)) <= 1e-9, ch
+    # integer-div truncation loses < n micro-cents per conversion
+    assert 0 <= total_cents * 1_000_000 - int(exp.s.sum()) < len(m)
+
+
+def test_position_u_attribution_matches_pandas(spark, journeys):
+    m, none, total_cents = journeys
+    s = m.sort_values(["touch_ts", "touch_id"]).copy()
+    s["ra"] = s.groupby("conv_id").cumcount() + 1
+    s["n"] = s.groupby("conv_id")["touch_id"].transform("count")
+    s["rd"] = s.n - s.ra + 1
+
+    def credit(r):
+        if r.n == 1:
+            return r.cents * 1_000_000
+        if r.n == 2:
+            return r.cents * 500_000
+        if r.ra == 1 or r.rd == 1:
+            return r.cents * 400_000
+        return (r.cents * 200_000) // (r.n - 2)
+
+    s["credit"] = s.apply(credit, axis=1)
+    cr = s[["channel", "conv_id", "credit"]]
+    if len(none):
+        cr = pd.concat([cr, pd.DataFrame({
+            "channel": "(none)", "conv_id": none.conv_id,
+            "credit": none.cents * 1_000_000})])
+    exp = (cr.groupby("channel")
+           .agg(n_conversions=("conv_id", "nunique"), s=("credit", "sum")))
+    out = _run(spark, "attribution_position_u").set_index("channel").sort_index()
+    exp = exp.sort_index()
+    assert list(out.index) == list(exp.index)
+    assert (out.n_conversions == exp.n_conversions).all()
+    for ch in exp.index:
+        assert abs(out.loc[ch, "attributed_value"]
+                   - round(exp.loc[ch, "s"] / 1e8, 4)) <= 1e-9, ch

@@ -775,17 +775,115 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
 }
 
+#: expectations for STAGED (next-round) rows — audited via --staged so a
+#: staged family's plan shape is pinned BEFORE it enters the driver window
+EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
+    # ranked-retrieval eval: cached fact join (InMemoryTableScan), dims
+    # and the 25-row ranking broadcast; the per-customer metric joins are
+    # large-large on the SAME key (o_custkey) coming out of groupBys, so
+    # SMJ there is the co-partitioned plan we want — only an unkeyed
+    # cartesian would be wrong
+    "ndcg_at_10_brands": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+    },
+    "map_at_10_brands": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+    },
+    "mrr_brands": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+    },
+    # nonparametric rank stats: grouped-value ranks (never row sorts).
+    # spearman deliberately re-scans the 2-column projection three times
+    # (q-ranks, d-ranks, moment pass) instead of caching the fact scan;
+    # kruskal reads events twice (distinct-value table cached, join pass)
+    "spearman_qty_discount": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    "kendall_tau_qty_discount": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "kruskal_wallis_value_by_type": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    # multi-touch attribution: conversion/touch legs prune different
+    # event columns; the per-user temporal join is keyed (never a
+    # cartesian); position ranks + counts share one conversion-key
+    # partitioning (first/last = 1 WindowExec; linear = 1; U = ranks
+    # in both directions -> 2 sort orders)
+    "attribution_last_touch": {
+        "must": ["partial_",
+                 "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
+    "attribution_first_touch": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
+    "attribution_linear": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
+    "attribution_position_u": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+    # finance-risk: daily bars are one events rollup; stats are partial
+    # aggregates over the tiny return frame
+    "sharpe_sortino_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "var_historical_95": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "capm_beta_by_type": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+}
+
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    staged = "--staged" in argv
+    only = set(a for a in argv if a != "--staged")
     spark = get_spark("explain_audit")
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    expect = dict(EXPECT)
+    import predictor_spark.plans.catalog as catalog
+
+    entry_mod._load_catalog()
+    if staged:
+        from predictor_spark.plans.staged import load_staged
+
+        load_staged()
+        expect.update(EXPECT_STAGED)
+    qs = catalog.QUERIES
     sf_dir = "/root/testdata/sf0.01"
     failures = 0
-    for name, exp in EXPECT.items():
+    for name, exp in expect.items():
         if only and name not in only:
+            continue
+        if name not in qs:
+            # staged-only rows are invisible without --staged
             continue
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
