@@ -22,6 +22,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_nonparam",
     "catalog_r7_risk",
     "catalog_r7_attribution",
+    "catalog_r7_governance",
 )
 
 

@@ -359,6 +359,93 @@ def test_linear_attribution_matches_pandas(spark, journeys):
     assert 0 <= total_cents * 1_000_000 - int(exp.s.sum()) < len(m)
 
 
+# ---------------------------------------------------------------------------
+# governance / privacy-audit family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cust_qi():
+    """Customer quasi-identifier tuple recomputed in pure pandas."""
+    con = duckdb.connect()
+    c = con.execute(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal "
+        f"FROM '{SF_DIR}/customer.parquet'").fetchdf()
+    con.close()
+    c["balband"] = (c.c_acctbal / 1000).apply(math.floor).astype(int)
+    return c
+
+
+def test_k_anonymity_histogram_matches_pandas(spark, cust_qi):
+    k = (cust_qi.groupby(["c_nationkey", "c_mktsegment", "balband"])
+         .size().rename("k").reset_index())
+
+    def bucket(v):
+        return "1" if v == 1 else "2-4" if v <= 4 else "5-9" if v <= 9 \
+            else "10+"
+
+    k["b"] = k.k.map(bucket)
+    exp = k.groupby("b").agg(n_classes=("k", "size"), n_rows=("k", "sum"))
+    out = _run(spark, "k_anonymity_histogram").set_index("k_bucket")
+    assert sorted(out.index) == sorted(exp.index)
+    for b in exp.index:
+        assert out.loc[b, "n_classes"] == exp.loc[b, "n_classes"], b
+        assert out.loc[b, "n_rows"] == exp.loc[b, "n_rows"], b
+        assert abs(out.loc[b, "pct_rows"]
+                   - round(100.0 * exp.loc[b, "n_rows"] / len(cust_qi), 4)) \
+            <= 1e-9, b
+    # histogram partitions the table exactly
+    assert out.n_rows.sum() == len(cust_qi)
+
+
+def test_l_diversity_audit_matches_pandas(spark):
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderpriority AS priority, "
+        f"CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus "
+        f"FROM '{SF_DIR}/orders.parquet'").fetchdf()
+    con.close()
+    g = o.groupby(["priority", "order_year"])["o_orderstatus"]
+    exp = g.agg(k="size", l_distinct="nunique",
+                mx=lambda s: s.value_counts().iloc[0])
+    out = (_run(spark, "l_diversity_audit")
+           .set_index(["priority", "order_year"]).sort_index())
+    exp = exp.sort_index()
+    assert list(out.index) == list(exp.index)
+    assert (out.k == exp.k).all()
+    assert (out.l_distinct == exp.l_distinct).all()
+    for ix in exp.index:
+        assert abs(out.loc[ix, "dominant_share"]
+                   - round(exp.loc[ix, "mx"] / exp.loc[ix, "k"], 4)) \
+            <= 1e-9, ix
+    # every order lands in exactly one class
+    assert out.k.sum() == len(o)
+
+
+def test_reid_risk_ladder_matches_pandas(spark, cust_qi):
+    ladders = {
+        "nation": ["c_nationkey"],
+        "nation+segment": ["c_nationkey", "c_mktsegment"],
+        "nation+segment+balband": ["c_nationkey", "c_mktsegment",
+                                   "balband"],
+    }
+    out = _run(spark, "reid_risk_ladder").set_index("qi_set")
+    assert sorted(out.index) == sorted(ladders)
+    n = len(cust_qi)
+    prev_singletons = -1
+    for label, cols in ladders.items():
+        k = cust_qi.groupby(cols).size()
+        singles = int((k == 1).sum())
+        assert out.loc[label, "n_classes"] == len(k), label
+        assert out.loc[label, "n_singletons"] == singles, label
+        assert abs(out.loc[label, "uniqueness_pct"]
+                   - round(100.0 * singles / n, 4)) <= 1e-9, label
+        assert abs(out.loc[label, "avg_class_size"]
+                   - round(n / len(k), 4)) <= 1e-9, label
+        # risk is monotone in the QI set: singletons can only grow
+        assert singles >= prev_singletons
+        prev_singletons = singles
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

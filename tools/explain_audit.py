@@ -857,6 +857,24 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2, "max_window_execs": 2,
     },
+    # governance audits: one scan each; the ladder's three QI levels
+    # come from ONE rollup Expand, never three passes; k-anonymity's
+    # total-row denominator is a broadcast scalar off the class table
+    "k_anonymity_histogram": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "l_diversity_audit": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "reid_risk_ladder": {
+        "must": ["partial_", "Expand"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
 }
 
 
