@@ -23,6 +23,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_risk",
     "catalog_r7_attribution",
     "catalog_r7_governance",
+    "catalog_r7_vol",
 )
 
 

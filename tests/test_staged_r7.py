@@ -446,6 +446,86 @@ def test_reid_risk_ladder_matches_pandas(spark, cust_qi):
         prev_singletons = singles
 
 
+# ---------------------------------------------------------------------------
+# range-based volatility family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ohlc_bars():
+    """Daily OHLC bars (integer cents) recomputed in pure pandas with
+    the same total (ts, event_id) intra-day order."""
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, "
+        f"CAST(round(value * 100) AS BIGINT) AS c "
+        f"FROM '{SF_DIR}/events.parquet'").fetchdf()
+    con.close()
+    ev["day"] = ev.ts.dt.day
+    ev = ev.sort_values(["ts", "event_id"])
+    g = ev.groupby(["event_type", "day"])
+    bars = g.agg(high=("c", "max"), low=("c", "min"),
+                 open=("c", "first"), close=("c", "last")).reset_index()
+    return bars[bars.low > 0]
+
+
+def test_parkinson_volatility_matches_numpy(spark, ohlc_bars):
+    import numpy as np
+
+    b = ohlc_bars
+    hl2 = np.round(1e9 * np.log(b.high / b.low) ** 2).astype("int64")
+    exp = (pd.DataFrame({"event_type": b.event_type, "hl2": hl2})
+           .groupby("event_type").agg(n=("hl2", "size"), s=("hl2", "sum")))
+    out = _run(spark, "parkinson_volatility").set_index("event_type")
+    assert sorted(out.index) == sorted(exp.index)
+    for t in exp.index:
+        assert out.loc[t, "n_days"] == exp.loc[t, "n"], t
+        want = math.sqrt(exp.loc[t, "s"]
+                         / (1e9 * 4 * math.log(2) * exp.loc[t, "n"]))
+        assert abs(out.loc[t, "parkinson_vol"] - round(want, 6)) <= 1e-9, t
+
+
+def test_garman_klass_volatility_matches_numpy(spark, ohlc_bars):
+    import numpy as np
+
+    b = ohlc_bars[ohlc_bars.open > 0]
+    hl2 = np.round(1e9 * np.log(b.high / b.low) ** 2)
+    co2 = np.round(1e9 * np.log(b.close / b.open) ** 2)
+    term = np.round(0.5 * hl2 - (2 * math.log(2) - 1) * co2).astype("int64")
+    exp = (pd.DataFrame({"event_type": b.event_type, "t": term})
+           .groupby("event_type").agg(n=("t", "size"), s=("t", "sum")))
+    out = _run(spark, "garman_klass_volatility").set_index("event_type")
+    assert sorted(out.index) == sorted(exp.index)
+    for t in exp.index:
+        assert out.loc[t, "n_days"] == exp.loc[t, "n"], t
+        want = math.sqrt(max(exp.loc[t, "s"] / (1e9 * exp.loc[t, "n"]), 0.0))
+        assert abs(out.loc[t, "gk_vol"] - round(want, 6)) <= 1e-9, t
+    # GK is more efficient than Parkinson but same scale: sanity band
+    pk = _run(spark, "parkinson_volatility").set_index("event_type")
+    for t in exp.index:
+        assert 0 < out.loc[t, "gk_vol"] < 10 * pk.loc[t, "parkinson_vol"], t
+
+
+def test_realized_vol_7d_matches_pandas(spark, ohlc_bars):
+    import numpy as np
+
+    out = (_run(spark, "realized_vol_7d")
+           .set_index(["event_type", "day"]).sort_index())
+    rows = []
+    for t, g in ohlc_bars.groupby("event_type"):
+        g = g.sort_values("day")
+        r = np.round(1e6 * np.log(g.close / g.close.shift(1))).dropna()
+        days = g.day.iloc[1:].to_numpy()
+        for i in range(6, len(r)):
+            ss = int((r.iloc[i - 6:i + 1] ** 2).sum())
+            rows.append((t, days[i], round(math.sqrt(ss) / 1e6, 6)))
+    exp = (pd.DataFrame(rows, columns=["event_type", "day", "rv"])
+           .set_index(["event_type", "day"]).sort_index())
+    assert list(out.index) == list(exp.index)
+    for ix in exp.index:
+        assert abs(out.loc[ix, "realized_vol"] - exp.loc[ix, "rv"]) \
+            <= 1e-9, ix
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

@@ -875,6 +875,25 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # range-based volatility: one events scan into the OHLC bar rollup;
+    # open+close ranks share one (type, day) partitioning (2 sort
+    # orders); realized vol adds the lag + rolling window on the bar
+    # frame (same (type) ordering -> 1 more WindowExec pair)
+    "parkinson_volatility": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "garman_klass_volatility": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "realized_vol_7d": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 4,
+    },
 }
 
 
