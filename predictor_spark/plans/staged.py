@@ -24,6 +24,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_attribution",
     "catalog_r7_governance",
     "catalog_r7_vol",
+    "catalog_r7_causal",
 )
 
 

@@ -526,6 +526,132 @@ def test_realized_vol_7d_matches_pandas(spark, ohlc_bars):
             <= 1e-9, ix
 
 
+# ---------------------------------------------------------------------------
+# causal-inference family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def causal_base():
+    """Per-user causal frame recomputed in pure pandas: parity arm,
+    pre-period view+click score, pre/post purchase cents, response
+    label (post purchases >= 7)."""
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_type, "
+        f"CAST(round(value * 100) AS BIGINT) AS cents "
+        f"FROM '{SF_DIR}/events.parquet'").fetchdf()
+    con.close()
+    split = pd.Timestamp("2024-01-16")
+    pre = ev.ts < split
+    purch = ev.event_type == "purchase"
+    g = ev.assign(
+        pre_act=(pre & ev.event_type.isin(["view", "click"])).astype(int),
+        pre_c=(pre & purch).astype(int) * ev.cents,
+        post_c=(~pre & purch).astype(int) * ev.cents,
+        post_n=(~pre & purch).astype(int),
+    ).groupby("user_id").agg(
+        pre_activity=("pre_act", "sum"), pre_cents=("pre_c", "sum"),
+        post_cents=("post_c", "sum"), post_n=("post_n", "sum"))
+    g["treat"] = (g.index % 2).astype(int)
+    g["label"] = (g.post_n >= 7).astype(int)
+    return g.reset_index()
+
+
+def test_diff_in_diff_matches_pandas(spark, causal_base):
+    b = causal_base
+    t, c = b[b.treat == 1], b[b.treat == 0]
+    out = _run(spark, "diff_in_diff_readout").iloc[0]
+    assert out.n_treat == len(t) and out.n_control == len(c)
+    tp, tq = t.pre_cents.sum() / len(t), t.post_cents.sum() / len(t)
+    cp, cq = c.pre_cents.sum() / len(c), c.post_cents.sum() / len(c)
+    assert abs(out.treat_pre - round(tp / 100, 4)) <= 1e-9
+    assert abs(out.treat_post - round(tq / 100, 4)) <= 1e-9
+    assert abs(out.control_pre - round(cp / 100, 4)) <= 1e-9
+    assert abs(out.control_post - round(cq / 100, 4)) <= 1e-9
+    assert abs(out.did - round((tq - tp - (cq - cp)) / 100, 4)) <= 1e-9
+
+
+def test_cem_att_matches_pandas(spark, causal_base):
+    b = causal_base.copy()
+    b["stratum"] = b.pre_activity.map(
+        lambda v: "00-10" if v <= 10 else "11-13" if v <= 13
+        else "14-16" if v <= 16 else "17+")
+    out = _run(spark, "cem_att_purchase").set_index("stratum")
+    wsum = nt_tot = 0
+    for s, g in b.groupby("stratum"):
+        t, c = g[g.treat == 1], g[g.treat == 0]
+        if len(t) == 0 or len(c) == 0:
+            assert s not in out.index  # off common support
+            continue
+        mt = t.post_cents.sum() / len(t)
+        mc = c.post_cents.sum() / len(c)
+        assert out.loc[s, "n_treat"] == len(t), s
+        assert out.loc[s, "n_control"] == len(c), s
+        assert abs(out.loc[s, "diff"] - round((mt - mc) / 100, 4)) \
+            <= 1e-9, s
+        wsum += (mt - mc) * len(t)
+        nt_tot += len(t)
+    assert abs(out.loc["ATT", "diff"]
+               - round(wsum / nt_tot / 100, 4)) <= 1e-9
+    assert out.loc["ATT", "n_treat"] == nt_tot
+
+
+@pytest.fixture(scope="module")
+def decile_agg(causal_base):
+    """ntile(10) decile aggregation recomputed in pandas: equal-split
+    buckets over (score desc, user_id), arms counted per bucket."""
+    b = causal_base.sort_values(
+        ["pre_activity", "user_id"], ascending=[False, True]).reset_index()
+    n = len(b)
+    # SQL ntile: first (n % 10) buckets get ceil(n/10) rows
+    big, rem = n // 10 + 1, n % 10
+    bounds, acc = [], 0
+    for i in range(10):
+        acc += big if i < rem else n // 10
+        bounds.append(acc)
+    b["decile"] = [next(i + 1 for i, e in enumerate(bounds) if r < e)
+                   for r in range(n)]
+    return b.groupby("decile").apply(
+        lambda g: pd.Series({
+            "nt": int((g.treat == 1).sum()),
+            "nc": int((g.treat == 0).sum()),
+            "pt": int(g[g.treat == 1].label.sum()),
+            "pc": int(g[g.treat == 0].label.sum())}),
+        include_groups=False)
+
+
+def test_uplift_by_decile_matches_pandas(spark, decile_agg):
+    out = _run(spark, "uplift_by_decile").set_index("decile").sort_index()
+    exp = decile_agg
+    assert list(out.index) == list(exp.index)
+    for d in exp.index:
+        e = exp.loc[d]
+        assert out.loc[d, "n_treat"] == e.nt and \
+            out.loc[d, "n_control"] == e.nc, d
+        if e.nt > 0 and e.nc > 0:
+            assert abs(out.loc[d, "uplift"]
+                       - round(e.pt / e.nt - e.pc / e.nc, 4)) <= 1e-9, d
+        else:
+            assert pd.isna(out.loc[d, "uplift"]), d
+
+
+def test_qini_curve_matches_pandas(spark, decile_agg):
+    out = _run(spark, "qini_curve_points").set_index("decile").sort_index()
+    c = decile_agg.cumsum()
+    assert list(out.index) == list(c.index)
+    for d in c.index:
+        e = c.loc[d]
+        assert out.loc[d, "cum_treat"] == e.nt, d
+        assert out.loc[d, "cum_control"] == e.nc, d
+        if e.nc > 0:
+            assert abs(out.loc[d, "qini"]
+                       - round(e.pt - e.pc * e.nt / e.nc, 4)) <= 1e-9, d
+    # full-depth Qini reconciles with the overall uplift scaled by N_t
+    full = c.loc[10]
+    assert abs(out.loc[10, "qini"]
+               - round(full.pt - full.pc * full.nt / full.nc, 4)) <= 1e-9
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

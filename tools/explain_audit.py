@@ -894,6 +894,31 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 4,
     },
+    # causal family: everything reduces through ONE groupBy(user) over
+    # one events scan; DiD is a single global aggregate (no join, no
+    # window); CEM reads its cached <=4-row stratum table twice
+    # (detail + ATT legs of the union); the decile queries pay the
+    # bounded user-frame ntile sort
+    "diff_in_diff_readout": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "cem_att_purchase": {
+        "must": ["partial_", "InMemoryTableScan", "Union"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "uplift_by_decile": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "qini_curve_points": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
 }
 
 
