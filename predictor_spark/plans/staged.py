@@ -25,6 +25,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_governance",
     "catalog_r7_vol",
     "catalog_r7_causal",
+    "catalog_r7_linkanalysis",
 )
 
 

@@ -652,6 +652,124 @@ def test_qini_curve_matches_pandas(spark, decile_agg):
                - round(full.pt - full.pc * full.nt / full.nc, 4)) <= 1e-9
 
 
+# ---------------------------------------------------------------------------
+# link-analysis family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trade_edges():
+    """Directed top-decile trade edges recomputed independently: pair
+    volumes in pandas, the p90 as the smallest w whose cdf >= 0.9."""
+    con = duckdb.connect()
+    pc = con.execute(f"""
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(DISTINCT o.o_orderkey) AS w
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        JOIN '{SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2""").fetchdf()
+    nations = con.execute(
+        f"SELECT n_nationkey FROM '{SF_DIR}/nation.parquet'"
+    ).fetchdf().n_nationkey.tolist()
+    con.close()
+    ws = pc.w.sort_values().to_numpy()
+    import numpy as np
+    cdf = np.arange(1, len(ws) + 1) / len(ws)
+    thr = ws[cdf >= 0.9][0]
+    e = pc[pc.w >= thr][["src", "dst"]]
+    return set(zip(e.src, e.dst)), nations
+
+
+def test_hits_matches_numpy(spark, trade_edges):
+    import numpy as np
+
+    edges, nations = trade_edges
+    idx = {n: i for i, n in enumerate(nations)}
+    A = np.zeros((len(nations), len(nations)), dtype=np.int64)
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1
+    h = np.ones(len(nations), dtype=np.int64)
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    out = _run(spark, "hits_hubs_authorities").set_index("n_nationkey")
+    for n in nations:
+        assert abs(out.loc[n, "hub"] - round(h[idx[n]] / h.sum(), 6)) \
+            <= 1e-9, n
+        assert abs(out.loc[n, "authority"]
+                   - round(a[idx[n]] / a.sum(), 6)) <= 1e-9, n
+    # scores are distributions
+    assert abs(out.hub.sum() - 1.0) < 1e-4
+    assert abs(out.authority.sum() - 1.0) < 1e-4
+
+
+def test_katz_matches_numpy(spark, trade_edges):
+    import numpy as np
+
+    edges, nations = trade_edges
+    idx = {n: i for i, n in enumerate(nations)}
+    A = np.zeros((len(nations), len(nations)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    c = np.ones(len(nations))
+    for _ in range(3):
+        c = np.round(1.0 + 0.05 * (A.T @ c), 9)
+    out = _run(spark, "katz_centrality_trade").set_index("n_nationkey")
+    for n in nations:
+        assert abs(out.loc[n, "katz"] - round(c[idx[n]] - 1.0, 6)) \
+            <= 1e-9, n
+
+
+@pytest.fixture(scope="module")
+def und_graph(trade_edges):
+    edges, nations = trade_edges
+    neigh: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        neigh.setdefault(s, set()).add(d)
+        neigh.setdefault(d, set()).add(s)
+    return neigh
+
+
+def test_adamic_adar_matches_python(spark, und_graph):
+    neigh = und_graph
+    exp = {}
+    ns = sorted(neigh)
+    for i, u in enumerate(ns):
+        for v in ns[i + 1:]:
+            common = [z for z in neigh[u] & neigh[v] if len(neigh[z]) > 1]
+            if common:
+                t = sum(round(1e9 / math.log(len(neigh[z])))
+                        for z in common)
+                exp[(u, v)] = (len(common), round(t / 1e9, 4))
+    out = _run(spark, "adamic_adar_links").set_index(["u", "v"])
+    assert sorted(out.index) == sorted(exp)
+    for k, (nc, aa) in exp.items():
+        assert out.loc[k, "n_common"] == nc, k
+        assert abs(out.loc[k, "adamic_adar"] - aa) <= 1e-9, k
+
+
+def test_degree_assortativity_matches_numpy(spark, und_graph):
+    import numpy as np
+
+    neigh = und_graph
+    xs, ys = [], []
+    for u, zs in neigh.items():
+        for z in zs:
+            xs.append(len(neigh[u]))
+            ys.append(len(neigh[z]))
+    out = _run(spark, "degree_assortativity").iloc[0]
+    assert out.n_edges == len(xs) // 2
+    x, y = np.array(xs, dtype=float), np.array(ys, dtype=float)
+    if x.std() == 0 or y.std() == 0:
+        assert pd.isna(out.assortativity)
+    else:
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(out.assortativity - round(r, 6)) <= 1e-6
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

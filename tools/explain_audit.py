@@ -919,6 +919,30 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 2,
     },
+    # link analysis: the fact join collapses into ONE eager
+    # localCheckpoint leaf (scans counted here are the tiny nation-dim
+    # reads the iterations broadcast against); iterations are
+    # broadcast joins + node groupBys; no row-grain SMJ anywhere
+    "hits_hubs_authorities": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "katz_centrality_trade": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 4, "max_window_execs": 0,
+    },
+    "adamic_adar_links": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+        "max_scans": 0, "max_window_execs": 0,
+    },
+    "degree_assortativity": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 0, "max_window_execs": 0,
+    },
 }
 
 
