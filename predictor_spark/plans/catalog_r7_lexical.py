@@ -1,0 +1,218 @@
+"""Catalog part — readability and lexical-richness screens (STAGED
+for r7).
+
+Completes the text-analysis stack (quality/lang-ID: operators/text.py;
+corpus statistics: catalog_textstats Zipf/Heaps/bigram-LM) with the
+per-document readability and vocabulary-richness measures an LLM data
+pipeline uses to stratify training corpora by difficulty:
+
+- flesch_reading_ease    Flesch (1948) reading ease per source:
+                         206.835 - 1.015*(words/sentences)
+                         - 84.6*(syllables/words)
+- type_token_ratio       lexical diversity (distinct/total words) per
+                         doc, averaged by source
+- hapax_legomena_share   per-source share of tokens whose word occurs
+                         exactly ONCE in the whole corpus (Baayen 2001
+                         productivity measure; the tail Zipf/Heaps
+                         summarize, attributed back to sources)
+
+Corpus adaptations (documented, deterministic): the synthetic corpus
+has no sentence punctuation, so a sentence is a 15-word pseudo-block
+(ceil(words/15)); syllables use the standard vowel-group heuristic
+(runs of [aeiouy], zero-vowel words count 1 syllable).
+
+Determinism: word/vowel-group/distinct counts are exact integers from
+identical regex semantics on both engines; per-doc ratios are
+micro-quantized (round(1e6 * r) as bigint) before any cross-doc
+averaging, so partial-aggregation order cannot move a hash.
+
+Scale: flesch and TTR are per-row expressions over ONE documents scan
+(no explode — counts come from regexp/array functions), then a
+per-source aggregate.  Hapax needs the corpus word histogram: one
+explode + word-key shuffle, then the token stream joins the hapax set
+on the word key — both linear scans, the same shape as vocab_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from predictor_spark.plans.catalog import query, _t
+
+_WPS = 15  # words per pseudo-sentence
+
+# exact-integer per-doc text counters (oracle expressions)
+_N_WORDS = "len(string_split_regex(trim(text), '\\s+'))"
+_N_VGROUPS = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+_N_NOVOWEL = ("len(list_filter(string_split_regex(lower(trim(text)), "
+              "'\\s+'), w -> NOT regexp_matches(w, '[aeiouy]')))")
+_N_DISTINCT = "len(list_distinct(string_split_regex(trim(text), '\\s+')))"
+
+
+def _counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact integer counters: words, syllables (vowel groups
+    + zero-vowel words), distinct words — all JVM regex/array
+    expressions over one documents scan, no explode."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id", "source",
+        F.size(words).alias("n_words"),
+        (F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+         + F.expr("size(filter(split(lower(trim(text)), '\\\\s+'),"
+                  " w -> w NOT RLIKE '[aeiouy]'))")).alias("n_syllables"),
+        F.size(F.array_distinct(words)).alias("n_distinct"))
+
+
+@query(
+    "flesch_reading_ease",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               {_N_WORDS} AS w,
+               {_N_VGROUPS} + {_N_NOVOWEL} AS syl
+        FROM documents
+    ),
+    perdoc AS (
+        SELECT source,
+               CAST(round(1000000.0 * (
+                   206.835
+                   - 1.015 * w / ceil(CAST(w AS DOUBLE) / {_WPS})
+                   - 84.6 * syl / w)) AS BIGINT) AS f_micro
+        FROM c WHERE w > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(f_micro) AS DOUBLE) / count(*) / 1000000.0, 4)
+               AS avg_flesch
+    FROM perdoc GROUP BY source
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source over 15-word pseudo-sentences
+    (the corpus carries no punctuation) and vowel-group syllables;
+    per-doc scores are micro-quantized before the source average.
+
+    Scale: one documents scan, all counters JVM regexp/array
+    expressions, one small groupBy — no explode, no UDF."""
+    c = _counters(spark, sf_dir).filter(F.col("n_words") > 0)
+    sentences = F.ceil(F.col("n_words").cast("double") / _WPS)
+    f = (F.lit(206.835)
+         - 1.015 * F.col("n_words") / sentences
+         - 84.6 * F.col("n_syllables") / F.col("n_words"))
+    perdoc = c.select("source", F.round(F.lit(1000000.0) * f, 0)
+                      .cast("long").alias("f_micro"))
+    return (perdoc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("f_micro").alias("s"))
+            .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("s").cast("double") / F.col("n_docs")
+                            / 1000000.0, 4).alias("avg_flesch")))
+
+
+@query(
+    "type_token_ratio",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, {_N_WORDS} AS w, {_N_DISTINCT} AS d
+        FROM documents
+    ),
+    perdoc AS (
+        SELECT source, w, d,
+               CAST(round(1000000.0 * d / w) AS BIGINT) AS ttr_micro
+        FROM c WHERE w > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(ttr_micro) AS DOUBLE) / count(*) / 1000000.0, 4)
+               AS avg_ttr,
+           round(CAST(sum(d) AS DOUBLE) / sum(w), 4) AS pooled_ttr
+    FROM perdoc GROUP BY source
+    """,
+)
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source: the per-doc distinct/total word
+    ratio (micro-quantized, then averaged) next to the pooled ratio
+    sum(distinct)/sum(words) — the standard pair of lexical-diversity
+    readouts (per-doc TTR is length-sensitive; the pooled form shows
+    the aggregate).
+
+    Scale: same one-scan expression shape as flesch_reading_ease."""
+    c = _counters(spark, sf_dir).filter(F.col("n_words") > 0)
+    perdoc = c.select(
+        "source", "n_words", "n_distinct",
+        F.round(F.lit(1000000.0) * F.col("n_distinct") / F.col("n_words"),
+                0).cast("long").alias("ttr_micro"))
+    return (perdoc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ttr_micro").alias("s"),
+                 F.sum("n_distinct").alias("sd"),
+                 F.sum("n_words").alias("sw"))
+            .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("s").cast("double") / F.col("n_docs")
+                            / 1000000.0, 4).alias("avg_ttr"),
+                    F.round(F.col("sd").cast("double") / F.col("sw"), 4)
+                    .alias("pooled_ttr")))
+
+
+@query(
+    "trigram_hapax_share",
+    oracle="""
+    WITH tris AS MATERIALIZED (
+        SELECT source, g FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[CAST(i AS INT)] || ' '
+                            || t[CAST(i AS INT) + 1] || ' '
+                            || t[CAST(i AS INT) + 2])) AS g
+            FROM (SELECT source,
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     w -> w <> '') AS t
+                  FROM documents)
+        )
+    ),
+    hist AS MATERIALIZED (
+        SELECT g, count(*) AS c FROM tris GROUP BY g
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN h.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           round(CAST(sum(CASE WHEN h.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_share
+    FROM tris t JOIN hist h ON h.g = t.g
+    GROUP BY t.source
+    """,
+)
+def trigram_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of trigram instances whose trigram is a corpus
+    hapax legomenon (global frequency exactly 1) — the phrase-level
+    novelty mass (word-level hapaxes are degenerate on a 31-word
+    vocabulary; trigrams carry real rarity at every SF, ~35% of
+    instances at sf0.01).  The n-gram analog of Baayen's productivity
+    measure and the rarity signal behind contamination screens.
+
+    Scale: one documents scan explodes to the trigram stream, one
+    trigram-key shuffle builds the histogram, and the stream rejoins
+    it on the same key — hash-partitioned, linear, no driver state
+    (the contamination_ngram_overlap plan shape)."""
+    toks = (_t(spark, sf_dir, "documents")
+            .select("source",
+                    F.expr("filter(split(trim(text), '\\\\s+'),"
+                           " w -> w <> '')").alias("t"))
+            .filter(F.size("t") >= 3))
+    tris = toks.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t) - 3),"
+            " i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))")).alias("g"))
+    hist = tris.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (tris.join(hist, "g")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select("source",
+                    F.col("n_trigrams").cast("long").alias("n_trigrams"),
+                    F.col("n_hapax").cast("long").alias("n_hapax"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_trigrams"), 6).alias("hapax_share")))

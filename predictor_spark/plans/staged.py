@@ -26,6 +26,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_vol",
     "catalog_r7_causal",
     "catalog_r7_linkanalysis",
+    "catalog_r7_lexical",
 )
 
 

@@ -770,6 +770,95 @@ def test_degree_assortativity_matches_numpy(spark, und_graph):
         assert abs(out.assortativity - round(r, 6)) <= 1e-6
 
 
+# ---------------------------------------------------------------------------
+# readability / lexical-richness family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_tokens():
+    con = duckdb.connect()
+    d = con.execute(f"SELECT doc_id, source, text "
+                    f"FROM '{SF_DIR}/documents.parquet'").fetchdf()
+    con.close()
+    d["toks"] = d.text.str.strip().str.split()
+    return d
+
+
+def _syllables(word: str) -> int:
+    groups = len(re.findall(r"[aeiouy]+", word.lower()))
+    return max(groups, 1)
+
+
+def test_flesch_matches_python(spark, doc_tokens):
+    rows = []
+    for _, r in doc_tokens.iterrows():
+        w = len(r.toks)
+        if w == 0:
+            continue
+        syl = sum(_syllables(t) for t in r.toks)
+        sent = math.ceil(w / 15)
+        f = 206.835 - 1.015 * w / sent - 84.6 * syl / w
+        rows.append((r.source, round(1e6 * f)))
+    exp = (pd.DataFrame(rows, columns=["source", "fm"])
+           .groupby("source").agg(n=("fm", "size"), s=("fm", "sum")))
+    out = _run(spark, "flesch_reading_ease").set_index("source")
+    assert sorted(out.index) == sorted(exp.index)
+    for s in exp.index:
+        assert out.loc[s, "n_docs"] == exp.loc[s, "n"], s
+        assert abs(out.loc[s, "avg_flesch"]
+                   - round(exp.loc[s, "s"] / exp.loc[s, "n"] / 1e6, 4)) \
+            <= 1e-9, s
+
+
+def test_type_token_ratio_matches_python(spark, doc_tokens):
+    rows = []
+    for _, r in doc_tokens.iterrows():
+        w = len(r.toks)
+        if w == 0:
+            continue
+        d = len(set(r.toks))
+        rows.append((r.source, round(1e6 * d / w), d, w))
+    exp = (pd.DataFrame(rows, columns=["source", "tm", "d", "w"])
+           .groupby("source")
+           .agg(n=("tm", "size"), s=("tm", "sum"),
+                sd=("d", "sum"), sw=("w", "sum")))
+    out = _run(spark, "type_token_ratio").set_index("source")
+    assert sorted(out.index) == sorted(exp.index)
+    for s in exp.index:
+        e = exp.loc[s]
+        assert out.loc[s, "n_docs"] == e.n, s
+        assert abs(out.loc[s, "avg_ttr"]
+                   - round(e.s / e.n / 1e6, 4)) <= 1e-9, s
+        assert abs(out.loc[s, "pooled_ttr"]
+                   - round(e.sd / e.sw, 4)) <= 1e-9, s
+        # per-doc TTR <= 1 always; pooled collapses on a tiny vocab
+        assert 0 < out.loc[s, "avg_ttr"] <= 1.0
+
+
+def test_trigram_hapax_matches_python(spark, doc_tokens):
+    from collections import Counter
+
+    streams = []
+    for _, r in doc_tokens.iterrows():
+        t = r.toks
+        streams.append((r.source,
+                        [" ".join(t[i:i + 3])
+                         for i in range(len(t) - 2)]))
+    hist = Counter(g for _, gs in streams for g in gs)
+    exp = {}
+    for src, gs in streams:
+        n, h = exp.get(src, (0, 0))
+        exp[src] = (n + len(gs), h + sum(1 for g in gs if hist[g] == 1))
+    out = _run(spark, "trigram_hapax_share").set_index("source")
+    assert sorted(out.index) == sorted(exp)
+    for s, (n, h) in exp.items():
+        assert out.loc[s, "n_trigrams"] == n, s
+        assert out.loc[s, "n_hapax"] == h, s
+        assert abs(out.loc[s, "hapax_share"] - round(h / n, 6)) <= 1e-9, s
+    # the corpus genuinely carries trigram-level rarity
+    assert out.n_hapax.sum() > 0
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

@@ -943,6 +943,26 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 0, "max_window_execs": 0,
     },
+    # lexical family: flesch/TTR are pure expression pipelines over ONE
+    # documents scan (no explode, no join); trigram hapax explodes the
+    # stream, histograms on the trigram key and rejoins on that SAME
+    # key (SMJ there is the co-partitioned plan; only a cartesian would
+    # be wrong) — it scans documents once per side of the join
+    "flesch_reading_ease": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join", "Generate"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "type_token_ratio": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join", "Generate"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "trigram_hapax_share": {
+        "must": ["partial_", "Generate"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
 }
 
 
