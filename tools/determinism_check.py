@@ -13,7 +13,12 @@ oracle; see the cube_orders_profile half-cent flake, VERIFICATION_r5
 (integer-exact sums or in-query rounding); this harness checks that
 claim for all of them.
 
-Usage: python tools/determinism_check.py [sf_dir] [query ...]
+Usage: python tools/determinism_check.py [--staged] [sf_dir] [query ...]
+
+--staged: also load the staged next-round catalog modules
+(predictor_spark/plans/staged.py) and check ONLY their rows, so a
+staged family's run-to-run stability is pinned before it enters the
+driver window.
 """
 
 from __future__ import annotations
@@ -28,13 +33,20 @@ from tools.check_correctness import normalize_pdf  # noqa: E402
 
 
 def main() -> int:
-    argv = sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    if staged:
+        from predictor_spark.plans.staged import load_staged
+        import predictor_spark.plans.catalog as catalog
+
+        staged_names = load_staged()
+        qs = {n: catalog.QUERIES[n] for n in staged_names}
     spark = get_spark("determinism_check")
     n_pass = n_fail = 0
     for name, fn in qs.items():
