@@ -13,6 +13,11 @@ conversion's value across channels under the four standard models
 - attribution_position_u    U-shaped 40/20/40: first and last touch get
                             40% each, middles share the remaining 20%
                             (n=1 -> 100%, n=2 -> 50/50)
+- attribution_markov_removal  data-driven Markov removal effect
+                            (Anderl et al. 2014): absorption-probability
+                            loss when a channel is deleted from the
+                            first-order journey chain, solved in CLOSED
+                            FORM for the 2-channel state space
 
 Scenario on the events table: conversions are `purchase` events;
 touches are `view`/`click` events by the same user strictly before the
@@ -198,6 +203,140 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("channel", "n_conversions",
                     F.round(F.col("s").cast("double") / 100000000.0, 4)
                     .alias("attributed_value")))
+
+
+@query(
+    "attribution_markov_removal",
+    oracle=f"""
+    WITH {_PAIR_BASE},
+    seq AS (
+        SELECT conv_id, cents, channel,
+               lag(channel) OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS prev,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC)
+                   AS rd
+        FROM pairs WHERE channel IS NOT NULL
+    ),
+    m AS (
+        SELECT
+            sum(CASE WHEN prev IS NULL AND channel = 'view'
+                THEN 1 ELSE 0 END) AS sv,
+            sum(CASE WHEN prev IS NULL AND channel = 'click'
+                THEN 1 ELSE 0 END) AS sc,
+            sum(CASE WHEN prev = 'view' AND channel = 'view'
+                THEN 1 ELSE 0 END) AS vv,
+            sum(CASE WHEN prev = 'view' AND channel = 'click'
+                THEN 1 ELSE 0 END) AS vc,
+            sum(CASE WHEN prev = 'click' AND channel = 'view'
+                THEN 1 ELSE 0 END) AS cv,
+            sum(CASE WHEN prev = 'click' AND channel = 'click'
+                THEN 1 ELSE 0 END) AS cc,
+            sum(CASE WHEN rd = 1 AND channel = 'view'
+                THEN 1 ELSE 0 END) AS vk,
+            sum(CASE WHEN rd = 1 AND channel = 'click'
+                THEN 1 ELSE 0 END) AS ck,
+            sum(CASE WHEN rd = 1 THEN cents ELSE 0 END) AS total_cents
+        FROM seq
+    ),
+    re AS MATERIALIZED (
+        SELECT total_cents,
+               1.0 - (CAST(sc AS DOUBLE) / (sv + sc))
+                     * (CAST(ck AS DOUBLE) / (cv + cc + ck))
+                     / (1.0 - CAST(cc AS DOUBLE) / (cv + cc + ck))
+                   AS re_view,
+               1.0 - (CAST(sv AS DOUBLE) / (sv + sc))
+                     * (CAST(vk AS DOUBLE) / (vv + vc + vk))
+                     / (1.0 - CAST(vv AS DOUBLE) / (vv + vc + vk))
+                   AS re_click
+        FROM m
+    )
+    SELECT channel, round(re, 6) AS removal_effect,
+           round(re / (re_view + re_click), 6) AS attribution_share,
+           round(re / (re_view + re_click) * total_cents / 100, 2)
+               AS attributed_value
+    FROM (
+        SELECT 'view' AS channel, re_view AS re, re_view, re_click,
+               total_cents FROM re
+        UNION ALL
+        SELECT 'click', re_click, re_view, re_click, total_cents FROM re
+    )
+    """,
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Markov attribution by removal effect (Anderl et al.
+    2014; Shao & Li 2011): journeys form a first-order chain over
+    states {START, view, click, CONV}; a channel's effect is the loss
+    in absorption probability when every path through it is deleted.
+    For the 2-channel space the absorbing-chain solve is CLOSED FORM —
+    removing 'view' leaves p = P(START->c) * P(c->CONV)/(1 - P(c->c)),
+    so RE_view = 1 - p (the full graph absorbs with probability 1 by
+    construction: only converting journeys enter the model).  Channel
+    value = total touched-conversion revenue split by normalized
+    removal effects.
+
+    Determinism: the chain is summarized by 8 exact integer transition
+    counts + 1 exact cents total in ONE global conditional aggregate;
+    every probability and removal effect is a one-shot double
+    expression over them, rounded in-query.
+
+    Scale: the same per-user lookback join as the other attribution
+    rows, then one window pass (two sort orders over the conversion-key
+    partitioning) and a single 1-row aggregate — no per-journey state,
+    no iteration, no driver math."""
+    pairs = _pairs(spark, sf_dir).filter(F.col("channel").isNotNull())
+    w = Window.partitionBy("conv_id")
+    seq = pairs.select(
+        "conv_id", "cents", "channel",
+        F.lag("channel").over(
+            w.orderBy(F.col("touch_ts").asc(), F.col("touch_id").asc()))
+        .alias("prev"),
+        F.row_number().over(
+            w.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc()))
+        .alias("rd"))
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    pv, ch = F.col("prev"), F.col("channel")
+    m = seq.agg(
+        cnt(pv.isNull() & (ch == "view")).alias("sv"),
+        cnt(pv.isNull() & (ch == "click")).alias("sc"),
+        cnt((pv == "view") & (ch == "view")).alias("vv"),
+        cnt((pv == "view") & (ch == "click")).alias("vc"),
+        cnt((pv == "click") & (ch == "view")).alias("cv"),
+        cnt((pv == "click") & (ch == "click")).alias("cc"),
+        cnt((F.col("rd") == 1) & (ch == "view")).alias("vk"),
+        cnt((F.col("rd") == 1) & (ch == "click")).alias("ck"),
+        F.sum(F.when(F.col("rd") == 1, F.col("cents")).otherwise(0))
+        .alias("total_cents"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    re_view = (F.lit(1.0)
+               - (d("sc") / (F.col("sv") + F.col("sc")))
+               * (d("ck") / (F.col("cv") + F.col("cc") + F.col("ck")))
+               / (F.lit(1.0) - d("cc")
+                  / (F.col("cv") + F.col("cc") + F.col("ck"))))
+    re_click = (F.lit(1.0)
+                - (d("sv") / (F.col("sv") + F.col("sc")))
+                * (d("vk") / (F.col("vv") + F.col("vc") + F.col("vk")))
+                / (F.lit(1.0) - d("vv")
+                   / (F.col("vv") + F.col("vc") + F.col("vk"))))
+    # 1-row frame, referenced by BOTH union legs — cached so the
+    # journey join + window pass runs once, not twice
+    re = m.select(re_view.alias("re_view"), re_click.alias("re_click"),
+                  "total_cents").cache()
+    rows = (re.select(F.lit("view").alias("channel"),
+                      F.col("re_view").alias("re"),
+                      "re_view", "re_click", "total_cents")
+            .unionAll(re.select(F.lit("click").alias("channel"),
+                                F.col("re_click").alias("re"),
+                                "re_view", "re_click", "total_cents")))
+    share = F.col("re") / (F.col("re_view") + F.col("re_click"))
+    return rows.select(
+        "channel", F.round("re", 6).alias("removal_effect"),
+        F.round(share, 6).alias("attribution_share"),
+        F.round(share * F.col("total_cents") / 100, 2)
+        .alias("attributed_value"))
 
 
 @query(

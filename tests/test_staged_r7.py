@@ -359,6 +359,57 @@ def test_linear_attribution_matches_pandas(spark, journeys):
     assert 0 <= total_cents * 1_000_000 - int(exp.s.sum()) < len(m)
 
 
+def test_markov_removal_matches_linear_solve(spark, journeys):
+    """Independent check: build the transition matrix in pandas, solve
+    the FULL absorbing chain with numpy (p = (I-Q)^-1 R, not the
+    closed form the query uses), verify p_start == 1, and recompute
+    removal effects by re-solving the chain with each channel's rows
+    zeroed."""
+    import numpy as np
+
+    m, _, _ = journeys
+    s = m.sort_values(["touch_ts", "touch_id"]).copy()
+    s["prev"] = s.groupby("conv_id")["channel"].shift(1)
+    s["rd"] = (s.groupby("conv_id").cumcount(ascending=False) + 1)
+    states = ["view", "click"]
+    # counts: START->x, x->y, x->CONV
+    start = s[s.prev.isna()].channel.value_counts()
+    trans = s[s.prev.notna()].groupby(["prev", "channel"]).size()
+    conv = s[s.rd == 1].channel.value_counts()
+    tot_cents = int(s[s.rd == 1].cents.sum())
+
+    def solve(removed=None):
+        q = np.zeros((2, 2))
+        r = np.zeros(2)
+        for i, a in enumerate(states):
+            out = sum(trans.get((a, b), 0) for b in states) + conv.get(a, 0)
+            for j, b in enumerate(states):
+                q[i, j] = trans.get((a, b), 0) / out
+            r[i] = conv.get(a, 0) / out
+        s0 = np.array([start.get(a, 0) for a in states], dtype=float)
+        s0 /= s0.sum()
+        if removed is not None:
+            k = states.index(removed)
+            q[:, k] = 0.0   # paths into the removed state are lost
+            q[k, :] = 0.0
+            r[k] = 0.0
+            s0[k] = 0.0
+        p = np.linalg.solve(np.eye(2) - q, r)
+        return float(s0 @ p)
+
+    assert abs(solve() - 1.0) < 1e-12  # every modeled journey converts
+    re = {c: 1.0 - solve(removed=c) for c in states}
+    tot = sum(re.values())
+    out = _run(spark, "attribution_markov_removal").set_index("channel")
+    for c in states:
+        assert abs(out.loc[c, "removal_effect"] - round(re[c], 6)) \
+            <= 1e-9, c
+        assert abs(out.loc[c, "attribution_share"]
+                   - round(re[c] / tot, 6)) <= 1e-9, c
+        assert abs(out.loc[c, "attributed_value"]
+                   - round(re[c] / tot * tot_cents / 100, 2)) <= 0.02, c
+
+
 # ---------------------------------------------------------------------------
 # governance / privacy-audit family
 # ---------------------------------------------------------------------------

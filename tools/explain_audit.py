@@ -840,6 +840,14 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_scans": 2, "max_window_execs": 2,
     },
+    # markov removal: same journey join, ONE window pass (lag + desc
+    # rank share the conversion-key partitioning), a 1-row cached
+    # aggregate both union legs read (InMemoryTableScan)
+    "attribution_markov_removal": {
+        "must": ["partial_", "InMemoryTableScan", "Union"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
     # finance-risk: daily bars are one events rollup; stats are partial
     # aggregates over the tiny return frame
     "sharpe_sortino_by_type": {
