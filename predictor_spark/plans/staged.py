@@ -27,6 +27,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_causal",
     "catalog_r7_linkanalysis",
     "catalog_r7_lexical",
+    "catalog_r7_ops",
 )
 
 

@@ -910,6 +910,69 @@ def test_trigram_hapax_matches_python(spark, doc_tokens):
     assert out.n_hapax.sum() > 0
 
 
+# ---------------------------------------------------------------------------
+# fulfillment / SLA operations family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lead_times():
+    con = duckdb.connect()
+    d = con.execute(f"""
+        SELECT o.o_orderpriority AS priority,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o
+          ON l.l_orderkey = o.o_orderkey""").fetchdf()
+    con.close()
+    return d
+
+
+def test_lead_time_percentiles_match_pandas(spark, lead_times):
+    out = _run(spark, "lead_time_percentiles").set_index("priority")
+    for p, g in lead_times.groupby("priority"):
+        v = g.days.sort_values().to_numpy()
+        n = len(v)
+        assert out.loc[p, "n_lines"] == n, p
+        for q, col in [(50, "p50_days"), (90, "p90_days"),
+                       (99, "p99_days")]:
+            assert out.loc[p, col] == v[(n - 1) * q // 100], (p, q)
+    # order statistics are monotone in q
+    assert (out.p50_days <= out.p90_days).all()
+    assert (out.p90_days <= out.p99_days).all()
+
+
+def test_sla_on_time_rate_matches_pandas(spark, lead_times):
+    out = _run(spark, "sla_on_time_rate").set_index("priority")
+    for p, g in lead_times.groupby("priority"):
+        n = len(g)
+        assert out.loc[p, "n_lines"] == n, p
+        for d, col in [(30, "within_30d"), (60, "within_60d"),
+                       (90, "within_90d")]:
+            assert abs(out.loc[p, col]
+                       - round(int((g.days <= d).sum()) / n, 6)) \
+                <= 1e-9, (p, d)
+        assert out.loc[p, "n_backdated"] == int((g.days < 0).sum()), p
+    # cumulative SLA curves are monotone
+    assert (out.within_30d <= out.within_60d).all()
+    assert (out.within_60d <= out.within_90d).all()
+
+
+def test_lead_time_yearly_trend_matches_pandas(spark, lead_times):
+    out = (_run(spark, "lead_time_yearly_trend")
+           .set_index(["order_year", "priority"]).sort_index())
+    exp = (lead_times.groupby(["order_year", "priority"])
+           .agg(n=("days", "size"), s=("days", "sum")).sort_index())
+    assert list(out.index) == list(exp.index)
+    for ix in exp.index:
+        assert out.loc[ix, "n_lines"] == exp.loc[ix, "n"], ix
+        assert abs(out.loc[ix, "avg_lead_days"]
+                   - round(exp.loc[ix, "s"] / exp.loc[ix, "n"], 4)) \
+            <= 1e-9, ix
+    # partition identity: yearly cells sum to the whole fact
+    assert out.n_lines.sum() == len(lead_times)
+
+
 def test_position_u_attribution_matches_pandas(spark, journeys):
     m, none, total_cents = journeys
     s = m.sort_values(["touch_ts", "touch_id"]).copy()

@@ -971,6 +971,27 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_scans": 2, "max_window_execs": 0,
     },
+    # ops/SLA family: one orders|x|lineitem join shuffled on the shared
+    # order key (co-partitioned SMJ is the right fact-to-fact plan);
+    # percentiles add one per-priority window; the other two are pure
+    # conditional aggregates
+    # (rank needs an ordered window, the per-priority count an
+    # unordered one — Spark emits 2 Window nodes over ONE shuffle)
+    "lead_time_percentiles": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+    "sla_on_time_rate": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    "lead_time_yearly_trend": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
 }
 
 
