@@ -11,10 +11,12 @@ pipeline uses to stratify training corpora by difficulty:
                          - 84.6*(syllables/words)
 - type_token_ratio       lexical diversity (distinct/total words) per
                          doc, averaged by source
-- hapax_legomena_share   per-source share of tokens whose word occurs
-                         exactly ONCE in the whole corpus (Baayen 2001
-                         productivity measure; the tail Zipf/Heaps
-                         summarize, attributed back to sources)
+- trigram_hapax_share    per-source share of trigram instances whose
+                         trigram occurs exactly ONCE in the corpus
+                         (Baayen 2001 productivity at phrase grain)
+- pmi_collocations       top-10 bigram collocations by pointwise
+                         mutual information (Church & Hanks 1990) with
+                         a minimum-count support floor
 
 Corpus adaptations (documented, deterministic): the synthetic corpus
 has no sentence punctuation, so a sentence is a 15-word pseudo-block
@@ -35,7 +37,7 @@ on the word key — both linear scans, the same shape as vocab_topk.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
 
@@ -216,3 +218,90 @@ def trigram_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_hapax").cast("long").alias("n_hapax"),
                     F.round(F.col("n_hapax").cast("double")
                             / F.col("n_trigrams"), 6).alias("hapax_share")))
+
+
+_PMI_MIN = 10  # bigram support floor
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(t) AS w FROM toks
+        ) GROUP BY w
+    ),
+    bi AS MATERIALIZED (
+        SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(w1 := t[CAST(i AS INT)],
+                                 w2 := t[CAST(i AS INT) + 1]))) AS pr
+            FROM toks
+        ) GROUP BY pr.w1, pr.w2
+    ),
+    tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+                   (SELECT sum(c) FROM bi) AS b),
+    scored AS (
+        SELECT bi.w1, bi.w2, bi.c,
+               round(ln((CAST(bi.c AS DOUBLE) / tot.b)
+                        / ((CAST(u1.c AS DOUBLE) / tot.n)
+                           * (CAST(u2.c AS DOUBLE) / tot.n))), 6) AS pmi
+        FROM bi, tot
+        JOIN uni u1 ON u1.w = bi.w1
+        JOIN uni u2 ON u2.w = bi.w2
+        WHERE bi.c >= {_PMI_MIN}
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 10
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI = ln(p(w1 w2) / (p(w1) p(w2))) with a
+    10-occurrence support floor; ranked by the ROUNDED score
+    with (w1, w2) tie-breaks so the cut is engine-stable.
+
+    Scale: one documents scan explodes to unigrams and adjacent-pair
+    structs; both histograms are word-key shuffles; the tiny unigram
+    dim broadcasts onto the bigram table; totals are broadcast
+    scalars.  Nothing is ever all-pairs — only ADJACENT pairs exist."""
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.expr("filter(split(trim(text), '\\\\s+'),"
+                           " w -> w <> '')").alias("t")))
+    # both histograms are tiny (<= |vocab| and |vocab|^2 rows) and are
+    # referenced by the totals AND the scoring joins — cached so each
+    # corpus explode runs exactly once
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache())
+    bi = (toks.filter(F.size("t") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(t) - 2),"
+              " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).alias("pr"))
+          .select("pr.w1", "pr.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).cache())
+    # totals over the two tiny histograms — broadcast scalars
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    n_bi = bi.agg(F.sum("c").alias("b"))
+    u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c").alias("c2"))
+    scored = (bi.filter(F.col("c") >= _PMI_MIN)
+              .join(F.broadcast(u1), F.col("w1") == F.col("u1w"))
+              .join(F.broadcast(u2), F.col("w2") == F.col("u2w"))
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(n_bi))
+              .select("w1", "w2", "c", F.round(
+                  F.log((F.col("c").cast("double") / F.col("b"))
+                        / ((F.col("c1").cast("double") / F.col("n"))
+                           * (F.col("c2").cast("double") / F.col("n")))),
+                  6).alias("pmi")))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("pmi").desc(), "w1", "w2"))
+    return (scored.withColumn("rn", rn).filter(F.col("rn") <= 10)
+            .select("w1", "w2", F.col("c").cast("long").alias("n_pair"),
+                    "pmi"))

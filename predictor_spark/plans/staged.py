@@ -28,6 +28,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_linkanalysis",
     "catalog_r7_lexical",
     "catalog_r7_ops",
+    "catalog_r7_metrics2",
 )
 
 

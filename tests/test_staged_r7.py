@@ -910,6 +910,100 @@ def test_trigram_hapax_matches_python(spark, doc_tokens):
     assert out.n_hapax.sum() > 0
 
 
+def test_pmi_collocations_matches_python(spark, doc_tokens):
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for _, r in doc_tokens.iterrows():
+        t = r.toks
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    n, b = sum(uni.values()), sum(bi.values())
+    scored = []
+    for (w1, w2), c in bi.items():
+        if c >= 10:
+            pmi = round(math.log((c / b) / ((uni[w1] / n)
+                                           * (uni[w2] / n))), 6)
+            scored.append((-pmi, w1, w2, c))
+    scored.sort()
+    out = _run(spark, "pmi_collocations")
+    assert len(out) == min(10, len(scored))
+    for i, (_, w1, w2, c) in enumerate(scored[:len(out)]):
+        assert out.iloc[i].w1 == w1 and out.iloc[i].w2 == w2, i
+        assert out.iloc[i].n_pair == c, i
+        assert abs(out.iloc[i].pmi - (-scored[i][0])) <= 1e-9, i
+
+
+# ---------------------------------------------------------------------------
+# forecast-accuracy battery + cumulative hazard
+# ---------------------------------------------------------------------------
+
+def test_forecast_accuracy_battery_matches_pandas(spark):
+    con = duckdb.connect()
+    bars = con.execute(f"""
+        SELECT event_type, day(ts) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS bar
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+        ORDER BY 1, 2""").fetchdf()
+    con.close()
+    out = (_run(spark, "forecast_accuracy_battery")
+           .set_index(["event_type", "model"]).sort_index())
+    for t, g in bars.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        diffs = (g.bar - g.bar.shift(1)).abs()
+        train = diffs[(g.day <= 15) & g.bar.shift(1).notna()]
+        scale = train.sum() / len(train)
+        for model, lagk in [("persistence", 1), ("seasonal_naive", 7)]:
+            f = g.bar.shift(lagk)
+            mask = (g.day > 15) & f.notna()
+            a, fv = g.bar[mask], f[mask]
+            ae = (a - fv).abs()
+            sm = ((2e6 * ae / (a.abs() + fv.abs())).round()
+                  .astype("int64"))
+            ix = (t, model)
+            assert out.loc[ix, "n_test"] == int(mask.sum()), ix
+            assert abs(out.loc[ix, "mae"]
+                       - round(ae.sum() / mask.sum() / 100, 4)) \
+                <= 1e-9, ix
+            assert abs(out.loc[ix, "smape"]
+                       - round(sm.sum() / mask.sum() / 1e6, 6)) \
+                <= 1e-9, ix
+            assert abs(out.loc[ix, "wape"]
+                       - round(ae.sum() / a.abs().sum(), 6)) <= 1e-9, ix
+            assert abs(out.loc[ix, "mase"]
+                       - round(ae.sum() / mask.sum() / scale, 6)) \
+                <= 1e-9, ix
+    # persistence beats seasonal-naive on MASE for a random-walk-ish
+    # series in aggregate (sanity: both finite, positive)
+    assert (out.mase > 0).all()
+
+
+def test_nelson_aalen_consistent_with_km(spark):
+    """NA/KM cross-consistency: same framing, so both estimators share
+    (t, d, n_risk) exactly; H(t) = sum d/n (pico-quantized) and
+    exp(-H) >= KM survival (standard inequality), with both close."""
+    import __spark_entry__ as entry_mod
+
+    km_fn = entry_mod.queries()["survival_km_conversion"]
+    na = (_run(spark, "nelson_aalen_hazard")
+          .set_index("dur_h").sort_index())
+    km = km_fn(spark, SF_DIR).toPandas().set_index("dur_h").sort_index()
+    assert list(na.index) == list(km.index)
+    assert (na.n_died == km.n_died).all()
+    assert (na.n_risk == km.n_risk).all()
+    run = 0
+    for t in na.index:
+        run += round(1e12 * na.loc[t, "n_died"] / na.loc[t, "n_risk"])
+        assert abs(na.loc[t, "cum_hazard"] - round(run / 1e12, 6)) \
+            <= 1e-9, t
+        assert abs(na.loc[t, "fh_survival"]
+                   - round(math.exp(-run / 1e12), 6)) <= 1e-9, t
+        # Fleming-Harrington dominates Kaplan-Meier
+        assert na.loc[t, "fh_survival"] >= km.loc[t, "survival"] - 1e-9
+    # hazard is nondecreasing
+    assert na.cum_hazard.is_monotonic_increasing
+
+
 # ---------------------------------------------------------------------------
 # fulfillment / SLA operations family
 # ---------------------------------------------------------------------------

@@ -992,6 +992,26 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_scans": 2, "max_window_execs": 0,
     },
+    # metrics2: the battery is one bar rollup + ONE lag window (both
+    # horizons share a sort) + broadcast of the 5-row scale dim; the
+    # hazard mirrors the KM plan (user-key shuffles + tiny windows)
+    "forecast_accuracy_battery": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "nelson_aalen_hazard": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+    # PMI: unigram/bigram histograms off one corpus scan per side,
+    # tiny dims + scalar totals broadcast, a 10-row rank cut at the end
+    "pmi_collocations": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 1,
+    },
 }
 
 
