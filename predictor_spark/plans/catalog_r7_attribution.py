@@ -18,6 +18,10 @@ conversion's value across channels under the four standard models
                             loss when a channel is deleted from the
                             first-order journey chain, solved in CLOSED
                             FORM for the 2-channel state space
+- attribution_shapley       Shapley value (Shapley 1953; Shao & Li 2011)
+                            of the conversion-counting coalition game —
+                            for 2 channels: exclusive conversions in
+                            full + half of the shared ones
 
 Scenario on the events table: conversions are `purchase` events;
 touches are `view`/`click` events by the same user strictly before the
@@ -337,6 +341,85 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("attribution_share"),
         F.round(share * F.col("total_cents") / 100, 2)
         .alias("attributed_value"))
+
+
+@query(
+    "attribution_shapley",
+    oracle=f"""
+    WITH {_PAIR_BASE},
+    sets AS (
+        SELECT conv_id, max(cents) AS cents,
+               max(CASE WHEN channel = 'view' THEN 1 ELSE 0 END) AS hv,
+               max(CASE WHEN channel = 'click' THEN 1 ELSE 0 END) AS hc
+        FROM pairs WHERE channel IS NOT NULL
+        GROUP BY conv_id
+    ),
+    m AS (
+        SELECT
+            sum(CASE WHEN hv = 1 AND hc = 0 THEN 1 ELSE 0 END) AS nv,
+            sum(CASE WHEN hv = 0 AND hc = 1 THEN 1 ELSE 0 END) AS nc,
+            sum(CASE WHEN hv = 1 AND hc = 1 THEN 1 ELSE 0 END) AS nb,
+            sum(CASE WHEN hv = 1 AND hc = 0 THEN cents ELSE 0 END) AS cv,
+            sum(CASE WHEN hv = 0 AND hc = 1 THEN cents ELSE 0 END) AS cc,
+            sum(CASE WHEN hv = 1 AND hc = 1 THEN cents ELSE 0 END) AS cb
+        FROM sets
+    )
+    SELECT channel,
+           round(n_excl + CAST(nb AS DOUBLE) / 2, 1)
+               AS shapley_conversions,
+           -- 4 dp: the exact value has <= 3 decimals (half-cents /
+           -- 100), so no engine ever rounds AT a boundary (a 2-dp
+           -- round of x.xx5 is the classic half-up knife edge)
+           round((c_excl + CAST(cb AS DOUBLE) / 2) / 100, 4)
+               AS shapley_value
+    FROM (
+        SELECT 'view' AS channel, nv AS n_excl, cv AS c_excl, nb, cb
+        FROM m
+        UNION ALL
+        SELECT 'click', nc, cc, nb, cb FROM m
+    )
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution (Shapley 1953; the Shao & Li 2011
+    game): the characteristic function counts conversions whose
+    channel set is covered by the coalition, so for two channels the
+    value collapses to exclusive conversions in full plus HALF of the
+    both-channel conversions — computed from six exact integer sums in
+    one aggregate over the per-conversion channel-set frame.
+
+    Scale: the lookback join reduces to one row per conversion
+    (groupBy on the conversion key), then a 1-row global aggregate;
+    the union legs read the same 1-row cached frame."""
+    pairs = _pairs(spark, sf_dir).filter(F.col("channel").isNotNull())
+    sets = (pairs.groupBy("conv_id")
+            .agg(F.max("cents").alias("cents"),
+                 F.max(F.when(F.col("channel") == "view", 1).otherwise(0))
+                 .alias("hv"),
+                 F.max(F.when(F.col("channel") == "click", 1).otherwise(0))
+                 .alias("hc")))
+    vo = (F.col("hv") == 1) & (F.col("hc") == 0)
+    co = (F.col("hv") == 0) & (F.col("hc") == 1)
+    bo = (F.col("hv") == 1) & (F.col("hc") == 1)
+    m = sets.agg(
+        F.sum(F.when(vo, 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(co, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(bo, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(vo, F.col("cents")).otherwise(0)).alias("cv"),
+        F.sum(F.when(co, F.col("cents")).otherwise(0)).alias("cc"),
+        F.sum(F.when(bo, F.col("cents")).otherwise(0)).alias("cb")).cache()
+    rows = (m.select(F.lit("view").alias("channel"),
+                     F.col("nv").alias("n_excl"),
+                     F.col("cv").alias("c_excl"), "nb", "cb")
+            .unionAll(m.select(F.lit("click").alias("channel"),
+                               F.col("nc").alias("n_excl"),
+                               F.col("cc").alias("c_excl"), "nb", "cb")))
+    return rows.select(
+        "channel",
+        F.round(F.col("n_excl") + F.col("nb").cast("double") / 2, 1)
+        .alias("shapley_conversions"),
+        F.round((F.col("c_excl") + F.col("cb").cast("double") / 2) / 100,
+                4).alias("shapley_value"))
 
 
 @query(

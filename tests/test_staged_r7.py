@@ -359,6 +359,33 @@ def test_linear_attribution_matches_pandas(spark, journeys):
     assert 0 <= total_cents * 1_000_000 - int(exp.s.sum()) < len(m)
 
 
+def test_shapley_attribution_matches_pandas(spark, journeys):
+    m, _, _ = journeys
+    sets = (m.groupby("conv_id")
+            .agg(cents=("cents", "max"),
+                 hv=("channel", lambda s: int((s == "view").any())),
+                 hc=("channel", lambda s: int((s == "click").any()))))
+    nv = int(((sets.hv == 1) & (sets.hc == 0)).sum())
+    nc = int(((sets.hv == 0) & (sets.hc == 1)).sum())
+    nb = int(((sets.hv == 1) & (sets.hc == 1)).sum())
+    cv = int(sets.cents[(sets.hv == 1) & (sets.hc == 0)].sum())
+    cc = int(sets.cents[(sets.hv == 0) & (sets.hc == 1)].sum())
+    cb = int(sets.cents[(sets.hv == 1) & (sets.hc == 1)].sum())
+    out = _run(spark, "attribution_shapley").set_index("channel")
+    assert abs(out.loc["view", "shapley_conversions"]
+               - (nv + nb / 2)) <= 1e-9
+    assert abs(out.loc["click", "shapley_conversions"]
+               - (nc + nb / 2)) <= 1e-9
+    assert abs(out.loc["view", "shapley_value"]
+               - round((cv + cb / 2) / 100, 4)) <= 1e-9
+    assert abs(out.loc["click", "shapley_value"]
+               - round((cc + cb / 2) / 100, 4)) <= 1e-9
+    # efficiency axiom: shares sum to the grand coalition's value
+    assert abs(out.shapley_conversions.sum() - len(sets)) <= 1e-9
+    assert abs(out.shapley_value.sum()
+               - round(sets.cents.sum() / 100, 4)) <= 1e-6
+
+
 def test_markov_removal_matches_linear_solve(spark, journeys):
     """Independent check: build the transition matrix in pandas, solve
     the FULL absorbing chain with numpy (p = (I-Q)^-1 R, not the

@@ -848,6 +848,13 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_scans": 2, "max_window_execs": 2,
     },
+    # shapley: journey join -> per-conversion channel-set groupBy ->
+    # 1-row cached aggregate, no windows at all
+    "attribution_shapley": {
+        "must": ["partial_", "InMemoryTableScan", "Union"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
     # finance-risk: daily bars are one events rollup; stats are partial
     # aggregates over the tiny return frame
     "sharpe_sortino_by_type": {
