@@ -29,6 +29,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_lexical",
     "catalog_r7_ops",
     "catalog_r7_metrics2",
+    "catalog_r7_econ",
 )
 
 

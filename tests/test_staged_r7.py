@@ -962,6 +962,74 @@ def test_pmi_collocations_matches_python(spark, doc_tokens):
 
 
 # ---------------------------------------------------------------------------
+# index-number economics family
+# ---------------------------------------------------------------------------
+
+def test_fisher_price_index_matches_pandas(spark):
+    con = duckdb.connect()
+    py = con.execute(f"""
+        SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sq
+        FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1, 2
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 0""").fetchdf()
+    con.close()
+    base = py[py.yr == 1995].set_index("pk")
+    out = _run(spark, "fisher_price_index").set_index("ship_year")
+    for yr, g in py[py.yr > 1995].groupby("yr"):
+        g = g[g.pk.isin(base.index)]
+        b = base.loc[g.pk]
+        l_num = int(sum(round(1e4 * spt * sq0 / sqt)
+                        for spt, sqt, sq0
+                        in zip(g.sp, g.sq, b.sq)))
+        l_den = int(b.sp.sum()) * 10000
+        p_num = int(g.sp.sum()) * 10000
+        p_den = int(sum(round(1e4 * sp0 * sqt / sq0)
+                        for sp0, sq0, sqt
+                        in zip(b.sp, b.sq, g.sq)))
+        assert out.loc[yr, "n_parts"] == len(g), yr
+        lasp, paas = l_num / l_den, p_num / p_den
+        assert abs(out.loc[yr, "laspeyres"] - round(lasp, 6)) <= 1e-9, yr
+        assert abs(out.loc[yr, "paasche"] - round(paas, 6)) <= 1e-9, yr
+        assert abs(out.loc[yr, "fisher"]
+                   - round(math.sqrt(lasp * paas), 6)) <= 1e-9, yr
+        # Fisher lies between its two legs
+        lo, hi = sorted([out.loc[yr, "laspeyres"],
+                         out.loc[yr, "paasche"]])
+        assert lo - 1e-6 <= out.loc[yr, "fisher"] <= hi + 1e-6, yr
+
+
+def test_rca_balassa_matches_pandas(spark):
+    con = duckdb.connect()
+    cells = con.execute(f"""
+        SELECT sn.n_name AS nation,
+               string_split(p.p_type, ' ')[1] AS type_class,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS x
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        JOIN '{SF_DIR}/nation.parquet' sn
+          ON sn.n_nationkey = s.s_nationkey
+        JOIN '{SF_DIR}/part.parquet' p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2""").fetchdf()
+    con.close()
+    xn = cells.groupby("nation").x.sum()
+    xp = cells.groupby("type_class").x.sum()
+    xt = cells.x.sum()
+    out = (_run(spark, "rca_balassa_index")
+           .set_index(["nation", "type_class"]).sort_index())
+    assert len(out) == len(cells)
+    for _, r in cells.iterrows():
+        ix = (r.nation, r.type_class)
+        rca = (r.x / xn[r.nation]) / (xp[r.type_class] / xt)
+        assert abs(out.loc[ix, "rca"] - round(rca, 6)) <= 1e-9, ix
+    # weighted-by-class-share RCA averages to 1 per nation (identity)
+    for nation, g in cells.groupby("nation"):
+        w = sum((row.x / xn[nation])
+                for _, row in g.iterrows())
+        assert abs(w - 1.0) < 1e-12, nation
+
+
+# ---------------------------------------------------------------------------
 # forecast-accuracy battery + cumulative hazard
 # ---------------------------------------------------------------------------
 

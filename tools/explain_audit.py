@@ -1019,6 +1019,21 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2, "max_window_execs": 1,
     },
+    # econ: the Fisher self-join runs WITHIN the cached (part, year)
+    # rollup — the fact is scanned once; RCA margins regroup the cached
+    # 150-cell table and broadcast back onto it
+    "fisher_price_index": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # (the 4 scans are the CACHED cell plan's child detail printed
+    # once: 1 lineitem + 3 broadcast dims — the fact is scanned once)
+    "rca_balassa_index": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 4, "max_window_execs": 0,
+    },
 }
 
 
