@@ -21,13 +21,21 @@ from tests.conftest import SF_DIR
 
 @pytest.mark.slow
 def test_no_registered_query_emits_nested_types(spark):
+    """Covers the registered surface AND the staged next-round rows —
+    a staged row must already satisfy the driver's canonicalizer
+    contract BEFORE the flip, or the flip re-introduces the class."""
     import __spark_entry__ as entry
+    import predictor_spark.plans.catalog as catalog
+    from predictor_spark.plans.staged import load_staged
     from tools.check_correctness import nested_output_columns
 
     offenders: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
-    qs = entry.queries()
+    qs = dict(entry.queries())
     assert len(qs) >= 200
+    staged_names = load_staged()
+    assert len(staged_names) >= 30
+    qs.update({n: catalog.QUERIES[n] for n in staged_names})
     for name, fn in qs.items():
         try:
             df = fn(spark, SF_DIR)
