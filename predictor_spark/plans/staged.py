@@ -36,10 +36,16 @@ STAGED_MODULES: tuple[str, ...] = (
 def load_staged() -> list[str]:
     """Import every staged catalog module (registering its queries into
     predictor_spark.plans.catalog.QUERIES/ORACLE) and return the list of
-    staged QUERY names so callers can scope sweeps to them."""
+    staged QUERY names so callers can scope sweeps to them.
+
+    IDEMPOTENT: names are derived from each query function's defining
+    module, not an import-time before/after diff — a second call (or a
+    call after another harness already imported the modules) returns
+    the same full list."""
     import predictor_spark.plans.catalog as catalog
 
-    before = set(catalog.QUERIES)
     for mod in STAGED_MODULES:
         __import__(f"predictor_spark.plans.{mod}")
-    return sorted(set(catalog.QUERIES) - before)
+    staged_mods = {f"predictor_spark.plans.{m}" for m in STAGED_MODULES}
+    return sorted(n for n, fn in catalog.QUERIES.items()
+                  if fn.__module__ in staged_mods)
