@@ -1050,7 +1050,9 @@ def test_forecast_accuracy_battery_matches_pandas(spark):
         scale = train.sum() / len(train)
         for model, lagk in [("persistence", 1), ("seasonal_naive", 7)]:
             f = g.bar.shift(lagk)
-            mask = (g.day > 15) & f.notna()
+            # mirror the query's sMAPE-undefined row filter too
+            mask = ((g.day > 15) & f.notna()
+                    & ((g.bar.abs() + f.abs()) > 0))
             a, fv = g.bar[mask], f[mask]
             ae = (a - fv).abs()
             sm = ((2e6 * ae / (a.abs() + fv.abs())).round()

@@ -40,13 +40,16 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
     if staged:
+        # the staged path never needs entry.queries() (whose rotation
+        # ordering sha256-hashes every registered query's source)
         from predictor_spark.plans.staged import load_staged
         import predictor_spark.plans.catalog as catalog
 
-        staged_names = load_staged()
-        qs = {n: catalog.QUERIES[n] for n in staged_names}
+        entry_mod._load_catalog()
+        qs = {n: catalog.QUERIES[n] for n in load_staged()}
+    else:
+        qs = entry_mod.queries()
     spark = get_spark("determinism_check")
     n_pass = n_fail = 0
     for name, fn in qs.items():

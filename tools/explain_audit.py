@@ -1060,7 +1060,13 @@ def main() -> int:
         if only and name not in only:
             continue
         if name not in qs:
-            # staged-only rows are invisible without --staged
+            if not staged and name in EXPECT_STAGED:
+                # staged-only rows are invisible without --staged
+                continue
+            # anything else is a stale/typo'd expectation key — fail
+            # LOUDLY so a renamed query can't silently lose its audit
+            print(f"FAIL {name}: expectation key not in the registry")
+            failures += 1
             continue
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
