@@ -13,6 +13,11 @@ predictor_plugins/common/trading.py):
 - capm_beta_by_type        CAPM beta/alpha (Sharpe 1964) of each event
                            type's daily returns against the all-type
                            "market" return
+- drawdown_duration        underwater-spell statistics of the
+                           integer-cent equity curve (spell count,
+                           longest spell, total underwater days) — the
+                           TIME dimension of max_drawdown_per_type's
+                           depth number (Magdon-Ismail et al. 2004)
 
 Determinism: daily bars are round(sum(value), 6) — identical doubles
 on both engines at these magnitudes — and every return is immediately
@@ -232,3 +237,73 @@ def capm_beta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round((d("sy") - beta * d("sx")) / (F.col("n") * 1000000.0), 6)
         .alias("alpha"))
+
+
+@query(
+    "drawdown_duration",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT event_type, day,
+               max(cum) OVER w - cum AS drawdown
+        FROM (SELECT event_type, day,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS cum
+              FROM daily)
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    uw AS (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+               - row_number() OVER (PARTITION BY event_type,
+                                    (drawdown > 0) ORDER BY day) AS grp
+        FROM dd WHERE drawdown > 0
+    ),
+    spells AS (
+        SELECT event_type, grp, count(*) AS len
+        FROM uw GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(max(len) AS BIGINT) AS longest_spell_days,
+           CAST(sum(len) AS BIGINT) AS underwater_days
+    FROM spells GROUP BY event_type
+    """,
+)
+def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-spell statistics per event type: a spell is a maximal
+    run of consecutive observed days with drawdown > 0 on the exact
+    integer-cent equity curve (the time dimension of max drawdown,
+    Magdon-Ismail et al. 2004).  Spells come from the gaps-and-islands
+    row_number difference — pure integer arithmetic end to end.
+
+    Scale: one events scan -> daily rollup; the equity cumsum, running
+    max and both spell ranks all ride ONE (type ordered by day)
+    partitioning over the ~150-row bar frame; the rollup is a 5-group
+    aggregate."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      F.dayofmonth("ts").cast("long").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("c")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    dd = (daily
+          .withColumn("cum", F.sum("c").over(w))
+          .withColumn("drawdown", F.max("cum").over(w) - F.col("cum")))
+    uw = (dd.filter(F.col("drawdown") > 0)
+          .select("event_type", "day",
+                  (F.row_number().over(w)
+                   - F.row_number().over(
+                       Window.partitionBy(
+                           "event_type", F.col("drawdown") > 0)
+                       .orderBy("day"))).alias("grp")))
+    spells = uw.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len"))
+    return (spells.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_spells"),
+                 F.max("len").cast("long").alias("longest_spell_days"),
+                 F.sum("len").cast("long").alias("underwater_days")))

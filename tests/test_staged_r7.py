@@ -284,6 +284,35 @@ def test_capm_beta_matches_numpy_lstsq(spark, daily_rets):
         assert abs(out.loc[t, "alpha"] - alpha / 1e6) <= 1e-4, t
 
 
+def test_drawdown_duration_matches_pandas(spark):
+    con = duckdb.connect()
+    daily = con.execute(f"""
+        SELECT event_type, day(ts) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+        ORDER BY 1, 2""").fetchdf()
+    con.close()
+    out = _run(spark, "drawdown_duration").set_index("event_type")
+    for t, g in daily.groupby("event_type"):
+        cum = g.sort_values("day").c.cumsum()
+        under = (cum.cummax() - cum) > 0
+        spells, run = [], 0
+        for u in under:
+            if u:
+                run += 1
+            elif run:
+                spells.append(run)
+                run = 0
+        if run:
+            spells.append(run)
+        if not spells:
+            assert t not in out.index, t
+            continue
+        assert out.loc[t, "n_spells"] == len(spells), t
+        assert out.loc[t, "longest_spell_days"] == max(spells), t
+        assert out.loc[t, "underwater_days"] == sum(spells), t
+
+
 # ---------------------------------------------------------------------------
 # multi-touch attribution family
 # ---------------------------------------------------------------------------

@@ -872,6 +872,14 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2, "max_window_execs": 2,
     },
+    # gaps-and-islands over the bar frame: the cumsum/cummax windows
+    # and the two spell ranks ride one (type, day) ordering; Spark
+    # materializes them as separate Window nodes over ONE shuffle
+    "drawdown_duration": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 4,
+    },
     # governance audits: one scan each; the ladder's three QI levels
     # come from ONE rollup Expand, never three passes; k-anonymity's
     # total-row denominator is a broadcast scalar off the class table
