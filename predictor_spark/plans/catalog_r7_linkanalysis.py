@@ -362,3 +362,76 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((varx > 0) & (vary > 0),
                F.round((d("n") * d("sxy") - d("sx") * d("sy"))
                        / F.sqrt(varx * vary), 6)).alias("assortativity"))
+
+
+_CORE_ROUNDS = 6  # peeling rounds; converges in <= diameter rounds here
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: keep{i} = nodes with induced degree >= k among
+    keep{i-1} survivors, one CTE pair per round per k."""
+    parts = [f"""
+    WITH {_NEIGH_SQL}"""]
+    for k in (2, 3):
+        parts.append(f""",
+    keep{k}_0 AS (SELECT DISTINCT u AS n FROM und)""")
+        for i in range(1, _CORE_ROUNDS + 1):
+            parts.append(f""",
+    keep{k}_{i} AS (
+        SELECT und.u AS n FROM und
+        JOIN keep{k}_{i - 1} a ON a.n = und.u
+        JOIN keep{k}_{i - 1} b ON b.n = und.z
+        GROUP BY und.u HAVING count(*) >= {k}
+    )""")
+    return "".join(parts) + f"""
+    SELECT nt.n_nationkey,
+           CAST(CASE WHEN k2.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_2core,
+           CAST(CASE WHEN k3.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_3core
+    FROM nation nt
+    LEFT JOIN keep2_{_CORE_ROUNDS} k2 ON k2.n = nt.n_nationkey
+    LEFT JOIN keep3_{_CORE_ROUNDS} k3 ON k3.n = nt.n_nationkey
+    """
+
+
+@query("kcore_membership", oracle=_kcore_oracle())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core and 3-core membership (Seidman 1983) of the undirected
+    high-volume trade graph: iteratively peel nodes whose degree in
+    the surviving subgraph is below k; 6 unrolled rounds (the peel
+    converges within the graph's diameter here — the test verifies the
+    fixed point against an unbounded pure-Python peel).
+
+    Scale: the cached neighbor list is re-filtered by two broadcast
+    joins of the <=|nodes|-row survivor set per round — the peeling
+    cost is |edges| per round, never the fact table; identical shape
+    to the label-propagation and BFS iterations."""
+    und = _und(spark, sf_dir)
+    nodes = _nodes(spark, sf_dir).cache()
+
+    def peel(k: int) -> DataFrame:
+        keep = und.select(F.col("u").alias("n")).distinct()
+        for _ in range(_CORE_ROUNDS):
+            a = keep.select(F.col("n").alias("ka"))
+            b = keep.select(F.col("n").alias("kb"))
+            # each round references the survivor set TWICE — an eager
+            # checkpoint keeps the lineage a <=|nodes|-row LEAF instead
+            # of doubling the plan per round (2^rounds exchanges
+            # without it; the BFS lesson again)
+            keep = (und.join(F.broadcast(a), F.col("u") == F.col("ka"))
+                    .join(F.broadcast(b), F.col("z") == F.col("kb"))
+                    .groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= k)
+                    .select(F.col("u").alias("n"))
+                    .coalesce(1).localCheckpoint(eager=True))
+        return keep
+
+    k2 = peel(2).withColumnRenamed("n", "n2")
+    k3 = peel(3).withColumnRenamed("n", "n3")
+    return (nodes
+            .join(F.broadcast(k2), F.col("node") == F.col("n2"), "left")
+            .join(F.broadcast(k3), F.col("node") == F.col("n3"), "left")
+            .select(F.col("node").alias("n_nationkey"),
+                    F.col("n2").isNotNull().cast("long").alias("in_2core"),
+                    F.col("n3").isNotNull().cast("long").alias("in_3core")))

@@ -877,6 +877,31 @@ def test_degree_assortativity_matches_numpy(spark, und_graph):
         assert abs(out.assortativity - round(r, 6)) <= 1e-6
 
 
+def test_kcore_matches_unbounded_python_peel(spark, und_graph):
+    """The query truncates peeling at 6 rounds; this peel runs to the
+    TRUE fixed point — equality proves 6 rounds suffice on this
+    graph."""
+    def peel(k):
+        neigh = {u: set(zs) for u, zs in und_graph.items()}
+        while True:
+            drop = [u for u, zs in neigh.items() if len(zs) < k]
+            if not drop:
+                return set(neigh)
+            for u in drop:
+                for z in neigh[u]:
+                    neigh[z].discard(u)
+                del neigh[u]
+
+    core2, core3 = peel(2), peel(3)
+    out = _run(spark, "kcore_membership").set_index("n_nationkey")
+    assert len(out) == 25
+    for n in out.index:
+        assert out.loc[n, "in_2core"] == int(n in core2), n
+        assert out.loc[n, "in_3core"] == int(n in core3), n
+    # core nesting: 3-core subset of 2-core
+    assert (out.in_3core <= out.in_2core).all()
+
+
 # ---------------------------------------------------------------------------
 # readability / lexical-richness family
 # ---------------------------------------------------------------------------

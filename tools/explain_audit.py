@@ -966,6 +966,17 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 0, "max_window_execs": 0,
     },
+    # k-core: 6 peel rounds x 2 k-values, each a pair of broadcast
+    # survivor joins + an induced-degree groupBy, run EAGERLY behind
+    # per-round localCheckpoints (without them the double-referenced
+    # survivor set doubled the plan per round: 1271 exchanges -> 4);
+    # the final visible plan is just nation |x| two survivor leaves,
+    # so no partial_ aggregate appears in it
+    "kcore_membership": {
+        "must": ["BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
     # lexical family: flesch/TTR are pure expression pipelines over ONE
     # documents scan (no explode, no join); trigram hapax explodes the
     # stream, histograms on the trigram key and rejoins on that SAME
