@@ -52,6 +52,9 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_ops",
     "catalog_r7_metrics2",
     "catalog_r7_econ",
+    # --- r8 families (built in round 6; flip AFTER the r7 families) ---
+    "catalog_r8_distdist",
+    "catalog_r8_matrixprofile",
 )
 
 

@@ -1053,6 +1053,48 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 4, "max_window_execs": 0,
     },
+    # r8 distribution distances: ONE events scan reduced to the cents
+    # support map-side (partial agg); the support frame is CACHED
+    # (|distinct cents| rows) so the broadcast totals derive from it
+    # instead of re-scanning the fact; the prefix windows run over the
+    # aggregate-sized support only (W1 = cumsum + lead -> 2 sort-shared
+    # Window nodes; CvM/energy = 1)
+    "wasserstein_value_drift": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "cramer_von_mises_drift": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "energy_distance_drift": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    # r8 matrix profile: one events scan reduced to 4h bars map-side,
+    # then ONE FlatMapGroupsInPandas task per series computes the
+    # whole profile; motif/discord add a per-series rank window
+    "matrix_profile_4h": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "motif_top_pair": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "discord_top": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
 }
 
 
