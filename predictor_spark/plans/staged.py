@@ -55,6 +55,7 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r8 families (built in round 6; flip AFTER the r7 families) ---
     "catalog_r8_distdist",
     "catalog_r8_matrixprofile",
+    "catalog_r8_inventory",
 )
 
 

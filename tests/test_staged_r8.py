@@ -155,3 +155,93 @@ class TestMatrixProfile:
             assert row["discord_d2"] == mp.max()
             # smallest-index tie-break
             assert int(row["discord_idx"]) - 1 == int(np.argmax(mp))
+
+
+class TestInventory:
+    @pytest.fixture(scope="class")
+    def li_orders(self):
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+        df = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+              .merge(part, left_on="l_partkey", right_on="p_partkey"))
+        df["ship_day"] = df["l_shipdate"].dt.normalize()
+        return df
+
+    def test_croston_matches_loop(self, spark, li_orders):
+        from predictor_spark.plans.catalog_r8_inventory import (
+            croston_forecast)
+
+        got = (croston_forecast(spark, SF_DIR).toPandas()
+               .set_index("part_key"))
+        epoch = pd.Timestamp("1995-01-01")
+        df = li_orders[li_orders.l_partkey <= 20]
+        daily = (df.groupby(["l_partkey", "ship_day"])["l_quantity"].sum()
+                 .reset_index())
+        for pk, grp in daily.groupby("l_partkey"):
+            grp = grp.sort_values("ship_day")
+            if len(grp) < 2:
+                assert pk not in got.index
+                continue
+            d = ((grp["ship_day"] - epoch).dt.days + 1).to_numpy()
+            s = grp["l_quantity"].to_numpy()
+            z, q = float(s[0]), float(d[0])
+            for k in range(1, len(s)):
+                z = 0.2 * float(s[k]) + 0.8 * z
+                q = 0.2 * float(d[k] - d[k - 1]) + 0.8 * q
+            row = got.loc[pk]
+            assert row["n_demand_days"] == len(grp)
+            assert row["size_ewma"] == pytest.approx(z, abs=1e-6)
+            assert row["croston_rate"] == pytest.approx(z / q, abs=1e-6)
+
+    def test_safety_stock_matches_pandas(self, spark, li_orders):
+        from predictor_spark.plans.catalog_r8_inventory import (
+            safety_stock_reorder_point)
+
+        got = (safety_stock_reorder_point(spark, SF_DIR).toPandas()
+               .set_index("brand"))
+        df = li_orders.assign(
+            ld=(df_ld := (li_orders["ship_day"]
+                          - li_orders["o_orderdate"].dt.normalize())
+                .dt.days.clip(lower=0)))
+        assert (df_ld >= -10**9).all()  # silence unused-expr linters
+        for brand, grp in df.groupby("p_brand"):
+            daily = grp.groupby("ship_day")["l_quantity"].sum()
+            mu, sd = daily.mean(), daily.std(ddof=1)
+            lead = grp["ld"].mean()
+            row = got.loc[brand]
+            assert row["mu_daily"] == pytest.approx(mu, abs=1e-5)
+            assert row["sigma_daily"] == pytest.approx(sd, abs=1e-5)
+            assert row["lead_days"] == pytest.approx(lead, abs=1e-5)
+            assert row["reorder_point"] == pytest.approx(
+                mu * lead + 1.6449 * sd * np.sqrt(lead), abs=1e-3)
+
+    def test_eoq_formula(self, spark, li_orders):
+        from predictor_spark.plans.catalog_r8_inventory import (
+            eoq_order_quantity)
+
+        got = eoq_order_quantity(spark, SF_DIR).toPandas().set_index("brand")
+        span = (li_orders["ship_day"].max()
+                - li_orders["ship_day"].min()).days + 1
+        for brand, grp in li_orders.groupby("p_brand"):
+            tot_q = grp["l_quantity"].sum()
+            dem = tot_q * 365.0 / span
+            hold = 0.2 * (grp["l_extendedprice"].sum() / tot_q)
+            row = got.loc[brand]
+            assert row["annual_demand"] == pytest.approx(dem, rel=1e-6)
+            assert row["holding_cost"] == pytest.approx(hold, rel=1e-6)
+            assert row["eoq"] == pytest.approx(
+                np.sqrt(2 * dem * 100.0 / hold), abs=1e-3)
+
+    def test_xyz_classes_partition_brands(self, spark):
+        from predictor_spark.plans.catalog_r8_inventory import (
+            xyz_demand_variability)
+
+        got = xyz_demand_variability(spark, SF_DIR).toPandas()
+        assert len(got) == 25
+        assert set(got["xyz_class"]) <= {"X", "Y", "Z"}
+        # class boundaries are consistent with the reported CV
+        for _, r in got.iterrows():
+            expect = "X" if r.demand_cv < 0.5 else (
+                "Y" if r.demand_cv < 1.0 else "Z")
+            assert r.xyz_class == expect

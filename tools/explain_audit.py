@@ -1095,6 +1095,33 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
                 "BroadcastNestedLoopJoin"],
         "max_scans": 1, "max_window_execs": 1,
     },
+    # r8 inventory: croston = partkey-pruned scan (pushed filter) ->
+    # (part, day) cells -> one fold task per part; the brand rows are
+    # two-level aggs over ONE lineitem-orders keyed join (SMJ on the
+    # order key is the co-partitioned plan) with a broadcast part dim;
+    # EOQ's span leg re-scans a 1-column projection (scalar, broadcast)
+    "croston_forecast": {
+        "must": ["partial_", "FlatMapGroupsInPandas",
+                 "LessThanOrEqual(l_partkey,20)"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "safety_stock_reorder_point": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 3, "max_window_execs": 0,
+    },
+    "eoq_order_quantity": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3, "max_window_execs": 0,
+    },
+    "xyz_demand_variability": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 3, "max_window_execs": 0,
+    },
 }
 
 
