@@ -56,6 +56,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_distdist",
     "catalog_r8_matrixprofile",
     "catalog_r8_inventory",
+    "catalog_r8_mcda",
 )
 
 

@@ -245,3 +245,80 @@ class TestInventory:
             expect = "X" if r.demand_cv < 0.5 else (
                 "Y" if r.demand_cv < 1.0 else "Z")
             assert r.xyz_class == expect
+
+
+class TestMcda:
+    def test_skyline_matches_bruteforce_dominance(self, spark):
+        from predictor_spark.plans.catalog_r8_mcda import skyline_parts
+
+        part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+        price = np.round(part["p_retailprice"].to_numpy() * 100).astype(
+            np.int64)
+        size = part["p_size"].to_numpy(dtype=np.int64)
+        # O(n^2) dominance: q dominates p iff q.price <= p.price and
+        # q.size >= p.size, strict on at least one axis
+        dominated = np.zeros(len(part), dtype=bool)
+        for i in range(len(part)):
+            dom = ((price <= price[i]) & (size >= size[i])
+                   & ((price < price[i]) | (size > size[i])))
+            dominated[i] = bool(dom.any())
+        expect = set(part["p_partkey"].to_numpy()[~dominated])
+
+        got = skyline_parts(spark, SF_DIR).toPandas()
+        assert set(got["p_partkey"]) == expect
+        # frontier sanity: a pricier skyline part must be strictly
+        # larger (else the cheaper one would dominate it)
+        g = got.sort_values("price")
+        assert (np.diff(g["size"].to_numpy()) > 0).all() or len(g) == 1
+
+    def test_borda_matches_pandas_ranks(self, spark):
+        from predictor_spark.plans.catalog_r8_mcda import (
+            borda_brand_ranking)
+
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+        df = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+              .merge(part, left_on="l_partkey", right_on="p_partkey"))
+        df["rev_c"] = np.round(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100)
+        stats = df.groupby("p_brand").agg(
+            rev=("rev_c", "sum"), cust=("o_custkey", "nunique"),
+            qty=("l_quantity", "sum"))
+        n = len(stats)
+        ranks = stats.rank(method="min", ascending=False)
+        borda = (3 * n - ranks.sum(axis=1)).astype(int)
+
+        got = (borda_brand_ranking(spark, SF_DIR).toPandas()
+               .set_index("brand"))
+        for brand in stats.index:
+            assert got.loc[brand, "borda_score"] == borda[brand]
+
+    def test_topsis_closeness_and_rank(self, spark):
+        from predictor_spark.plans.catalog_r8_mcda import (
+            topsis_supplier_ranking)
+
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        li["rev_c"] = np.round(
+            li["l_extendedprice"] * (1 - li["l_discount"]) * 100)
+        li["disc_c"] = np.round(li["l_discount"] * 100)
+        s = li.groupby("l_suppkey").agg(
+            rev=("rev_c", "sum"), qty=("l_quantity", "sum"),
+            disc=("disc_c", "sum"), n=("l_orderkey", "size"))
+        crit = np.stack([s["rev"].to_numpy(dtype=float),
+                         s["qty"].to_numpy(dtype=float),
+                         (s["disc"] / s["n"]).to_numpy(dtype=float)], axis=1)
+        v = crit / np.sqrt((crit**2).sum(axis=0)) / 3.0
+        ideal = np.array([v[:, 0].max(), v[:, 1].max(), v[:, 2].min()])
+        anti = np.array([v[:, 0].min(), v[:, 1].min(), v[:, 2].max()])
+        dp = np.sqrt(((v - ideal)**2).sum(axis=1))
+        dm = np.sqrt(((v - anti)**2).sum(axis=1))
+        close = dm / (dp + dm)
+
+        got = (topsis_supplier_ranking(spark, SF_DIR).toPandas()
+               .set_index("suppkey"))
+        for key, c in zip(s.index, close):
+            assert got.loc[key, "closeness"] == pytest.approx(c, abs=2e-6)
+        # closeness in [0,1]; ranks are a permutation
+        assert got["closeness"].between(0, 1).all()
+        assert sorted(got["topsis_rank"]) == list(range(1, len(got) + 1))

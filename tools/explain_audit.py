@@ -1122,6 +1122,26 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_scans": 3, "max_window_execs": 0,
     },
+    # r8 MCDA: skyline = ONE dim scan + one sort shared by both range-
+    # frame prefix maxes (the O(n log n) 2D-skyline plan — never the
+    # BNL dominance self-join); borda = one keyed fact pass to 25 stat
+    # rows, rank windows over those; topsis = cached supplier stats +
+    # 1-row broadcast norm/ideal legs + one rank window
+    "skyline_parts": {
+        "must": [],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "borda_brand_ranking": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 3, "max_window_execs": 4,
+    },
+    "topsis_supplier_ranking": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
 }
 
 
