@@ -57,6 +57,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_matrixprofile",
     "catalog_r8_inventory",
     "catalog_r8_mcda",
+    "catalog_r8_scorecard",
 )
 
 

@@ -322,3 +322,75 @@ class TestMcda:
         # closeness in [0,1]; ranks are a permutation
         assert got["closeness"].between(0, 1).all()
         assert sorted(got["topsis_rank"]) == list(range(1, len(got) + 1))
+
+
+class TestScorecard:
+    def test_woe_iv_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r8_scorecard import (
+            woe_iv_discount_returns)
+
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        li["bad"] = (li["l_returnflag"] == "R").astype(int)
+        tab = li.groupby("l_discount")["bad"].agg(["count", "sum"])
+        good, bad = tab["count"] - tab["sum"], tab["sum"]
+        g_tot, b_tot = good.sum(), bad.sum()
+        woe = np.log((good / g_tot) / (bad / b_tot))
+        iv = (good / g_tot - bad / b_tot) * woe
+
+        got = (woe_iv_discount_returns(spark, SF_DIR).toPandas()
+               .set_index("discount"))
+        for disc in tab.index:
+            assert got.loc[disc, "woe"] == pytest.approx(
+                woe[disc], abs=1e-6)
+            assert got.loc[disc, "iv_term"] == pytest.approx(
+                iv[disc], abs=1e-6)
+
+    def test_somers_d_equals_2auc_minus_1(self, spark):
+        """For binary Y, Somers' D_{Y|X} is exactly 2*AUC - 1 of X as
+        the score — recompute AUC by midranks, independently."""
+        from predictor_spark.plans.catalog_r8_scorecard import (
+            somers_d_qty_returns)
+
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        y = (li["l_returnflag"] == "R").astype(int).to_numpy()
+        x = li["l_quantity"].to_numpy()
+        r = pd.Series(x).rank(method="average").to_numpy()
+        n1, n0 = int(y.sum()), int((1 - y).sum())
+        auc = (r[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+        row = somers_d_qty_returns(spark, SF_DIR).collect()[0]
+        assert row["somers_d"] == pytest.approx(2 * auc - 1, abs=1e-6)
+        assert row["n"] == len(li)
+
+    def test_brier_terms_recompose(self, spark):
+        """Sum(brier_term) over bins == the exact mean squared error of
+        the (score/1e6, label) pairs, and REL - RES + UNC matches it up
+        to the nonnegative within-bin variance."""
+        from predictor_spark.plans.catalog_r8_scorecard import (
+            brier_decomposition)
+
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        split = pd.Timestamp("2024-01-16")
+        g = ev.assign(
+            early=(ev["ts"] < split).astype(int),
+            early_p=((ev["ts"] < split)
+                     & (ev["event_type"] == "purchase")).astype(int),
+            late_p=((ev["ts"] >= split)
+                    & (ev["event_type"] == "purchase")).astype(int),
+        ).groupby("user_id")[["early", "early_p", "late_p"]].sum()
+        g = g[g["early"] > 0]
+        score = np.floor(1e6 * g["early_p"] / g["early"]).astype(np.int64)
+        label = (g["late_p"] >= 7).astype(int)
+        brier = float(((score / 1e6 - label) ** 2).mean())
+        ybar = label.mean()
+
+        got = brier_decomposition(spark, SF_DIR).toPandas()
+        assert got["brier_term"].sum() == pytest.approx(brier, abs=1e-5)
+        rel, res = got["reliability_term"].sum(), got["resolution_term"].sum()
+        unc = ybar * (1 - ybar)
+        within = brier - (rel - res + unc)
+        assert within >= -1e-5  # within-bin variance is nonnegative
+        # weighted bin means recompose the global mean forecast
+        n = got["n"].sum()
+        assert (got["n"] * got["event_rate"]).sum() / n == pytest.approx(
+            ybar, abs=1e-4)

@@ -1142,6 +1142,24 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1, "max_window_execs": 1,
     },
+    # r8 scorecard: contingency-table reductions map-side; somers
+    # reuses the kendall cached-cells broadcast self-join shape; the
+    # brier bins ride the eval family's one-scan backtest base
+    "woe_iv_discount_returns": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "WindowExec"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    "somers_d_qty_returns": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "brier_decomposition": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
 }
 
 
