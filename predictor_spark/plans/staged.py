@@ -58,6 +58,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_inventory",
     "catalog_r8_mcda",
     "catalog_r8_scorecard",
+    "catalog_r8_privacy",
 )
 
 

@@ -394,3 +394,61 @@ class TestScorecard:
         n = got["n"].sum()
         assert (got["n"] * got["event_rate"]).sum() / n == pytest.approx(
             ybar, abs=1e-4)
+
+
+class TestPrivacy:
+    def test_dp_histogram_noise_is_seeded_laplace(self, spark):
+        import hashlib
+
+        from predictor_spark.plans.catalog_r8_privacy import (
+            dp_histogram_laplace)
+
+        ev = _events()
+        truth = ev.groupby("event_type").size()
+        got = (dp_histogram_laplace(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, c in truth.items():
+            h = int(hashlib.md5(f"dp|{t}".encode()).hexdigest()[:7], 16)
+            u = (h + 0.5) / 2**28
+            v = u - 0.5
+            noise = -np.sign(v) * np.log(1 - 2 * abs(v)) / 1.0
+            row = got.loc[t]
+            assert row["true_count"] == c
+            assert row["laplace_noise"] == pytest.approx(noise, abs=1e-6)
+            assert row["dp_count"] == pytest.approx(c + noise, abs=1e-6)
+
+    def test_dp_noise_distribution_properties(self, spark):
+        """The inverse-CDF transform maps u=0.5 to 0 and is symmetric:
+        check the implementation's transform directly over a grid."""
+        for u in np.linspace(0.01, 0.99, 23):
+            v = u - 0.5
+            nz = -np.sign(v) * np.log(1 - 2 * abs(v))
+            nz_mirror = -np.sign(-v) * np.log(1 - 2 * abs(-v))
+            assert nz == pytest.approx(-nz_mirror)
+        assert -np.sign(0.0) * np.log(1.0) == 0.0
+
+    def test_randomized_response_estimator(self, spark):
+        import hashlib
+
+        from predictor_spark.plans.catalog_r8_privacy import (
+            randomized_response_share)
+
+        ev = _events()
+        truth = (ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+                 .groupby("user_id")["p"].max())
+        reported = []
+        for uid, t in truth.items():
+            h = int(hashlib.md5(f"rr|{uid}".encode()).hexdigest()[:7], 16)
+            u = (h + 0.5) / 2**28
+            reported.append(t if u < 0.75 else 1 - t)
+        lam = np.mean(reported)
+
+        row = randomized_response_share(spark, SF_DIR).collect()[0]
+        assert row["n_users"] == len(truth)
+        assert row["true_share"] == pytest.approx(truth.mean(), abs=1e-6)
+        assert row["reported_share"] == pytest.approx(lam, abs=1e-6)
+        assert row["estimated_share"] == pytest.approx(
+            (lam - 0.25) / 0.5, abs=1e-5)
+        # the estimator should land near the truth (plausible
+        # deniability without destroying the aggregate)
+        assert abs(row["estimated_share"] - row["true_share"]) < 0.1

@@ -1160,6 +1160,19 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2, "max_window_execs": 0,
     },
+    # r8 privacy: one map-side aggregation each; the noise draw /
+    # response flip are per-row expressions in the same pass — the
+    # mechanism must cost nothing over the non-private rollup
+    "dp_histogram_laplace": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "randomized_response_share": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
 }
 
 
