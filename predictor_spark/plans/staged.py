@@ -31,6 +31,15 @@ headline per family:
 11. catalog_r7_metrics2   (2) — bench: forecast_accuracy_battery
 12. catalog_r7_econ       (2) — bench: fisher_price_index
 
+r8 families (built round 6, session 4 — flip AFTER the r7 list):
+
+13. catalog_r8_matrixprofile (3) — bench: matrix_profile_4h
+14. catalog_r8_distdist      (3) — bench: energy_distance_drift
+15. catalog_r8_scorecard     (3) — bench: brier_decomposition
+16. catalog_r8_inventory     (4) — bench: croston_forecast
+17. catalog_r8_mcda          (3) — bench: topsis_supplier_ranking
+18. catalog_r8_privacy       (2) — bench: dp_histogram_laplace
+
 If the free-slot budget is smaller than the staged count, flip whole
 families in this order and leave the rest staged — never register a
 partial family (its tests and COVERAGE docs describe families as
