@@ -276,7 +276,7 @@ def eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .groupBy(F.col("p_brand").alias("brand"))
                  .agg(F.sum(F.col("l_quantity").cast("long")).alias("tot_q"),
                       F.sum(F.round(F.col("l_extendedprice") * 100)
-                            .cast("decimal(38,0)")).alias("price_c")))
+                            .cast("long")).alias("price_c")))
     span = li.agg(
         (F.datediff(F.max(F.col("l_shipdate").cast("date")),
                     F.min(F.col("l_shipdate").cast("date"))) + 1)

@@ -15,10 +15,18 @@ parts / brands / suppliers win when there is more than one axis of
                            criteria
 
 Determinism: skyline runs on exact integer cents/sizes; Borda on
-integer competition ranks of exact decimal aggregates; TOPSIS keeps
+integer competition ranks of exact integer aggregates; TOPSIS keeps
 every sufficient statistic an exact integer until the one closed-form
 closeness expression (same operation tree both engines, IEEE-identical)
 and ranks by the ROUNDED closeness with a key tie-break.
+
+Cent sums ride LONG partials, not DECIMAL(38,0): a 128-bit decimal
+partial aggregation measured ~6x slower than int64 on the same sf1
+sum, and per-group cent totals are bounded by the table's total cents
+(~6e18 at the 100 TB design point, inside int64).  Statistics whose
+magnitude grows with n² (pair products, squared sums) stay DECIMAL
+elsewhere in the catalog — the bound, not a blanket rule, picks the
+type.
 
 Scale: the classic skyline is a quadratic block-nested-loop self-join;
 in 2D it collapses to a sort + running strict-prefix max — expressed
@@ -139,7 +147,7 @@ def borda_brand_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p_brand").alias("brand"))
              .agg(F.sum(F.round(F.col("l_extendedprice")
                                 * (1 - F.col("l_discount")) * 100)
-                        .cast("decimal(38,0)")).alias("rev_c"),
+                        .cast("long")).alias("rev_c"),
                   F.countDistinct("o_custkey").alias("n_cust"),
                   F.sum(F.col("l_quantity").cast("long")).alias("tot_q")))
     ranked = stats.select(
@@ -222,10 +230,10 @@ def topsis_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
              .agg(F.sum(F.round(F.col("l_extendedprice")
                                 * (1 - F.col("l_discount")) * 100)
-                        .cast("decimal(38,0)")).alias("rev_c"),
+                        .cast("long")).alias("rev_c"),
                   F.sum(F.col("l_quantity").cast("long")).alias("tot_q"),
                   F.sum(F.round(F.col("l_discount") * 100)
-                        .cast("decimal(38,0)")).alias("disc_c"),
+                        .cast("long")).alias("disc_c"),
                   F.count(F.lit(1)).alias("n_lines"))
              .cache())  # |suppliers| rows: feeds norms + scaled legs
     d = lambda c: F.col(c).cast("double")  # noqa: E731
