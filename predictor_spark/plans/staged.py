@@ -68,6 +68,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_mcda",
     "catalog_r8_scorecard",
     "catalog_r8_privacy",
+    "catalog_r8_forecast2",
 )
 
 

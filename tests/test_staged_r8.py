@@ -452,3 +452,80 @@ class TestPrivacy:
         # the estimator should land near the truth (plausible
         # deniability without destroying the aggregate)
         assert abs(row["estimated_share"] - row["true_share"]) < 0.1
+
+
+@pytest.fixture(scope="module")
+def daily_bars():
+    ev = _events()
+    ev = ev.assign(day=ev["ts"].dt.normalize(),
+                   cents=np.round(ev["value"].to_numpy() * 100)
+                   .astype(np.int64))
+    g = ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    return {t: grp.sort_values("day")["cents"].to_numpy(dtype=np.int64)
+            for t, grp in g.groupby("event_type")}
+
+
+class TestForecast2:
+    def test_ses_matches_loop(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_forecast2 import (
+            ses_forecast_per_series)
+
+        got = (ses_forecast_per_series(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            if len(x) < 3:
+                continue
+            l, err = float(x[0]), 0.0
+            for k in range(1, len(x)):
+                err += abs(float(x[k]) - l)
+                l = 0.3 * float(x[k]) + 0.7 * l
+            row = got.loc[t]
+            assert row["n"] == len(x)
+            assert row["ses_level"] == pytest.approx(l / 100, abs=1e-5)
+            assert row["one_step_mae"] == pytest.approx(
+                err / (len(x) - 1) / 100, abs=1e-5)
+
+    def test_theta_matches_loop(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_forecast2 import (
+            theta_method_per_series)
+
+        got = (theta_method_per_series(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            n = len(x)
+            if n < 3:
+                continue
+            tt = np.arange(1, n + 1, dtype=float)
+            b, a = np.polyfit(tt, x.astype(float), 1)
+            theta2 = 2 * x.astype(float) - (a + b * tt)
+            l = theta2[0]
+            for k in range(1, n):
+                l = 0.5 * theta2[k] + 0.5 * l
+            row = got.loc[t]
+            assert row["trend_slope"] == pytest.approx(b / 100, abs=1e-4)
+            assert row["theta2_level"] == pytest.approx(l / 100, rel=1e-5)
+            for h in (1, 2, 3):
+                assert row[f"fc{h}"] == pytest.approx(
+                    0.5 * (l + a + b * (n + h)) / 100, rel=1e-5)
+
+    def test_drift_line_through_endpoints(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_forecast2 import (
+            drift_forecast_per_series)
+
+        got = (drift_forecast_per_series(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            n = len(x)
+            if n < 3:
+                continue
+            slope = (float(x[-1]) - float(x[0])) / (n - 1)
+            row = got.loc[t]
+            assert row["drift_per_day"] == pytest.approx(
+                slope / 100, abs=1e-5)
+            assert row["fc1"] == pytest.approx(
+                (x[-1] + slope) / 100, abs=1e-4)
+            assert row["fc3"] == pytest.approx(
+                (x[-1] + 3 * slope) / 100, abs=1e-4)
+            # fc extends the endpoint line: fc3 - fc1 == 2 * slope
+            assert row["fc3"] - row["fc1"] == pytest.approx(
+                2 * slope / 100, abs=1e-4)

@@ -1173,6 +1173,25 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # r8 classical forecasts: one events scan to (series, day) bars
+    # map-side; SES/theta are one fold task per series, drift is pure
+    # aggregation (no python at all)
+    "ses_forecast_per_series": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "theta_method_per_series": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "drift_forecast_per_series": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
 }
 
 
