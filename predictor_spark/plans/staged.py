@@ -69,6 +69,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_scorecard",
     "catalog_r8_privacy",
     "catalog_r8_forecast2",
+    "catalog_r8_changepoint",
 )
 
 

@@ -529,3 +529,80 @@ class TestForecast2:
             # fc extends the endpoint line: fc3 - fc1 == 2 * slope
             assert row["fc3"] - row["fc1"] == pytest.approx(
                 2 * slope / 100, abs=1e-4)
+
+
+def _sse(x: np.ndarray) -> float:
+    return float(((x - x.mean()) ** 2).sum())
+
+
+def _brute_binseg(x: np.ndarray, minseg: int = 3):
+    """O(n^2) loop-form best mean split — independent of the window
+    algebra: try every k, recompute segment SSEs from scratch."""
+    n = len(x)
+    best_k, best_gain = None, -np.inf
+    total = _sse(x.astype(float))
+    for k in range(minseg, n - minseg + 1):
+        gain = total - _sse(x[:k].astype(float)) - _sse(x[k:].astype(float))
+        if gain > best_gain + 1e-9:
+            best_k, best_gain = k, gain
+    return best_k, best_gain
+
+
+class TestChangepoint:
+    def test_best_split_matches_bruteforce(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_changepoint import (
+            binseg_mean_split)
+
+        got = (binseg_mean_split(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            k, gain = _brute_binseg(x)
+            row = got.loc[t]
+            assert row["split_idx"] == k
+            assert row["gain"] == pytest.approx(gain / 1e4, rel=1e-6)
+            assert row["mean_left"] == pytest.approx(
+                x[:k].mean() / 100, abs=1e-4)
+            assert row["mean_right"] == pytest.approx(
+                x[k:].mean() / 100, abs=1e-4)
+
+    def test_second_split_matches_bruteforce(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_changepoint import (
+            binseg_second_split)
+
+        got = (binseg_second_split(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            k1, _ = _brute_binseg(x)
+            cands = []
+            kl, gl = _brute_binseg(x[:k1])
+            if kl is not None:
+                cands.append((gl, 0, kl))
+            kr, gr = _brute_binseg(x[k1:])
+            if kr is not None:
+                cands.append((gr, 1, kr + k1))
+            if not cands:
+                assert t not in got.index
+                continue
+            gain2, _, k2 = max(cands, key=lambda c: (round(c[0], 2), -c[1]))
+            row = got.loc[t]
+            assert row["split1_idx"] == k1
+            assert row["split2_idx"] == k2
+            assert row["gain2"] == pytest.approx(gain2 / 1e4, rel=1e-6)
+
+    def test_t_stat_matches_scipy_free_formula(self, spark, daily_bars):
+        from predictor_spark.plans.catalog_r8_changepoint import (
+            level_shift_t_stat)
+
+        got = (level_shift_t_stat(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, x in daily_bars.items():
+            k, _ = _brute_binseg(x)
+            a, b = x[:k].astype(float), x[k:].astype(float)
+            n = len(x)
+            shift = b.mean() - a.mean()
+            pooled = np.sqrt((_sse(a) + _sse(b)) / (n - 2))
+            tstat = shift / pooled / np.sqrt(1 / k + 1 / (n - k))
+            row = got.loc[t]
+            assert row["level_shift"] == pytest.approx(
+                shift / 100, abs=1e-4)
+            assert row["t_stat"] == pytest.approx(tstat, abs=1e-3)

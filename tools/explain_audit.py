@@ -1192,6 +1192,29 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
                 "FlatMapGroupsInPandas"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # r8 changepoint: prefix sums + candidate gains + rank are window
+    # algebra over the bar reduction — NO python anywhere; the second
+    # split joins the tiny best-split row back (broadcast) and re-runs
+    # the same windows once; window-node count: prefix pass (ordered +
+    # unordered frames) + rank = 3-4, second split doubles it
+    "binseg_mean_split": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 1, "max_window_execs": 4,
+    },
+    "binseg_second_split": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 2, "max_window_execs": 9,
+    },
+    "level_shift_t_stat": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 1, "max_window_execs": 4,
+    },
 }
 
 
