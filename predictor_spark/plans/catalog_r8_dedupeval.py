@@ -1,0 +1,150 @@
+"""Catalog part — dedup blocking-quality evaluation (STAGED for r8).
+
+The record-linkage literature's standard report card for a blocking
+scheme (Christen 2012, "Data Matching", ch. 7): how many comparisons
+did blocking save, and how many TRUE matches survived the pruning?
+
+- blocking_quality_report  reduction ratio + pair completeness (a.k.a.
+                           recall of the blocker) of the engine's
+                           MinHash-LSH blocking against the exact
+                           3-gram-Jaccard ground truth — the ONE row a
+                           pipeline owner reads before trusting
+                           dedup_minhash_lsh at 100 TB
+
+Both legs reuse the engine's own operators (operators/dedup.py): the
+candidate set is the LSH band join BEFORE Jaccard verification; the
+truth set is the exact shingle-level Jaccard >= 0.1 pairs.  One
+corpus shingling feeds signatures, candidates, and truth (the cached
+frame is the same sharing the curation pipeline uses).
+
+Determinism: everything is exact integer pair counts until the two
+display ratios, which ride the integer-scale rounding idiom.
+
+Scale: reduction ratio is WHY LSH exists — the report itself runs the
+quadratic truth join, so it belongs on a SAMPLE at 100 TB (bounded
+corpus slices per source, the standard practice); the engine-side
+plan is the sample-ready shape (every stage keyed on doc/shingle,
+no driver state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from predictor_spark.operators import dedup
+from predictor_spark.plans.catalog import query, _t
+from predictor_spark.plans.catalog_text import _SHINGLES_CTE
+
+_NPERM, _BANDS, _THRESH = 16, 4, 0.1
+
+
+def _cands_oracle() -> str:
+    """The LSH candidate CTEs of dedup_minhash_lsh's oracle, shared
+    verbatim (same permutation family, same band keys)."""
+    params = dedup._perm_params(_NPERM)
+    mh_exprs = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.MOD}) AS mh_{k}"
+        for k, (a, b) in enumerate(params))
+    rpb = _NPERM // _BANDS
+    band_keys = []
+    for bi in range(_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh_{bi * rpb + r} AS VARCHAR)" for r in range(rpb))
+        band_keys.append(
+            f"SELECT doc_id, {bi} AS band, {key} AS bkey FROM sig")
+    banded = " UNION ALL ".join(band_keys)
+    return f"""
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, {mh_exprs} FROM hashed GROUP BY doc_id),
+    banded AS ({banded}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@query(
+    "blocking_quality_report",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_cands_oracle()},
+    truth AS (
+        SELECT id_a, id_b FROM jac WHERE j >= {_THRESH}
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM sizes) AS n_docs,
+               (SELECT count(*) FROM cands) AS n_cand,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM truth t
+                JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+                   AS n_caught
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_cand AS BIGINT) AS n_candidate_pairs,
+           CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           round(1000000.0 - CAST(n_cand AS DOUBLE) * 1000000.0
+                 / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2)) / 1000000.0
+               AS reduction_ratio,
+           round(CAST(n_caught AS DOUBLE) * 1000000.0 / n_true) / 1000000.0
+               AS pair_completeness
+    FROM counts
+    """,
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio = 1 − |candidates| / |all pairs| (how much the
+    blocker pruned) and pair completeness = |truth ∩ candidates| /
+    |truth| (how much recall survived), for MinHash(16)/LSH(4 bands)
+    against exact 3-gram Jaccard >= 0.1 over docs with >= 1 shingle.
+
+    Scale: ONE shingling feeds all three legs (cached doc-shingle
+    frame); candidates come from the band-bucket join, truth from the
+    shingle-inverted join — the same two plans the dedup rows run."""
+    docs = _t(spark, sf_dir, "documents")
+    doc = dedup._doc_shingles(docs, "doc_id", "text", 3).cache()
+    n_docs = doc.count()  # materializes the shared cache
+
+    rpb = _NPERM // _BANDS
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.concat_ws("_", *[
+                     F.element_at("sig", bi * rpb + r + 1)
+                     for r in range(rpb)]).alias("bkey"))
+        for bi in range(_BANDS)])
+    banded = (doc.select("doc_id",
+                         dedup._sig_array(F.col("sh"), _NPERM).alias("sig"))
+              .select("doc_id", F.explode(band_structs).alias("x"))
+              .select("doc_id", "x.band", "x.bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey")))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+             .distinct())
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_THRESH).select("id_a", "id_b")
+    caught = truth.join(cands, ["id_a", "id_b"])
+
+    row = (cands.agg(F.count(F.lit(1)).alias("n_cand"))
+           .crossJoin(F.broadcast(
+               truth.agg(F.count(F.lit(1)).alias("n_true"))))
+           .crossJoin(F.broadcast(
+               caught.agg(F.count(F.lit(1)).alias("n_caught")))))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    total = float(n_docs) * (n_docs - 1) / 2
+    return row.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.col("n_cand").cast("long").alias("n_candidate_pairs"),
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        F.col("n_caught").cast("long").alias("n_caught"),
+        (F.round(1000000.0 - d("n_cand") * 1000000.0 / F.lit(total))
+         / 1000000.0).alias("reduction_ratio"),
+        (F.round(d("n_caught") * 1000000.0 / F.col("n_true")) / 1000000.0)
+        .alias("pair_completeness"))

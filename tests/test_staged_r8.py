@@ -606,3 +606,33 @@ class TestChangepoint:
             assert row["level_shift"] == pytest.approx(
                 shift / 100, abs=1e-4)
             assert row["t_stat"] == pytest.approx(tstat, abs=1e-3)
+
+
+class TestBlockingQuality:
+    def test_report_consistent_with_dedup_rows(self, spark):
+        """The report's legs must agree with the engine's own dedup
+        rows: n_true == |dedup_ngram_jaccard| and the caught count
+        equals |dedup_minhash_lsh| (candidates verified >= threshold
+        == truth ∩ candidates, since truth IS the >=-threshold set)."""
+        from predictor_spark.plans.catalog_r8_dedupeval import (
+            blocking_quality_report)
+        from predictor_spark.plans.catalog_text import (
+            dedup_minhash_lsh, dedup_ngram_jaccard)
+
+        row = blocking_quality_report(spark, SF_DIR).collect()[0]
+        n_true = dedup_ngram_jaccard(spark, SF_DIR).count()
+        n_lsh = dedup_minhash_lsh(spark, SF_DIR).count()
+        assert row["n_true_pairs"] == n_true
+        assert row["n_caught"] == n_lsh
+        assert 0 <= row["n_caught"] <= row["n_true_pairs"]
+        assert row["n_candidate_pairs"] >= row["n_caught"]
+        assert 0.0 <= row["pair_completeness"] <= 1.0
+        # blocking must actually block: candidate pairs a small
+        # fraction of the quadratic total
+        assert row["reduction_ratio"] > 0.9
+        # ratios recompute from the integer counts
+        total = row["n_docs"] * (row["n_docs"] - 1) / 2
+        assert row["reduction_ratio"] == pytest.approx(
+            1 - row["n_candidate_pairs"] / total, abs=2e-6)
+        assert row["pair_completeness"] == pytest.approx(
+            row["n_caught"] / n_true, abs=2e-6)

@@ -1215,6 +1215,15 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
                 "FlatMapGroupsInPandas"],
         "max_scans": 1, "max_window_execs": 4,
     },
+    # r8 dedup eval: one CACHED shingling feeds candidates + truth +
+    # counts; band/shingle self-joins are keyed (SMJ is the
+    # co-partitioned plan there); the three count legs are 1-row
+    # broadcasts
+    "blocking_quality_report": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 0,
+    },
 }
 
 
