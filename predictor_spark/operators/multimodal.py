@@ -126,6 +126,65 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(extract, schema)
 
 
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode over binary payloads — the audio analog of
+    ``decode_image_features``: canonical 16-bit PCM WAV payloads are
+    decoded by the pure-stdlib codec in ``operators/wav_codec.py``
+    (RIFF chunk walk, fmt validation, PCM unpack) inside the same
+    mapInPandas seam, and summarized to typed audio features.
+    Non-WAV / undecodable payloads yield a ``decoded=false`` row with
+    null features — quarantine-column routing, never a task failure.
+
+    Output: id, decoded, sample_rate, channels, n_frames, duration_ms,
+    rms, peak (rms/peak normalized by full scale 32768, 6 dp; both
+    null for a zero-frame file — a valid decode, the PNG zero-area
+    lesson).  With libsndfile on the image the codec swaps behind the
+    same batch loop; schema and partitioning are unchanged.
+    """
+    schema = (f"{id_col} bigint, decoded boolean, sample_rate int, "
+              f"channels int, n_frames bigint, duration_ms double, "
+              f"rms double, peak double")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from predictor_spark.operators.wav_codec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    rate, ch, samples = decode_wav(bytes(p))
+                    n_frames = len(samples) // ch
+                    dur = round(1000.0 * n_frames / rate, 6)
+                    if samples:
+                        # exact integer sum of squares, one sqrt at the end
+                        sq = 0
+                        peak = 0
+                        for s in samples:
+                            sq += s * s
+                            if abs(s) > peak:
+                                peak = abs(s)
+                        rms = round(
+                            math.sqrt(sq / len(samples)) / 32768.0, 6)
+                        peak_n = round(peak / 32768.0, 6)
+                    else:
+                        rms, peak_n = None, None
+                    rows.append((int(i), True, rate, ch, n_frames, dur,
+                                 rms, peak_n))
+                except Exception:  # ValueError -> quarantine row
+                    rows.append((int(i), False, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "decoded", "sample_rate", "channels", "n_frames",
+                "duration_ms", "rms", "peak"])
+
+    from predictor_spark.shiplib import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    return df.select(id_col, "payload").mapInPandas(extract, schema)
+
+
 def _exploded_frames(df: DataFrame, every_n_bytes: int, id_col: str) -> DataFrame:
     """Shared frame-offset fan-out: one row per sampled frame index,
     frames = max(1, floor(payload_bytes / every_n_bytes)), indices

@@ -71,6 +71,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_forecast2",
     "catalog_r8_changepoint",
     "catalog_r8_dedupeval",
+    "catalog_r8_multimodal2",
 )
 
 

@@ -1224,6 +1224,15 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_window_execs": 0,
     },
+    # r8 audio: doc_id-pruned scan (pushed filter, 1-column ReadSchema)
+    # into ONE mapInPandas stage — synth + real codec round-trip never
+    # leave the worker
+    "audio_wav_roundtrip_features": {
+        "must": ["MapInPandas", "PushedFilters: [IsNotNull(doc_id), "
+                 "LessThan(doc_id,100)]", "ReadSchema: struct<doc_id:bigint>"],
+        "not": ["CartesianProduct", "Join", "WindowExec"],
+        "max_scans": 1,
+    },
 }
 
 
