@@ -72,6 +72,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_changepoint",
     "catalog_r8_dedupeval",
     "catalog_r8_multimodal2",
+    "catalog_r8_estimation",
 )
 
 

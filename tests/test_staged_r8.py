@@ -636,3 +636,75 @@ class TestBlockingQuality:
             1 - row["n_candidate_pairs"] / total, abs=2e-6)
         assert row["pair_completeness"] == pytest.approx(
             row["n_caught"] / n_true, abs=2e-6)
+
+
+class TestEstimation:
+    def test_gumbel_fit_matches_numpy(self, spark):
+        from predictor_spark.plans.catalog_r8_estimation import (
+            gumbel_return_level)
+
+        ev = _events()
+        ev = ev.assign(day=ev["ts"].dt.normalize(),
+                       cents=np.round(ev["value"].to_numpy() * 100)
+                       .astype(np.int64))
+        got = (gumbel_return_level(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, grp in ev.groupby("event_type"):
+            mx = grp.groupby("day")["cents"].max().to_numpy(dtype=float)
+            s = mx.std(ddof=1) / 100
+            beta = s * np.sqrt(6) / np.pi
+            mu = mx.mean() / 100 - 0.5772156649015329 * beta
+            rl = mu - beta * np.log(-np.log(0.99))
+            row = got.loc[t]
+            assert row["n_days"] == len(mx)
+            assert row["gumbel_beta"] == pytest.approx(beta, rel=1e-6)
+            assert row["gumbel_mu"] == pytest.approx(mu, rel=1e-6)
+            assert row["return_level_100d"] == pytest.approx(rl, rel=1e-6)
+            # the 100-day level must exceed the location parameter
+            assert row["return_level_100d"] > row["gumbel_mu"]
+
+    def test_horvitz_thompson_matches_hashlib(self, spark):
+        import hashlib
+
+        from predictor_spark.plans.catalog_r8_estimation import (
+            horvitz_thompson_total)
+
+        ev = _events()
+        y = (ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+             .groupby("user_id")["p"].sum())
+        ht = vhat = 0.0
+        n_s = 0
+        for uid, yi in y.items():
+            pi = 0.1 if uid % 2 == 0 else 0.3
+            h = int(hashlib.md5(f"ht|{uid}".encode()).hexdigest()[:7], 16)
+            if (h + 0.5) / 2**28 < pi:
+                n_s += 1
+                ht += yi / pi
+                vhat += (1 - pi) / pi**2 * yi * yi
+        row = horvitz_thompson_total(spark, SF_DIR).collect()[0]
+        assert row["n_sampled"] == n_s
+        assert row["ht_total"] == pytest.approx(ht, abs=1e-3)
+        assert row["ht_variance"] == pytest.approx(vhat, abs=1e-1)
+        assert row["true_total"] == int(y.sum())
+        # design-unbiasedness sanity: the estimate is within 4 sd of
+        # the truth (deterministic data, so this is a fixed fact)
+        assert abs(row["ht_total"] - row["true_total"]) \
+            <= 4 * np.sqrt(row["ht_variance"]) + 1e-9
+
+    def test_lincoln_petersen_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r8_estimation import (
+            lincoln_petersen_users)
+
+        ev = _events()
+        c1 = set(ev.loc[ev["ts"] < pd.Timestamp("2024-01-08"), "user_id"])
+        c2 = set(ev.loc[(ev["ts"] >= pd.Timestamp("2024-01-15"))
+                        & (ev["ts"] < pd.Timestamp("2024-01-22")),
+                        "user_id"])
+        m = len(c1 & c2)
+        chapman = (len(c1) + 1) * (len(c2) + 1) / (m + 1) - 1
+        row = lincoln_petersen_users(spark, SF_DIR).collect()[0]
+        assert row["n_capture1"] == len(c1)
+        assert row["n_capture2"] == len(c2)
+        assert row["n_recaptured"] == m
+        assert row["chapman_estimate"] == pytest.approx(chapman, abs=1e-3)
+        assert row["true_users"] == ev["user_id"].nunique()

@@ -1233,6 +1233,23 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "Join", "WindowExec"],
         "max_scans": 1,
     },
+    # r8 estimation: map-side reductions, 1-row closed forms, no joins
+    "gumbel_return_level": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "horvitz_thompson_total": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "lincoln_petersen_users": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
 }
 
 
