@@ -1,0 +1,295 @@
+"""Catalog part — product-quantization ANN (STAGED for r8).
+
+Completes the engine's approximate-nearest-neighbor ladder
+(brute-force -> LSH -> IVF, operators/similarity.py) with the
+compressed-domain scan every billion-vector index runs on top of IVF:
+
+- pq_adc_topk  product quantization with asymmetric distance
+               computation + exact re-rank (Jégou, Douze & Schmid,
+               TPAMI 2011 — the ADC+R arrangement): M = 16 subspaces
+               x 4 dims, K = 16 centroids per subspace trained by
+               the SAME deterministic Lloyd's fit the IVF row uses
+               (operators/kmeans.py), vectors encoded to 16 small
+               codes, queries scanning CODES ONLY via per-subspace
+               distance tables to a 50-candidate shortlist, then ONE
+               keyed join pulls raw vectors for the exact top-5
+               re-rank (recall@5 vs brute force: 0.90 at sf0.001,
+               0.92 at sf0.01 — pinned in tests)
+
+Determinism: the per-subspace k-means rides kmeans_fit's rounding
+conventions (assign_dp = 6, centroid_dp = 8 — the knn_cosine_ivf
+precedent, which pins centroids bit-exactly across engines); every
+ADC term is a 6-dp-rounded subspace distance, summed in a fixed
+16-term order; both rank stages break ties on the neighbor id.
+
+Scale: this is WHY PQ exists — the linear scan never touches a raw
+vector: it reads |codes| tiny integers and adds M table lookups per
+candidate (the literal distance-table arrays live in the projection,
+so the scan is whole-stage-codegen JVM arithmetic); only the
+50-candidate shortlist per query pulls raw vectors back through a
+keyed join for the exact re-rank.  At 100 TB the code table is
+~1/16th the raw embedding bytes and the same plan serves from the
+IVF row's probed lists (IVFADC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.operators.similarity import as_double_vec
+from predictor_spark.plans.catalog import query, _t
+
+_M, _SUB, _K, _ITER = 16, 4, 16, 2
+_SHORT = 50  # ADC shortlist size before the exact re-rank
+_TOPK = 5
+_NQ = 10  # queries: vec_id < 10 (the IVF/bruteforce convention)
+
+
+def _sqd4(v, lo: int, cent: list[float]):
+    """Squared L2 of a _SUB-dim slice against a literal centroid as
+    FLAT arithmetic (element_at + mul + add): the higher-order-fold
+    form (kmeans._sqdist) stays interpreted per row, which at 16
+    subspaces x 16 centroids x |scan| rows dominated the wall clock
+    (the macd_signal lesson — HOFs are the slow path).  The explicit
+    left-assoc sum is bit-identical to the fold (0.0 + t == t for the
+    nonnegative first term), so the oracle's list_sum replays it."""
+    terms = []
+    for d in range(_SUB):
+        e = F.element_at(v, lo + d) - F.lit(float(cent[d]))
+        terms.append(e * e)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _exploded(emb_v: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): one row per (vector, subspace), sv the 4-dim
+    slice — the frame every PQ stage joins the codebook onto."""
+    slices = F.array(*[F.slice(F.col("v"), m * _SUB + 1, _SUB)
+                       for m in range(_M)])
+    return emb_v.select(
+        "vec_id", F.posexplode(slices).alias("m", "sv"))
+
+
+def _assign(ex: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, sv): nearest codebook entry per subspace —
+    a BROADCAST join against the 256-row codebook + a min(struct)
+    argmin (6-dp rounded distance, lowest-centroid tie-break: the
+    struct orders by (dist, c) and those pairs are unique per group).
+    Embedding the codebook as literal expressions instead put ~1000
+    element_at nodes into one projection and pushed codegen past the
+    JVM method limit into interpreted fallback — the join form keeps
+    every stage small AND is the shape that scales (a real codebook
+    is data, not SQL text)."""
+    dist = None
+    for d in range(_SUB):
+        e = (F.element_at("sv", d + 1) - F.element_at("cv", d + 1))
+        t = e * e
+        dist = t if dist is None else dist + t
+    best = (ex.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct(F.round(dist, 6).alias("d"),
+                                F.col("c").alias("c"),
+                                F.col("sv").alias("sv"))).alias("b")))
+    return best.select(
+        "vec_id", "m", F.col("b.c").alias("code"), F.col("b.sv").alias("sv"))
+
+
+def _fit_codebooks(spark: SparkSession, sf_dir: str):
+    """Deterministic Lloyd's fit for ALL _M subspaces at once —
+    kmeans_fit's exact semantics (lowest-id init, 6-dp assignment
+    rounding with lowest-centroid ties, 8-dp centroid rounding, empty
+    clusters keep the previous centroid) over the exploded
+    (vector, subspace) frame: each iteration is one broadcast-join
+    assignment + one 256-group update.  Returns
+    [subspace][centroid] -> list[float]."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v"))
+    init = emb.orderBy("vec_id").limit(_K).collect()
+    books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
+             for m in range(_M)]
+    ex = _exploded(emb)
+    for _ in range(_ITER):
+        cb = spark.createDataFrame(
+            [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
+            "m int, c int, cv array<double>")
+        rows = (_assign(ex, cb)
+                .groupBy("m", "code")
+                .agg(*[F.round(F.avg(F.element_at("sv", d + 1)), 8)
+                       .alias(f"c{d}") for d in range(_SUB)])
+                .collect())
+        new = {(r["m"], r["code"]): [r[f"c{d}"] for d in range(_SUB)]
+               for r in rows}
+        books = [[new.get((m, c), books[m][c]) for c in range(_K)]
+                 for m in range(_M)]
+    return books
+
+
+def _pq_oracle() -> str:
+    """Replays the whole PQ path in SQL: per-subspace Lloyd's unrolled
+    as CTE chains (the knn_cosine_ivf oracle pattern on slices),
+    encode, then the ADC scan with 6-dp rounded table terms."""
+    ctes = ["c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    code_joins = []
+    for m in range(_M):
+        lo = m * _SUB + 1
+        sqd = (f"round(list_sum(list_transform(range({lo}, {lo + _SUB}), "
+               f"i -> (e.v[i] - ct.cv[CAST(i - {lo - 1} AS INTEGER)])"
+               f" * (e.v[i] - ct.cv[CAST(i - {lo - 1} AS INTEGER)]))), 6)")
+        ctes.append(
+            f"s{m}_c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cent_id, v[{lo}:{lo + _SUB - 1}] AS cv "
+            f"FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_K}))")
+        cur = f"s{m}_c0"
+        for it in range(_ITER):
+            a, u, nxt = f"s{m}_a{it}", f"s{m}_u{it}", f"s{m}_c{it + 1}"
+            ctes.append(
+                f"{a} AS MATERIALIZED (SELECT vec_id, cent_id FROM ("
+                f"SELECT e.vec_id, ct.cent_id, row_number() OVER "
+                f"(PARTITION BY e.vec_id ORDER BY {sqd}, ct.cent_id) AS rn "
+                f"FROM c e, {cur} ct) WHERE rn = 1)")
+            ctes.append(
+                f"{u} AS MATERIALIZED (SELECT {a}.cent_id, d.i, "
+                f"round(avg(e.v[CAST(d.i + {lo - 1} AS INTEGER)]), 8) AS m "
+                f"FROM {a} JOIN c e USING (vec_id), "
+                f"(SELECT unnest(range(1, {_SUB + 1})) AS i) d "
+                f"GROUP BY {a}.cent_id, d.i)")
+            ctes.append(
+                f"{nxt} AS MATERIALIZED (SELECT cent_id, list(m ORDER BY i) AS cv "
+                f"FROM {u} GROUP BY cent_id "
+                f"UNION ALL SELECT p.cent_id, p.cv FROM {cur} p "
+                f"WHERE p.cent_id NOT IN (SELECT cent_id FROM {u}))")
+            cur = nxt
+        ctes.append(
+            f"s{m}_code AS MATERIALIZED (SELECT vec_id, cent_id AS code{m} FROM ("
+            f"SELECT e.vec_id, ct.cent_id, row_number() OVER "
+            f"(PARTITION BY e.vec_id ORDER BY {sqd}, ct.cent_id) AS rn "
+            f"FROM c e, {cur} ct) WHERE rn = 1)")
+        # query-side distance table for this subspace (rounded terms)
+        qsqd = (f"round(list_sum(list_transform(range({lo}, {lo + _SUB}), "
+                f"i -> (q.v[i] - ct.cv[CAST(i - {lo - 1} AS INTEGER)])"
+                f" * (q.v[i] - ct.cv[CAST(i - {lo - 1} AS INTEGER)]))), 6)")
+        ctes.append(
+            f"s{m}_tab AS MATERIALIZED (SELECT q.vec_id AS query_id, ct.cent_id, "
+            f"{qsqd} AS t FROM (SELECT * FROM c WHERE vec_id < {_NQ}) q, "
+            f"{cur} ct)")
+        code_joins.append(f"s{m}_code")
+    codes = " JOIN ".join([code_joins[0]]
+                          + [f"{t} USING (vec_id)" for t in code_joins[1:]])
+    tabs = " AND ".join(
+        f"t{m}.query_id = t0.query_id" for m in range(1, _M))
+    tab_join = ", ".join(f"s{m}_tab t{m}" for m in range(_M))
+    terms = " + ".join(f"t{m}.t" for m in range(_M))
+    tab_on = " AND ".join(f"t{m}.cent_id = x.code{m}" for m in range(_M))
+    exact = (f"round(list_sum(list_transform(range(1, {_M * _SUB + 1}), "
+             "i -> (q.v[i] - nv.v[i]) * (q.v[i] - nv.v[i]))), 6)")
+    return ("WITH " + ",\n    ".join(ctes) + f""",
+    codes AS MATERIALIZED (SELECT * FROM {codes}),
+    adc AS MATERIALIZED (
+        SELECT t0.query_id, x.vec_id AS neighbor_id,
+               {terms} AS approx_d2
+        FROM codes x, {tab_join}
+        WHERE {tab_on} AND {tabs} AND x.vec_id != t0.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id, approx_d2 FROM (
+            SELECT query_id, neighbor_id, approx_d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_d2, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_SHORT}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(s.approx_d2, 6) AS approx_d2,
+               {exact} AS exact_d2
+        FROM shortlist s
+        JOIN c q ON q.vec_id = s.query_id
+        JOIN c nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_d2, exact_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT reranked.*,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY exact_d2, neighbor_id) AS rank
+        FROM reranked
+    ) WHERE rank <= {_TOPK}
+    ORDER BY query_id, rank
+    """)
+
+
+@query("pq_adc_topk", oracle=_pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC + exact re-rank, top-5 for queries vec_id < 10:
+    per-subspace codebooks trained by the deterministic Lloyd's fit,
+    every vector encoded to (code0..code15), the compressed-domain
+    scan ranks by summed distance-table lookups (each query's 16x16
+    table is literal arrays in the projection — a candidate costs 16
+    element_at lookups + 15 adds), the top-50 shortlist pulls raw
+    vectors through ONE keyed join, and the exact distances pick the
+    final 5.  Recall@5 vs brute force: 0.90/0.92 (sf0.001/sf0.01).
+
+    Scale: the scan side reads ONLY the code table; raw vectors are
+    touched for 50 rows per query.  The oracle unrolls the same
+    subspace fits as SQL CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _fit_codebooks(spark, sf_dir)
+
+    # encode: broadcast-join assignment on the exploded frame, folded
+    # back to one (vec_id, code0..code15) row per vector
+    emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    cb = spark.createDataFrame(
+        [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
+        "m int, c int, cv array<double>")
+    codes = (_assign(_exploded(emb_v), cb)
+             .groupBy("vec_id")
+             .agg(*[F.max(F.when(F.col("m") == m, F.col("code")))
+                    .cast("int").alias(f"code{m}") for m in range(_M)]))
+    v = as_double_vec("embedding")
+
+    # ADC distance tables are a function of the QUERY alone: compute
+    # all M x K rounded terms once over the 10 query rows, carry them
+    # as array columns — the scan side then pays 16 element_at lookups
+    # + 15 adds per candidate (any per-row table recompute put ~1000
+    # expressions into the scan projection and blew the JVM codegen
+    # method limit into interpreted fallback)
+    queries = (emb.where(F.col("vec_id") < _NQ)
+               .select(F.col("vec_id").alias("query_id"),
+                       v.alias("qv")))
+    qtabs = queries.select(
+        "query_id", "qv",
+        *[F.array(*[F.round(_sqd4(F.col("qv"), m * _SUB + 1, c), 6)
+                    for c in books[m]]).alias(f"tab{m}")
+          for m in range(_M)])
+    joined = codes.join(F.broadcast(qtabs),
+                        F.col("vec_id") != F.col("query_id"))
+    approx = None
+    for m in range(_M):
+        term = F.element_at(F.col(f"tab{m}"), F.col(f"code{m}") + 1)
+        approx = term if approx is None else approx + term
+    w_adc = Window.partitionBy("query_id").orderBy("approx_d2",
+                                                   "neighbor_id")
+    shortlist = (joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "qv",
+        approx.alias("approx_d2"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _SHORT)
+        .drop("rn"))
+    # exact re-rank: ONE keyed join pulls the 50 raw vectors per query
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    v.alias("nv"))
+    exact = F.round(F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, d: acc + d), 6)
+    w_final = Window.partitionBy("query_id").orderBy("exact_d2",
+                                                     "neighbor_id")
+    return (shortlist.join(nv, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.round("approx_d2", 6).alias("approx_d2"),
+                    exact.alias("exact_d2"))
+            .withColumn("rank", F.row_number().over(w_final).cast("long"))
+            .where(F.col("rank") <= _TOPK)
+            .orderBy("query_id", "rank"))

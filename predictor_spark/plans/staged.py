@@ -73,6 +73,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_dedupeval",
     "catalog_r8_multimodal2",
     "catalog_r8_estimation",
+    "catalog_r8_pq",
 )
 
 

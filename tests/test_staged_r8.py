@@ -708,3 +708,79 @@ class TestEstimation:
         assert row["n_recaptured"] == m
         assert row["chapman_estimate"] == pytest.approx(chapman, abs=1e-3)
         assert row["true_users"] == ev["user_id"].nunique()
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def pq_numpy(self):
+        """Independent numpy PQ: per-subspace Lloyd's (same lowest-id
+        init / rounding conventions), encode, ADC with 6-dp-rounded
+        table terms — no Spark, no shared SQL."""
+        from predictor_spark.plans.catalog_r8_pq import _ITER, _K, _M, _SUB
+
+        pdf = (pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+               .sort_values("vec_id").reset_index(drop=True))
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy()
+        books, codes = [], []
+        for m in range(_M):
+            S = X[:, m * _SUB:(m + 1) * _SUB]
+            C = S[:_K].copy()
+            for _ in range(_ITER):
+                d = np.round(((S[:, None, :] - C[None, :, :]) ** 2)
+                             .sum(axis=2), 6)
+                lab = d.argmin(axis=1)
+                C = np.stack([
+                    np.round(S[lab == c].mean(axis=0), 8)
+                    if (lab == c).any() else C[c] for c in range(_K)])
+            books.append(C)
+            d = np.round(((S[:, None, :] - C[None, :, :]) ** 2)
+                         .sum(axis=2), 6)
+            codes.append(d.argmin(axis=1))
+        return X, ids, books, np.stack(codes, axis=1)
+
+    def test_pq_topk_matches_numpy_adc_rerank(self, spark, pq_numpy):
+        from predictor_spark.plans.catalog_r8_pq import (_M, _SHORT, _SUB,
+                                                         pq_adc_topk)
+
+        X, ids, books, codes = pq_numpy
+        got = pq_adc_topk(spark, SF_DIR).toPandas()
+        for q in range(10):
+            qv = X[ids == q][0]
+            approx = np.zeros(len(ids))
+            for m in range(_M):
+                qs = qv[m * _SUB:(m + 1) * _SUB]
+                table = np.round(
+                    ((books[m] - qs[None, :]) ** 2).sum(axis=1), 6)
+                approx += table[codes[:, m]]
+            short = [i for i in np.lexsort((ids, np.round(approx, 9)))
+                     if ids[i] != q][:_SHORT]
+            d = ((X - qv[None, :]) ** 2).sum(axis=1)
+            order = sorted(short, key=lambda i: (round(d[i], 6), ids[i]))[:5]
+            g = got[got.query_id == q].sort_values("rank")
+            assert list(g["neighbor_id"]) == [int(ids[i]) for i in order]
+            for want_i, (_, r) in zip(order, g.iterrows()):
+                assert r["approx_d2"] == pytest.approx(
+                    approx[want_i], abs=2e-6)
+                assert r["exact_d2"] == pytest.approx(
+                    d[want_i], abs=2e-6)
+
+    def test_pq_rerank_recall_vs_bruteforce(self, spark, pq_numpy):
+        """The ADC+R arrangement must FIND neighbors: recall@5 of the
+        reranked shortlist against exact L2 top-5 over the 10 queries
+        (deterministic data -> a fixed fact; 0.90 at sf0.001)."""
+        from predictor_spark.plans.catalog_r8_pq import pq_adc_topk
+
+        X, ids, _, _ = pq_numpy
+        got = pq_adc_topk(spark, SF_DIR).toPandas()
+        hits = total = 0
+        for q in range(10):
+            qv = X[ids == q][0]
+            d = ((X - qv[None, :]) ** 2).sum(axis=1)
+            exact = [int(ids[i]) for i in np.argsort(d, kind="stable")
+                     if ids[i] != q][:5]
+            pq = set(got[got.query_id == q]["neighbor_id"])
+            hits += len(pq & set(exact))
+            total += 5
+        assert hits / total >= 0.85

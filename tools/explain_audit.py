@@ -1250,6 +1250,15 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # r8 PQ/ADC+R: the scan side carries ONLY the 16 code ints; query
+    # distance tables broadcast into a BNLJ (the compressed-domain
+    # linear scan, same sanctioned shape as knn_cosine_bruteforce);
+    # two rank windows — the ADC shortlist and the exact re-rank
+    "pq_adc_topk": {
+        "must": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 2,
+    },
 }
 
 
