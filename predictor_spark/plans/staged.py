@@ -34,11 +34,17 @@ headline per family:
 r8 families (built round 6, session 4 — flip AFTER the r7 list):
 
 13. catalog_r8_matrixprofile (3) — bench: matrix_profile_4h
-14. catalog_r8_distdist      (3) — bench: energy_distance_drift
-15. catalog_r8_scorecard     (3) — bench: brier_decomposition
-16. catalog_r8_inventory     (4) — bench: croston_forecast
-17. catalog_r8_mcda          (3) — bench: topsis_supplier_ranking
-18. catalog_r8_privacy       (2) — bench: dp_histogram_laplace
+14. catalog_r8_pq            (1) — bench: pq_adc_topk
+15. catalog_r8_distdist      (3) — bench: energy_distance_drift
+16. catalog_r8_scorecard     (3) — bench: brier_decomposition
+17. catalog_r8_inventory     (4) — bench: croston_forecast
+18. catalog_r8_changepoint   (3) — bench: binseg_second_split
+19. catalog_r8_mcda          (3) — bench: topsis_supplier_ranking
+20. catalog_r8_forecast2     (3) — bench: theta_method_per_series
+21. catalog_r8_dedupeval     (1) — bench: blocking_quality_report
+22. catalog_r8_multimodal2   (1) — bench: audio_wav_roundtrip_features
+23. catalog_r8_estimation    (3) — bench: gumbel_return_level
+24. catalog_r8_privacy       (2) — bench: dp_histogram_laplace
 
 If the free-slot budget is smaller than the staged count, flip whole
 families in this order and leave the rest staged — never register a
