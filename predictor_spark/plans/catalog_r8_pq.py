@@ -72,28 +72,35 @@ def _exploded(emb_v: DataFrame) -> DataFrame:
         "vec_id", F.posexplode(slices).alias("m", "sv"))
 
 
-def _assign(ex: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, code, sv): nearest codebook entry per subspace —
+def _assign(ex: DataFrame, cb: DataFrame,
+            with_sv: bool = True) -> DataFrame:
+    """(vec_id, m, code[, sv]): nearest codebook entry per subspace —
     a BROADCAST join against the 256-row codebook + a min(struct)
     argmin (6-dp rounded distance, lowest-centroid tie-break: the
-    struct orders by (dist, c) and those pairs are unique per group).
-    Embedding the codebook as literal expressions instead put ~1000
-    element_at nodes into one projection and pushed codegen past the
-    JVM method limit into interpreted fallback — the join form keeps
-    every stage small AND is the shape that scales (a real codebook
-    is data, not SQL text)."""
+    struct orders by (dist, c) and those pairs are unique per group,
+    so the trailing sv payload is never compared).  Embedding the
+    codebook as literal expressions instead put ~1000 element_at
+    nodes into one projection and pushed codegen past the JVM method
+    limit into interpreted fallback — the join form keeps every stage
+    small AND is the shape that scales (a real codebook is data, not
+    SQL text).  ``with_sv=False`` drops the subvector payload for
+    callers that only need the code (the encode path — no point
+    shuffling 4 doubles per row the consumer discards)."""
     dist = None
     for d in range(_SUB):
         e = (F.element_at("sv", d + 1) - F.element_at("cv", d + 1))
         t = e * e
         dist = t if dist is None else dist + t
+    fields = [F.round(dist, 6).alias("d"), F.col("c").alias("c")]
+    if with_sv:
+        fields.append(F.col("sv").alias("sv"))
     best = (ex.join(F.broadcast(cb), "m")
             .groupBy("vec_id", "m")
-            .agg(F.min(F.struct(F.round(dist, 6).alias("d"),
-                                F.col("c").alias("c"),
-                                F.col("sv").alias("sv"))).alias("b")))
-    return best.select(
-        "vec_id", "m", F.col("b.c").alias("code"), F.col("b.sv").alias("sv"))
+            .agg(F.min(F.struct(*fields)).alias("b")))
+    cols = ["vec_id", "m", F.col("b.c").alias("code")]
+    if with_sv:
+        cols.append(F.col("b.sv").alias("sv"))
+    return best.select(*cols)
 
 
 def _fit_codebooks(spark: SparkSession, sf_dir: str):
@@ -243,7 +250,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
         "m int, c int, cv array<double>")
-    codes = (_assign(_exploded(emb_v), cb)
+    codes = (_assign(_exploded(emb_v), cb, with_sv=False)
              .groupBy("vec_id")
              .agg(*[F.max(F.when(F.col("m") == m, F.col("code")))
                     .cast("int").alias(f"code{m}") for m in range(_M)]))

@@ -200,11 +200,9 @@ class TestInventory:
 
         got = (safety_stock_reorder_point(spark, SF_DIR).toPandas()
                .set_index("brand"))
-        df = li_orders.assign(
-            ld=(df_ld := (li_orders["ship_day"]
-                          - li_orders["o_orderdate"].dt.normalize())
-                .dt.days.clip(lower=0)))
-        assert (df_ld >= -10**9).all()  # silence unused-expr linters
+        ld = (li_orders["ship_day"]
+              - li_orders["o_orderdate"].dt.normalize()).dt.days
+        df = li_orders.assign(ld=ld.clip(lower=0))
         for brand, grp in df.groupby("p_brand"):
             daily = grp.groupby("ship_day")["l_quantity"].sum()
             mu, sd = daily.mean(), daily.std(ddof=1)
