@@ -80,6 +80,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_multimodal2",
     "catalog_r8_estimation",
     "catalog_r8_pq",
+    "catalog_r8_sequential",
 )
 
 

@@ -782,3 +782,67 @@ class TestProductQuantization:
             hits += len(pq & set(exact))
             total += 5
         assert hits / total >= 0.85
+
+
+class TestSequential:
+    def test_sprt_matches_python_walk(self, spark):
+        import math
+
+        from predictor_spark.plans.catalog_r8_sequential import (
+            _CAP, _LN_A, _LN_B, _P0, _P1, sprt_purchase_rate)
+
+        ev = (_events().sort_values(["ts", "event_id"]).head(_CAP))
+        y = (ev["event_type"] == "purchase").astype(int).to_numpy()
+        l1 = math.log(_P1 / _P0)
+        l0 = math.log((1 - _P1) / (1 - _P0))
+        k = llr = 0.0
+        decision = None
+        for n in range(1, len(y) + 1):
+            k += y[n - 1]
+            llr = round(k * l1 + (n - k) * l0, 6)
+            if llr >= _LN_A or llr <= _LN_B:
+                decision = (n, int(k), llr,
+                            "accept_h1" if llr >= _LN_A else "accept_h0")
+                break
+        assert decision is not None, "no crossing in the capped stream"
+        row = sprt_purchase_rate(spark, SF_DIR).collect()[0]
+        assert (row["n_at_decision"], row["successes"]) == decision[:2]
+        assert row["llr"] == pytest.approx(decision[2], abs=1e-6)
+        assert row["decision"] == decision[3]
+        # the sequential design decided far before the cap
+        assert row["n_at_decision"] < _CAP / 2
+
+    def test_obf_looks_match_pandas(self, spark):
+        from predictor_spark.plans.catalog_r8_sequential import (
+            _Z_OBF, obrien_fleming_looks)
+
+        ev = _events()
+        g = (ev.assign(p=(ev["event_type"] == "purchase").astype(int),
+                       e=(ev["event_type"] == "error").astype(int))
+             .groupby("user_id")
+             .agg(first=("ts", "min"), p=("p", "sum"), e=("e", "sum")))
+        g["y"] = (g["p"] > g["e"]).astype(int)
+        g["arm"] = g.index % 2
+        got = (obrien_fleming_looks(spark, SF_DIR).toPandas()
+               .set_index("look"))
+        assert list(got.index) == [1, 2, 3, 4, 5]
+        for look in range(1, 6):
+            cutoff = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                days=6 * look)
+            sub = g[g["first"].dt.normalize() < cutoff]
+            n0, n1 = (sub.arm == 0).sum(), (sub.arm == 1).sum()
+            y0 = sub.loc[sub.arm == 0, "y"].sum()
+            y1 = sub.loc[sub.arm == 1, "y"].sum()
+            pbar = (y0 + y1) / (n0 + n1)
+            z = (y1 / n1 - y0 / n0) / np.sqrt(
+                pbar * (1 - pbar) * (1 / n0 + 1 / n1))
+            row = got.loc[look]
+            assert row["n_users"] == n0 + n1
+            assert row["z_stat"] == pytest.approx(z, abs=1e-5)
+            assert row["obf_boundary"] == pytest.approx(
+                _Z_OBF * np.sqrt(5 / look), abs=1e-6)
+            assert bool(row["crossed"]) == bool(
+                abs(z) >= _Z_OBF * np.sqrt(5 / look))
+        # OBF boundaries shrink monotonically toward the final look
+        b = got["obf_boundary"].to_numpy()
+        assert (np.diff(b) < 0).all()

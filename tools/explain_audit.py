@@ -1259,6 +1259,21 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_window_execs": 2,
     },
+    # r8 sequential: SPRT = bounded ordered head (limit pushdown) +
+    # one prefix window + one rank window; OBF = per-user reduction
+    # re-aggregated through a 5-row broadcast inequality join (BNLJ
+    # on a literal side is the sanctioned shape)
+    "sprt_purchase_rate": {
+        "must": [],  # pure window walk — no aggregation anywhere
+        "not": ["CartesianProduct", "SortMergeJoin", "Join",
+                "FlatMapGroupsInPandas"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "obrien_fleming_looks": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
 }
 
 
