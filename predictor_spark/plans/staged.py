@@ -54,6 +54,38 @@ units).
 
 from __future__ import annotations
 
+#: machine-readable flip order (mirrors the docstring above):
+#: (module, n_rows, bench headline) — consumed by tools/flip_staged.py,
+#: which selects a whole-family prefix fitting the round's free-slot
+#: budget and applies the textual edits mechanically
+FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
+    ("catalog_r7_attribution", 6, "attribution_markov_removal"),
+    ("catalog_r7_ireval", 3, "ndcg_at_10_brands"),
+    ("catalog_r7_causal", 4, "qini_curve_points"),
+    ("catalog_r7_governance", 3, "reid_risk_ladder"),
+    ("catalog_r7_linkanalysis", 5, "adamic_adar_links"),
+    ("catalog_r7_lexical", 4, "trigram_hapax_share"),
+    ("catalog_r7_nonparam", 3, "spearman_qty_discount"),
+    ("catalog_r7_risk", 4, "capm_beta_by_type"),
+    ("catalog_r7_vol", 3, "realized_vol_7d"),
+    ("catalog_r7_ops", 3, "lead_time_percentiles"),
+    ("catalog_r7_metrics2", 2, "forecast_accuracy_battery"),
+    ("catalog_r7_econ", 2, "fisher_price_index"),
+    ("catalog_r8_matrixprofile", 3, "matrix_profile_4h"),
+    ("catalog_r8_pq", 1, "pq_adc_topk"),
+    ("catalog_r8_distdist", 3, "energy_distance_drift"),
+    ("catalog_r8_scorecard", 3, "brier_decomposition"),
+    ("catalog_r8_inventory", 4, "croston_forecast"),
+    ("catalog_r8_changepoint", 3, "binseg_second_split"),
+    ("catalog_r8_mcda", 3, "topsis_supplier_ranking"),
+    ("catalog_r8_forecast2", 3, "theta_method_per_series"),
+    ("catalog_r8_dedupeval", 1, "blocking_quality_report"),
+    ("catalog_r8_multimodal2", 1, "audio_wav_roundtrip_features"),
+    ("catalog_r8_estimation", 3, "gumbel_return_level"),
+    ("catalog_r8_privacy", 2, "dp_histogram_laplace"),
+    ("catalog_r8_sequential", 2, "sprt_purchase_rate"),
+)
+
 STAGED_MODULES: tuple[str, ...] = (
     "catalog_r7_ireval",
     "catalog_r7_nonparam",

@@ -846,3 +846,55 @@ class TestSequential:
         # OBF boundaries shrink monotonically toward the final look
         b = got["obf_boundary"].to_numpy()
         assert (np.diff(b) < 0).all()
+
+
+class TestFlipOrder:
+    def test_flip_order_matches_registry(self):
+        """FLIP_ORDER must cover every staged module exactly once with
+        the TRUE row count (tools/flip_staged.py budgets on these), and
+        every bench headline must be a real query in its module."""
+        import predictor_spark.plans.catalog as catalog
+        from predictor_spark.plans.staged import (FLIP_ORDER,
+                                                  STAGED_MODULES,
+                                                  load_staged)
+
+        load_staged()
+        from collections import Counter
+
+        cnt = Counter()
+        mod_of = {}
+        for name, fn in catalog.QUERIES.items():
+            mod = fn.__module__.rsplit(".", 1)[-1]
+            if mod in STAGED_MODULES:
+                cnt[mod] += 1
+                mod_of[name] = mod
+        flip_mods = [m for m, _, _ in FLIP_ORDER]
+        assert sorted(flip_mods) == sorted(set(flip_mods)), "duplicates"
+        assert set(flip_mods) >= set(STAGED_MODULES), \
+            "staged module missing from FLIP_ORDER"
+        for mod, n, bench in FLIP_ORDER:
+            if mod not in STAGED_MODULES:
+                continue  # flipped in an earlier round
+            assert cnt[mod] == n, f"{mod}: FLIP_ORDER says {n}, " \
+                f"registry has {cnt[mod]}"
+            assert mod_of.get(bench) == mod, \
+                f"bench headline {bench} not a query of {mod}"
+
+    def test_flip_tool_budget_selection(self):
+        """The planner takes whole families in order and never exceeds
+        the budget."""
+        # tools/ is not a package; load the module by path
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "flip_staged", "/root/repo/tools/flip_staged.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        for budget in (0, 5, 23, 50, 1000):
+            chosen, used = m.plan(budget)
+            assert used <= budget
+            # in-order whole-family prefix (skipping over-budget stops)
+            from predictor_spark.plans.staged import FLIP_ORDER
+            order = [x[0] for x in FLIP_ORDER]
+            idx = [order.index(c[0]) for c in chosen]
+            assert idx == sorted(idx)
