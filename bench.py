@@ -166,6 +166,17 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
+    # flip-ready headlines: every staged family's bench row is
+    # pre-listed from FLIP_ORDER (importing the constant does NOT load
+    # the staged modules); the `name not in qs` guard below skips rows
+    # whose family hasn't flipped yet, so tools/flip_staged.py
+    # auto-activates each family's bench row with zero bench.py edits
+    from predictor_spark.plans.staged import FLIP_ORDER
+
+    for _mod, _n, flip_bench in FLIP_ORDER:
+        if flip_bench not in HEADLINE:
+            HEADLINE.append(flip_bench)
+
     # warm-up: every benched table's footer + ts-conversion path, then one
     # query for JVM/codegen
     for t in TABLES:
