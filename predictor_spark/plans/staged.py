@@ -57,6 +57,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r8_estimation", 3, "gumbel_return_level"),
     ("catalog_r8_privacy", 2, "dp_histogram_laplace"),
     ("catalog_r8_sequential", 2, "sprt_purchase_rate"),
+    ("catalog_r8_seqpred", 1, "markov_next_event_accuracy"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -86,6 +87,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_estimation",
     "catalog_r8_pq",
     "catalog_r8_sequential",
+    "catalog_r8_seqpred",
 )
 
 

@@ -848,6 +848,44 @@ class TestSequential:
         assert (np.diff(b) < 0).all()
 
 
+class TestSeqPred:
+    def test_markov_accuracy_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r8_seqpred import (
+            markov_next_event_accuracy)
+
+        ev = (_events().sort_values(["ts", "event_id"])
+              .assign(period=lambda d: (d["ts"]
+                                        >= pd.Timestamp("2024-01-16"))
+                      .astype(int)))
+        pairs = []
+        for (_, _), grp in ev.groupby(["user_id", "period"]):
+            et = grp["event_type"].tolist()
+            pairs += [(grp["period"].iloc[0], a, b)
+                      for a, b in zip(et, et[1:])]
+        pp = pd.DataFrame(pairs, columns=["period", "src", "dst"])
+        train, test = pp[pp.period == 0], pp[pp.period == 1]
+        model = {}
+        for src, grp in train.groupby("src"):
+            c = grp.groupby("dst").size().reset_index(name="n")
+            c = c.sort_values(["n", "dst"], ascending=[False, True])
+            model[src] = c["dst"].iloc[0]
+        mc = train.groupby("dst").size().reset_index(name="n")
+        mc = mc.sort_values(["n", "dst"], ascending=[False, True])
+        majority = mc["dst"].iloc[0]
+        scored = test[test["src"].isin(model)]
+        acc_m = (scored["src"].map(model) == scored["dst"]).mean()
+        acc_b = (scored["dst"] == majority).mean()
+
+        row = markov_next_event_accuracy(spark, SF_DIR).collect()[0]
+        assert row["n_train_transitions"] == len(train)
+        assert row["n_test_transitions"] == len(scored)
+        assert row["markov_accuracy"] == pytest.approx(acc_m, abs=2e-6)
+        assert row["baseline_accuracy"] == pytest.approx(acc_b, abs=2e-6)
+        # the Markov model must not lose to its own majority baseline
+        # by more than noise on this data (fixed fact, slack pinned)
+        assert row["markov_accuracy"] >= row["baseline_accuracy"] - 0.02
+
+
 class TestFlipOrder:
     def test_flip_order_matches_registry(self):
         """FLIP_ORDER must cover every staged module exactly once with

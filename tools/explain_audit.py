@@ -1274,6 +1274,14 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # r8 seqpred: ONE fact pass (lead window) reduces to the cached
+    # (period, src, dst) count table; model/baseline/scoring/train
+    # totals all derive from those ~50 rows (windows: 1 lead + 2 rank)
+    "markov_next_event_accuracy": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
 }
 
 
