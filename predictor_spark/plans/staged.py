@@ -58,6 +58,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r8_privacy", 2, "dp_histogram_laplace"),
     ("catalog_r8_sequential", 2, "sprt_purchase_rate"),
     ("catalog_r8_seqpred", 1, "markov_next_event_accuracy"),
+    ("catalog_r9_opsresearch", 3, "kingman_wait_estimate"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -88,6 +89,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_pq",
     "catalog_r8_sequential",
     "catalog_r8_seqpred",
+    "catalog_r9_opsresearch",
 )
 
 

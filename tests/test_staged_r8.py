@@ -886,6 +886,88 @@ class TestSeqPred:
         assert row["markov_accuracy"] >= row["baseline_accuracy"] - 0.02
 
 
+def _sessions_pandas():
+    """Independent 30-min-gap sessionization: (start_ms, dur_ms)."""
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    # explicit ms unit: a bare astype(int64) yields the column's native
+    # resolution (us in pandas 2), silently off by 1000
+    ev["ms"] = ev["ts"].astype("datetime64[ms]").astype("int64")
+    out = []
+    for _, grp in ev.groupby("user_id"):
+        start = prev = None
+        for m in grp["ms"]:
+            if prev is None or m - prev > 1_800_000:
+                if start is not None:
+                    out.append((start, prev - start))
+                start = m
+            prev = m
+        out.append((start, prev - start))
+    return out, int(ev["ms"].max() - ev["ms"].min())
+
+
+class TestOpsResearch:
+    def test_newsvendor_is_exact_order_statistic(self, spark):
+        from predictor_spark.plans.catalog_r9_opsresearch import (
+            newsvendor_order_quantile)
+
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+        df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        df["day"] = df["l_shipdate"].dt.normalize()
+        got = (newsvendor_order_quantile(spark, SF_DIR).toPandas()
+               .set_index("brand"))
+        for brand, grp in df.groupby("p_brand"):
+            dq = (grp.groupby("day")["l_quantity"].sum()
+                  .sort_values().to_numpy())
+            n = len(dq)
+            idx = (8 * n + 9) // 10  # ceil(0.8 n), pure integers
+            row = got.loc[brand]
+            assert row["n_days"] == n
+            assert row["order_up_to"] == int(dq[idx - 1])
+            # the chosen level covers >= 80% of observed days
+            assert (dq <= row["order_up_to"]).mean() >= 0.8
+
+    def test_erlang_b_matches_recursion(self, spark):
+        from predictor_spark.plans.catalog_r9_opsresearch import (
+            erlang_b_blocking)
+
+        sessions, span = _sessions_pandas()
+        a = sum(d for _, d in sessions) / span
+        b = 1.0
+        for j in range(1, 9):
+            b = a * b / (j + a * b)
+        row = erlang_b_blocking(spark, SF_DIR).collect()[0]
+        assert row["n_sessions"] == len(sessions)
+        assert row["offered_load"] == pytest.approx(a, abs=1e-6)
+        assert row["blocking_prob"] == pytest.approx(b, abs=1e-6)
+        assert 0.0 <= row["blocking_prob"] < 1.0
+
+    def test_kingman_matches_moment_formula(self, spark):
+        import math
+
+        from predictor_spark.plans.catalog_r9_opsresearch import (
+            kingman_wait_estimate)
+
+        sessions, span = _sessions_pandas()
+        starts = sorted(s for s, _ in sessions)
+        gaps = np.diff(np.array(starts, dtype=np.int64))
+        durs = np.array([d for _, d in sessions], dtype=np.float64)
+        ca2 = gaps.var() / gaps.mean() ** 2
+        cs2 = durs.var() / durs.mean() ** 2
+        a = durs.sum() / span
+        m = math.ceil(1.25 * a)
+        rho = a / m
+        wq = rho / (1 - rho) * ((ca2 + cs2) / 2) * (durs.mean() / 60000)
+        row = kingman_wait_estimate(spark, SF_DIR).collect()[0]
+        assert row["n_sessions"] == len(sessions)
+        assert row["ca_squared"] == pytest.approx(ca2, rel=1e-4)
+        assert row["cs_squared"] == pytest.approx(cs2, rel=1e-4)
+        assert row["m_servers"] == m
+        assert row["utilization"] == pytest.approx(rho, abs=1e-6)
+        assert row["kingman_wq_min"] == pytest.approx(wq, rel=1e-4)
+        assert 0 < row["utilization"] < 1  # the derived m keeps it so
+
+
 class TestFlipOrder:
     def test_flip_order_matches_registry(self):
         """FLIP_ORDER must cover every staged module exactly once with

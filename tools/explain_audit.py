@@ -1282,6 +1282,29 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1, "max_window_execs": 3,
     },
+    # r9 OR: newsvendor = demand rollup + one rank window (exact
+    # integer rank); erlang/kingman = session reduction (2 windows:
+    # gap-mark + session cumsum share a sort; kingman adds the global
+    # inter-arrival lag) feeding 1-row closed forms
+    "newsvendor_order_quantile": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+    # (the 1-row span frame rides a broadcast nested-loop join — the
+    # scalar-broadcast idiom, so only cartesian/SMJ are forbidden;
+    # kingman adds the global inter-arrival lag on top of the two
+    # session windows and their plan-split sorts: 5 nodes observed)
+    "erlang_b_blocking": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
+    "kingman_wait_estimate": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3, "max_window_execs": 5,
+    },
 }
 
 
