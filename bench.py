@@ -246,14 +246,40 @@ def main() -> None:
         timings[name] = runs[1]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "single_run_cold_warm": cold_warm,
         "sf": sf,
-    }))
+    }
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line found there. Round 6's line (80+ rows, pretty
+    # separators) exceeded that and BENCH_r06.json recorded parsed:null —
+    # the whole round's perf data was lost. The full per-query breakdown
+    # is therefore written to BENCH_FULL.json, and the stdout line is
+    # hard-capped: compact separators, and if still over budget the
+    # FASTEST rows are dropped first (the heavy rows are the perf signal;
+    # `value` stays the total over ALL rows either way).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    line_budget = 1600
+    emit = dict(full)
+    emit["queries"] = dict(timings)
+    emit["n_queries"] = len(timings)
+    emit["full"] = "BENCH_FULL.json"
+    by_speed = sorted(timings, key=lambda n: (timings[n], n))
+    dropped = 0
+    line = json.dumps(emit, separators=(",", ":"))
+    while len(line) > line_budget and dropped < len(by_speed):
+        emit["queries"].pop(by_speed[dropped], None)
+        dropped += 1
+        emit["queries_omitted"] = dropped
+        line = json.dumps(emit, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

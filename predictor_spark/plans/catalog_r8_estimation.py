@@ -117,16 +117,24 @@ _U28 = ("(CAST(('0x' || substr(md5('ht|' || CAST(user_id AS VARCHAR)), 1, 7))"
     ),
     agg AS (
         SELECT count(*) FILTER (WHERE u < pi) AS n_sampled,
-               sum(CASE WHEN u < pi THEN y / pi ELSE 0 END) AS ht,
-               sum(CASE WHEN u < pi
-                        THEN (1 - pi) / (pi * pi) * y * y ELSE 0 END)
-                   AS vhat,
+               COALESCE(sum(y) FILTER (WHERE u < pi AND user_id % 2 = 0),
+                        0) AS sy_even,
+               COALESCE(sum(y) FILTER (WHERE u < pi AND user_id % 2 <> 0),
+                        0) AS sy_odd,
+               COALESCE(sum(y * y) FILTER (WHERE u < pi AND user_id % 2 = 0),
+                        0) AS syy_even,
+               COALESCE(sum(y * y) FILTER (WHERE u < pi AND user_id % 2 <> 0),
+                        0) AS syy_odd,
                sum(y) AS truth
         FROM users
     )
     SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
-           round(ht * 10000.0) / 10000.0 AS ht_total,
-           round(vhat * 100.0) / 100.0 AS ht_variance,
+           round((CAST(sy_even AS DOUBLE) * 10.0
+                  + CAST(sy_odd AS DOUBLE) / 0.3) * 10000.0) / 10000.0
+               AS ht_total,
+           round((CAST(syy_even AS DOUBLE) * 0.9 / 0.01
+                  + CAST(syy_odd AS DOUBLE) * 0.7 / 0.09) * 100.0) / 100.0
+               AS ht_variance,
            CAST(truth AS BIGINT) AS true_total
     FROM agg
     """,
@@ -141,30 +149,46 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sample membership is a per-row expression inside the
     same per-user aggregation — the estimator costs one pass over the
-    SAMPLE at 100 TB (here both legs run for the truth column)."""
+    SAMPLE at 100 TB (here both legs run for the truth column).
+
+    Determinism: pi takes only two values, so the sufficient statistics
+    are EXACT integer sums per pi-stratum (Σy and Σy² over the sampled
+    even/odd users); the 1/pi and (1−pi)/pi² factors are applied once to
+    the two exact totals, making the result independent of partition
+    order (a distributed float Σ y/pi is not)."""
     ev = _t(spark, sf_dir, "events")
     users = (ev.groupBy("user_id")
              .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
                         .otherwise(0)).alias("y")))
-    pi = F.when(F.col("user_id") % 2 == 0, 0.1).otherwise(0.3)
+    even = F.col("user_id") % 2 == 0
+    pi = F.when(even, 0.1).otherwise(0.3)
     u = ((F.conv(F.substring(
         F.md5(F.concat(F.lit("ht|"), F.col("user_id").cast("string"))),
         1, 7), 16, 10).cast("long") + 0.5) / 268435456.0)
-    tagged = users.select("y", pi.alias("pi"), u.alias("u"))
+    tagged = users.select("y", even.alias("even"), pi.alias("pi"),
+                          u.alias("u"))
+    samp = F.col("u") < F.col("pi")
     agg = tagged.agg(
-        F.sum(F.when(F.col("u") < F.col("pi"), 1).otherwise(0))
-        .alias("n_sampled"),
-        F.sum(F.when(F.col("u") < F.col("pi"),
-                     F.col("y") / F.col("pi")).otherwise(0.0)).alias("ht"),
-        F.sum(F.when(F.col("u") < F.col("pi"),
-                     (1 - F.col("pi")) / (F.col("pi") * F.col("pi"))
-                     * F.col("y") * F.col("y")).otherwise(0.0))
-        .alias("vhat"),
+        F.sum(F.when(samp, 1).otherwise(0)).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(samp & F.col("even"), F.col("y"))),
+                   F.lit(0)).alias("sy_even"),
+        F.coalesce(F.sum(F.when(samp & ~F.col("even"), F.col("y"))),
+                   F.lit(0)).alias("sy_odd"),
+        F.coalesce(F.sum(F.when(samp & F.col("even"),
+                                F.col("y") * F.col("y"))),
+                   F.lit(0)).alias("syy_even"),
+        F.coalesce(F.sum(F.when(samp & ~F.col("even"),
+                                F.col("y") * F.col("y"))),
+                   F.lit(0)).alias("syy_odd"),
         F.sum("y").alias("truth"))
+    ht = (F.col("sy_even").cast("double") * 10.0
+          + F.col("sy_odd").cast("double") / 0.3)
+    vhat = (F.col("syy_even").cast("double") * 0.9 / 0.01
+            + F.col("syy_odd").cast("double") * 0.7 / 0.09)
     return agg.select(
         F.col("n_sampled").cast("long").alias("n_sampled"),
-        (F.round(F.col("ht") * 10000.0) / 10000.0).alias("ht_total"),
-        (F.round(F.col("vhat") * 100.0) / 100.0).alias("ht_variance"),
+        (F.round(ht * 10000.0) / 10000.0).alias("ht_total"),
+        (F.round(vhat * 100.0) / 100.0).alias("ht_variance"),
         F.col("truth").cast("long").alias("true_total"))
 
 

@@ -108,7 +108,14 @@ def _profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "i": pd.Series(dtype=np.int64),
                  "mp_d2": pd.Series(dtype=np.int64),
                  "nn_idx": pd.Series(dtype=np.int64)})
-        # subsequence matrix (nsub x m), exact int64 throughout
+        # subsequence matrix (nsub x m), exact int64 throughout.
+        # Overflow guard (ADVICE r6): numpy's int64 einsum wraps silently
+        # while the DuckDB oracle's BIGINT multiply raises loudly — keep
+        # the failure modes symmetric. m * (2*max|x|)^2 <= int64 max
+        # requires max|x| < sqrt(int64max / m) / 2 ~ 4.4e8 cents at m=12.
+        assert np.abs(x).max(initial=0) < int(
+            (np.iinfo(np.int64).max // _M) ** 0.5) // 2, \
+            "matrix_profile_4h: |cents bar| too large for exact int64 d2"
         subs = np.lib.stride_tricks.sliding_window_view(x, _M).astype(np.int64)
         diff = subs[:, None, :] - subs[None, :, :]
         d2 = np.einsum("ijk,ijk->ij", diff, diff)

@@ -1018,3 +1018,31 @@ class TestFlipOrder:
             order = [x[0] for x in FLIP_ORDER]
             idx = [order.index(c[0]) for c in chosen]
             assert idx == sorted(idx)
+
+    def test_flip_apply_is_idempotent_syntax(self, tmp_path):
+        """Two successive --apply rounds must leave __spark_entry__.py
+        compilable (ADVICE r6: the first apply leaves the tuple ending
+        with ',\\n    ' and a second blind ',\\n' insert wrote
+        ',\\n    ,' — a SyntaxError that broke the whole entry module)."""
+        import importlib.util
+        import shutil
+
+        spec = importlib.util.spec_from_file_location(
+            "flip_staged", "/root/repo/tools/flip_staged.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+
+        entry_copy = tmp_path / "entry.py"
+        staged_copy = tmp_path / "staged.py"
+        shutil.copy("/root/repo/__spark_entry__.py", entry_copy)
+        shutil.copy("/root/repo/predictor_spark/plans/staged.py",
+                    staged_copy)
+        m.ENTRY = str(entry_copy)
+        m.STAGED = str(staged_copy)
+
+        m.apply([("fake_family_one", 3, "b1")])
+        compile(entry_copy.read_text(), "entry.py", "exec")
+        m.apply([("fake_family_two", 2, "b2")])
+        src = entry_copy.read_text()
+        compile(src, "entry.py", "exec")  # the r6 bug died here
+        assert '"fake_family_one",' in src and '"fake_family_two",' in src

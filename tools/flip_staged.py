@@ -14,8 +14,10 @@ After --apply, the flip is NOT done until:
   - tools/check_correctness.py --record /root/testdata/sf0.01 passes
     (full registered sweep, re-pins green hashes; the flipped rows
     enter the grading window as never-graded),
-  - bench.py gains one headline row per flipped family (the names are
-    printed below; BENCH_QUERIES lives at the top of bench.py),
+  - bench.py auto-activates one headline row per flipped family (it
+    pre-lists every FLIP_ORDER headline, guarded by `name not in qs`;
+    no bench.py edit is needed — verify the rows appear in the next
+    bench run),
   - tools/make_query_index.py regenerates QUERIES.md, and
   - the EXPECT_STAGED entries for flipped rows still audit green
     (explain_audit.py runs them whether staged or registered).
@@ -57,10 +59,14 @@ def apply(chosen) -> None:
     if not m:
         raise SystemExit("could not locate the _load_catalog tuple")
     inject = "".join(f'                "{name}",\n' for name in mods)
-    entry = entry[:m.end(1)] + ",\n" + inject + "    " + entry[m.start(2):]
-    # normalize: the tuple's last existing element may lack a trailing
-    # comma position match; simplest correct form is rebuilding via the
-    # regex above, which keeps the original text and appends elements
+    # after a previous --apply the tuple body already ends with a trailing
+    # comma + newline + indent; blindly appending ",\n" there produced
+    # ",\n    ," — a SyntaxError in the entry module. Strip trailing
+    # whitespace and add a separator comma only when one isn't already
+    # the last non-whitespace character.
+    head = entry[:m.end(1)].rstrip()
+    sep = "" if head.endswith(",") else ","
+    entry = head + sep + "\n" + inject + "    " + entry[m.start(2):]
     open(ENTRY, "w").write(entry)
 
     staged = open(STAGED).read()
@@ -93,7 +99,8 @@ def main() -> int:
         print("\nAPPLIED — now finish the procedure:")
     print("  1. python tools/check_correctness.py --record "
           "/root/testdata/sf0.01    (must be all-PASS)")
-    print("  2. add the bench headline rows above to bench.py")
+    print("  2. bench.py auto-activates the headline rows above — verify "
+          "they appear in the next bench run")
     print("  3. python tools/make_query_index.py")
     print("  4. python tools/explain_audit.py --staged   (exit 0)")
     print("  5. python -m pytest tests/ -x -q")
