@@ -44,7 +44,23 @@ def _load_catalog():
                 "catalog_tsfeat", "catalog_textstats", "catalog_stats2",
                 "catalog_integrity", "catalog_finance2", "catalog_recsys",
                 "catalog_concentration", "catalog_indicators2",
-                "catalog_behavior2", "catalog_regression"):
+                "catalog_behavior2", "catalog_regression",
+                "catalog_r7_attribution",
+                "catalog_r7_ireval",
+                "catalog_r7_causal",
+                "catalog_r7_governance",
+                "catalog_r7_linkanalysis",
+                "catalog_r7_lexical",
+                "catalog_r7_nonparam",
+                "catalog_r7_risk",
+                "catalog_r7_vol",
+                "catalog_r7_ops",
+                "catalog_r7_metrics2",
+                "catalog_r7_econ",
+                "catalog_r8_matrixprofile",
+                "catalog_r8_pq",
+                "catalog_r8_distdist",
+    ):
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:

@@ -62,21 +62,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
 )
 
 STAGED_MODULES: tuple[str, ...] = (
-    "catalog_r7_ireval",
-    "catalog_r7_nonparam",
-    "catalog_r7_risk",
-    "catalog_r7_attribution",
-    "catalog_r7_governance",
-    "catalog_r7_vol",
-    "catalog_r7_causal",
-    "catalog_r7_linkanalysis",
-    "catalog_r7_lexical",
-    "catalog_r7_ops",
-    "catalog_r7_metrics2",
-    "catalog_r7_econ",
     # --- r8 families (built in round 6; flip AFTER the r7 families) ---
-    "catalog_r8_distdist",
-    "catalog_r8_matrixprofile",
     "catalog_r8_inventory",
     "catalog_r8_mcda",
     "catalog_r8_scorecard",
@@ -86,10 +72,12 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r8_dedupeval",
     "catalog_r8_multimodal2",
     "catalog_r8_estimation",
-    "catalog_r8_pq",
     "catalog_r8_sequential",
     "catalog_r8_seqpred",
     "catalog_r9_opsresearch",
+    # --- r10 families (built in round 7) ---
+    "catalog_r10_funnel",
+    "catalog_r10_survival2",
 )
 
 

@@ -1305,6 +1305,30 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 3, "max_window_execs": 5,
     },
+    # r10 funnel: every step is a user-keyed partial-agg + equi-join —
+    # never a cartesian; windows appear only where ranks/shares demand
+    # (abandonment: last-event rank + share-of-total; latency: rank +
+    # global count)
+    "funnel_abandonment_profile": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 2,
+    },
+    "funnel_conversion_7d": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 0,
+    },
+    "funnel_latency_quantiles": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 2,
+    },
+    "funnel_daily_cohorts": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 0,
+    },
 }
 
 
