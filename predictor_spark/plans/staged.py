@@ -78,6 +78,8 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r10 families (built in round 7) ---
     "catalog_r10_funnel",
     "catalog_r10_survival2",
+    "catalog_r10_profile",
+    "catalog_r10_candles",
 )
 
 

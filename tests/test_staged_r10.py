@@ -184,3 +184,129 @@ class TestSurvival2:
         assert row["first_death_h"] == ts[0]
         assert row["rmst_h"] == pytest.approx(rmst, abs=2e-4)
         assert 0 < row["rmst_h"] <= 72
+
+
+class TestProfile:
+    def test_orders_profile_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r10_profile import (
+            _ORDER_COLS, table_profile_orders)
+
+        od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        rows = {r["col_name"]: r
+                for r in table_profile_orders(spark, SF_DIR).collect()}
+        assert set(rows) == set(_ORDER_COLS)
+        for c in _ORDER_COLS:
+            r = rows[c]
+            assert r["n_rows"] == len(od)
+            assert r["n_nulls"] == int(od[c].isna().sum())
+            assert r["n_distinct"] == od[c].nunique()
+            assert r["completeness"] == pytest.approx(
+                (len(od) - od[c].isna().sum()) / len(od), abs=1e-6)
+
+    def test_entropy_matches_scipy_formula(self, spark):
+        from predictor_spark.plans.catalog_r10_profile import (
+            _ENTROPY_COLS, categorical_entropy_profile)
+
+        rows = {r["col_name"]: r for r in
+                categorical_entropy_profile(spark, SF_DIR).collect()}
+        for label, table, col in _ENTROPY_COLS:
+            s = pd.read_parquet(f"{SF_DIR}/{table}.parquet")[col]
+            p = s.value_counts(normalize=True).to_numpy()
+            want = float(-(p * np.log2(p)).sum())
+            r = rows[label]
+            assert r["n_categories"] == s.nunique()
+            assert r["n_rows"] == len(s)
+            assert r["entropy_bits"] == pytest.approx(want, abs=2e-6)
+            # entropy is bounded by log2(k)
+            assert r["entropy_bits"] <= np.log2(r["n_categories"]) + 1e-9
+
+    def test_histogram_partitions_orders(self, spark):
+        from predictor_spark.plans.catalog_r10_profile import (
+            histogram_totalprice_profile)
+
+        od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        c = np.round(od.o_totalprice.to_numpy() * 100).astype(np.int64)
+        mn, w = c.min(), c.max() - c.min() + 1
+        want = pd.Series(np.minimum((c - mn) * 10 // w, 9)) \
+            .value_counts().sort_index()
+        rows = histogram_totalprice_profile(spark, SF_DIR).collect()
+        got = {r["bucket"]: r["n_orders"] for r in rows}
+        assert got == want.to_dict()
+        assert sum(got.values()) == len(od)
+        # bucket bounds tile [min, max] without gaps or overlap
+        rows = sorted(rows, key=lambda r: r["bucket"])
+        assert rows[0]["lo_cents"] == mn
+        assert rows[-1]["hi_cents"] == mn + w - 1
+        for a, b in zip(rows, rows[1:]):
+            assert b["lo_cents"] == a["hi_cents"] + 1
+
+
+def _pandas_ohlc():
+    ev = _events().copy()
+    ev["day"] = ev.ts.dt.day
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    ev = ev.sort_values(["ts", "event_id"])
+    g = ev.groupby(["event_type", "day"])
+    return pd.DataFrame({
+        "high": g.c.max(), "low": g.c.min(),
+        "open": g.c.first(), "close": g.c.last()}).reset_index()
+
+
+class TestCandles:
+    def test_patterns_match_pandas_rules(self, spark):
+        from predictor_spark.plans.catalog_r10_candles import (
+            candlestick_patterns_daily)
+
+        bars = _pandas_ohlc().sort_values(["event_type", "day"])
+        body = (bars.close - bars.open).abs()
+        bars["doji"] = body * 10 <= bars.high - bars.low
+        bars["hammer"] = (
+            (bars[["open", "close"]].min(axis=1) - bars.low >= 2 * body)
+            & (bars.high - bars[["open", "close"]].max(axis=1) <= body))
+        po = bars.groupby("event_type").open.shift()
+        pc = bars.groupby("event_type").close.shift()
+        bars["bull"] = ((po > pc) & (bars.close > bars.open)
+                        & (bars.open <= pc) & (bars.close >= po))
+        bars["bear"] = ((pc > po) & (bars.open > bars.close)
+                        & (bars.open >= pc) & (bars.close <= po))
+        want = bars.groupby("event_type")[
+            ["doji", "hammer", "bull", "bear"]].sum()
+        rows = candlestick_patterns_daily(spark, SF_DIR).collect()
+        for r in rows:
+            w = want.loc[r["event_type"]]
+            assert (r["n_doji"], r["n_hammer"], r["n_bull_engulf"],
+                    r["n_bear_engulf"]) == (
+                w.doji, w.hammer, w.bull, w.bear)
+
+    def test_gaps_match_pandas(self, spark):
+        from predictor_spark.plans.catalog_r10_candles import (
+            gap_days_analysis)
+
+        bars = _pandas_ohlc().sort_values(["event_type", "day"])
+        bars["gap"] = bars.open - bars.groupby("event_type").close.shift()
+        g = bars.dropna(subset=["gap"]).groupby("event_type").gap
+        rows = gap_days_analysis(spark, SF_DIR).collect()
+        for r in rows:
+            s = g.get_group(r["event_type"])
+            assert r["n_gaps"] == len(s)
+            assert r["n_gap_up"] == int((s > 0).sum())
+            assert r["n_gap_down"] == int((s < 0).sum())
+            assert r["max_gap_up_cents"] == int(s.max())
+            assert r["max_gap_down_cents"] == int(s.min())
+            assert r["avg_abs_gap_cents"] == pytest.approx(
+                s.abs().mean(), abs=1e-4)
+
+    def test_pivots_bracket_price(self, spark):
+        from predictor_spark.plans.catalog_r10_candles import (
+            pivot_point_levels)
+
+        bars = _pandas_ohlc()
+        last = bars.sort_values("day").groupby("event_type").tail(1) \
+            .set_index("event_type")
+        rows = pivot_point_levels(spark, SF_DIR).collect()
+        for r in rows:
+            b = last.loc[r["event_type"]]
+            p = (b.high + b.low + b.close) / 3 / 100
+            assert r["day"] == b.day
+            assert r["pivot"] == pytest.approx(p, abs=1e-4)
+            assert r["s2"] <= r["s1"] <= r["pivot"] <= r["r1"] <= r["r2"]
