@@ -59,6 +59,10 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r8_sequential", 2, "sprt_purchase_rate"),
     ("catalog_r8_seqpred", 1, "markov_next_event_accuracy"),
     ("catalog_r9_opsresearch", 3, "kingman_wait_estimate"),
+    ("catalog_r10_funnel", 4, "funnel_abandonment_profile"),
+    ("catalog_r10_survival2", 3, "nelson_aalen_hazard"),
+    ("catalog_r10_profile", 3, "table_profile_orders"),
+    ("catalog_r10_candles", 3, "candlestick_patterns_daily"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (

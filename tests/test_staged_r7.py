@@ -40,7 +40,14 @@ def test_load_staged_registers_oracle_backed_rows():
     from predictor_spark.plans.staged import load_staged
 
     names = load_staged()
-    assert "ndcg_at_10_brands" in names
+    # flip-proof: a staged family moves into the registry when flipped,
+    # so assert full-registry membership (always true) rather than
+    # staging membership (true only until its flip round)
+    import __spark_entry__ as entry_mod
+
+    entry_mod._load_catalog()
+    assert "ndcg_at_10_brands" in catalog.QUERIES
+    assert "ndcg_at_10_brands" in catalog.ORACLE
     for n in names:
         assert n in catalog.QUERIES
         assert n in catalog.ORACLE, f"staged row {n} has no oracle"
@@ -102,6 +109,12 @@ def _run(spark, name):
     import predictor_spark.plans.catalog as catalog
 
     load_staged()
+    if name not in catalog.QUERIES:
+        # the family was flipped out of staging into the driver registry
+        # (tools/flip_staged.py) — load the registered catalog too
+        import __spark_entry__ as entry_mod
+
+        entry_mod._load_catalog()
     return catalog.QUERIES[name](spark, SF_DIR).toPandas()
 
 
