@@ -63,6 +63,9 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r10_survival2", 3, "nelson_aalen_hazard"),
     ("catalog_r10_profile", 3, "table_profile_orders"),
     ("catalog_r10_candles", 3, "candlestick_patterns_daily"),
+    ("catalog_r10_bandit", 2, "ucb1_arm_scores"),
+    ("catalog_r10_ltv", 3, "ltv_cohort_curves"),
+    ("catalog_r10_graphmetrics", 3, "local_clustering_coefficient"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -84,6 +87,9 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r10_survival2",
     "catalog_r10_profile",
     "catalog_r10_candles",
+    "catalog_r10_bandit",
+    "catalog_r10_ltv",
+    "catalog_r10_graphmetrics",
 )
 
 

@@ -310,3 +310,192 @@ class TestCandles:
             assert r["day"] == b.day
             assert r["pivot"] == pytest.approx(p, abs=1e-4)
             assert r["s2"] <= r["s1"] <= r["pivot"] <= r["r1"] <= r["r2"]
+
+
+class TestBandit:
+    def test_ucb1_matches_formula(self, spark):
+        from predictor_spark.plans.catalog_r10_bandit import ucb1_arm_scores
+
+        ev = _events()
+        r = (np.round(ev.value.to_numpy() * 100).astype(np.int64) > 5000)
+        g = pd.DataFrame({"arm": ev.event_type, "r": r}).groupby("arm")
+        n, s = g.r.size(), g.r.sum()
+        big_n = int(n.sum())
+        rows = {x["arm"]: x for x in
+                ucb1_arm_scores(spark, SF_DIR).collect()}
+        for arm in n.index:
+            x = rows[arm]
+            assert x["n_pulls"] == n[arm] and x["n_rewards"] == s[arm]
+            assert x["mean_reward"] == pytest.approx(s[arm] / n[arm],
+                                                     abs=1e-6)
+            assert x["ucb1_score"] == pytest.approx(
+                s[arm] / n[arm] + np.sqrt(2 * np.log(big_n) / n[arm]),
+                abs=1e-6)
+            assert x["ucb1_score"] > x["mean_reward"]  # bonus is positive
+
+    def test_beta_posterior_matches_formula(self, spark):
+        from predictor_spark.plans.catalog_r10_bandit import (
+            beta_posterior_arms)
+
+        ev = _events()
+        r = (np.round(ev.value.to_numpy() * 100).astype(np.int64) > 5000)
+        g = pd.DataFrame({"arm": ev.event_type, "r": r}).groupby("arm")
+        n, s = g.r.size(), g.r.sum()
+        rows = {x["arm"]: x for x in
+                beta_posterior_arms(spark, SF_DIR).collect()}
+        for arm in n.index:
+            x = rows[arm]
+            a, b = 1 + s[arm], 1 + n[arm] - s[arm]
+            assert (x["alpha"], x["beta"]) == (a, b)
+            mean = a / (a + b)
+            sd = np.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+            assert x["post_mean"] == pytest.approx(mean, abs=1e-6)
+            assert x["post_sd"] == pytest.approx(sd, abs=1e-6)
+            assert x["ci_lo"] == pytest.approx(mean - 1.96 * sd, abs=2e-6)
+            assert x["ci_hi"] == pytest.approx(mean + 1.96 * sd, abs=2e-6)
+
+
+class TestLtv:
+    @pytest.fixture(scope="class")
+    def tagged(self):
+        ev = _events()
+        pur = ev[ev.event_type == "purchase"].copy()
+        pur["cents"] = np.round(pur.value * 100).astype(np.int64)
+        pur["wk"] = (pur.ts.dt.day - 1) // 7
+        pur["cohort"] = pur.groupby("user_id").wk.transform("min")
+        pur["age"] = pur.wk - pur.cohort
+        return pur
+
+    def test_ltv_curves_match_pandas(self, spark, tagged):
+        from predictor_spark.plans.catalog_r10_ltv import ltv_cohort_curves
+
+        sizes = tagged.groupby("user_id").cohort.first().value_counts()
+        cells = (tagged.groupby(["cohort", "age"]).cents.sum()
+                 .groupby(level=0).cumsum())
+        rows = ltv_cohort_curves(spark, SF_DIR).collect()
+        assert len(rows) == len(cells)
+        for r in rows:
+            cum = int(cells.loc[(r["cohort_week"], r["age_week"])])
+            nu = int(sizes[r["cohort_week"]])
+            assert r["cum_cents"] == cum and r["n_users"] == nu
+            assert r["ltv_per_user"] == pytest.approx(cum / nu / 100,
+                                                      abs=1e-4)
+        # LTV curves are nondecreasing in age within a cohort
+        by_c = {}
+        for r in sorted(rows, key=lambda r: (r["cohort_week"],
+                                             r["age_week"])):
+            by_c.setdefault(r["cohort_week"], []).append(r["ltv_per_user"])
+        for curve in by_c.values():
+            assert curve == sorted(curve)
+
+    def test_payback_is_first_covering_week(self, spark, tagged):
+        from predictor_spark.plans.catalog_r10_ltv import cohort_payback_week
+
+        sizes = tagged.groupby("user_id").cohort.first().value_counts()
+        cells = (tagged.groupby(["cohort", "age"]).cents.sum()
+                 .groupby(level=0).cumsum())
+        rows = cohort_payback_week(spark, SF_DIR).collect()
+        for r in rows:
+            nu = sizes[r["cohort_week"]]
+            cum = cells.loc[r["cohort_week"]]
+            covering = cum[cum >= 3000 * nu]
+            want = int(covering.index.min()) if len(covering) else -1
+            assert r["payback_week"] == want
+
+    def test_arpu_daily_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r10_ltv import arpu_daily
+
+        ev = _events()
+        ev = ev.assign(day=ev.ts.dt.day,
+                       cents=np.round(ev.value * 100).astype(np.int64))
+        rows = arpu_daily(spark, SF_DIR).collect()
+        for r in rows[:5] + rows[-5:]:
+            d = ev[ev.day == r["day"]]
+            pur = d[d.event_type == "purchase"]
+            assert r["active_users"] == d.user_id.nunique()
+            assert r["paying_users"] == pur.user_id.nunique()
+            assert r["revenue_cents"] == int(pur.cents.sum())
+            assert r["arpu"] == pytest.approx(
+                pur.cents.sum() / d.user_id.nunique() / 100, abs=1e-4)
+
+
+class TestGraphMetrics:
+    @pytest.fixture(scope="class")
+    def graph(self):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("orders", "customer", "lineitem", "supplier"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{SF_DIR}/{t}.parquet'")
+        pairs = con.execute("""
+            WITH pc AS (
+                SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+                       greatest(c.c_nationkey, s.s_nationkey) AS v,
+                       count(DISTINCT o.o_orderkey) AS w
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey GROUP BY u, v
+            )
+            SELECT u, v FROM pc
+            WHERE w >= (SELECT CAST(sum(w) AS DOUBLE)/count(*) FROM pc)
+        """).fetchall()
+        con.close()
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return set(map(tuple, pairs)), adj
+
+    def test_lcc_matches_bruteforce(self, spark, graph):
+        from predictor_spark.plans.catalog_r10_graphmetrics import (
+            local_clustering_coefficient)
+
+        pairs, adj = graph
+        rows = local_clustering_coefficient(spark, SF_DIR).collect()
+        assert {r["node"] for r in rows} == set(adj)
+        for r in rows:
+            nbrs = adj[r["node"]]
+            k = len(nbrs)
+            t = sum(1 for a in nbrs for b in nbrs
+                    if a < b and b in adj.get(a, ()))
+            assert r["degree"] == k and r["n_triangles"] == t
+            want = 2 * t / (k * (k - 1)) if k >= 2 else 0.0
+            assert r["clustering_coef"] == pytest.approx(want, abs=1e-6)
+
+    def test_assortativity_matches_numpy(self, spark, graph):
+        from predictor_spark.plans.catalog_r10_graphmetrics import (
+            degree_assortativity)
+
+        pairs, adj = graph
+        deg = {n: len(v) for n, v in adj.items()}
+        kx = np.array([deg[u] for u, v in pairs]
+                      + [deg[v] for u, v in pairs], dtype=float)
+        ky = np.array([deg[v] for u, v in pairs]
+                      + [deg[u] for u, v in pairs], dtype=float)
+        want = float(np.corrcoef(kx, ky)[0, 1])
+        row = degree_assortativity(spark, SF_DIR).collect()[0]
+        assert row["n_edge_ends"] == 2 * len(pairs)
+        assert row["assortativity"] == pytest.approx(want, abs=1e-5)
+        assert -1 <= row["assortativity"] <= 1
+
+    def test_rich_club_matches_bruteforce(self, spark, graph):
+        from predictor_spark.plans.catalog_r10_graphmetrics import (
+            rich_club_coefficients)
+
+        pairs, adj = graph
+        deg = {n: len(v) for n, v in adj.items()}
+        rows = {r["k"]: r for r in
+                rich_club_coefficients(spark, SF_DIR).collect()}
+        for k in (2, 4, 6, 8):
+            rich = {n for n, d in deg.items() if d > k}
+            if len(rich) < 2:
+                assert k not in rows
+                continue
+            e = sum(1 for u, v in pairs if u in rich and v in rich)
+            r = rows[k]
+            assert r["n_rich"] == len(rich) and r["e_rich"] == e
+            assert r["phi"] == pytest.approx(
+                2 * e / (len(rich) * (len(rich) - 1)), abs=1e-6)
