@@ -67,12 +67,17 @@ def ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the highest score is the one a UCB1 policy pulls next, and the
     bonus column shows how much of each score is uncertainty.
 
-    Scale: one aggregation; the total-pulls scalar broadcasts."""
+    Scale: one aggregation; the total-pulls scalar is a window sum
+    over the ≤|arms|-row frame (a second scan of events just to total
+    the per-arm counts would double the IO)."""
+    from pyspark.sql import Window
+
     arms = _arms(spark, sf_dir)
-    tot = arms.agg(F.sum("n").alias("big_n"))
+    arms = arms.withColumn(
+        "big_n", F.sum("n").over(Window.partitionBy(F.lit(1))))
     mean = F.col("s").cast("double") / F.col("n")
     bonus = F.sqrt(2 * F.log(F.col("big_n").cast("double")) / F.col("n"))
-    return (arms.crossJoin(F.broadcast(tot))
+    return (arms
             .select("arm", F.col("n").cast("long").alias("n_pulls"),
                     F.col("s").cast("long").alias("n_rewards"),
                     F.round(mean, 6).alias("mean_reward"),

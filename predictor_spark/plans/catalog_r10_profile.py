@@ -116,22 +116,23 @@ _ENTROPY_COLS = (
 
 
 def _entropy_sql(label: str, table: str, col: str) -> str:
+    # H = ln(n) − (Σ c·ln c)/n  ==  −Σ (c/n)·ln(c/n): the right-hand
+    # form needs n before the scan, the left-hand form lets counts, k
+    # and Σ c·ln c accumulate in ONE ordered cumulative window whose
+    # last row carries every total
     return f"""
-        SELECT '{label}' AS col_name, k, n, entropy_nats
+        SELECT '{label}' AS col_name, rn AS k, sc AS n,
+               ln(CAST(sc AS DOUBLE)) - scl / sc AS entropy_nats
         FROM (
-            SELECT k, n,
-                   sum(-(CAST(c AS DOUBLE) / n)
-                       * ln(CAST(c AS DOUBLE) / n))
-                       OVER (ORDER BY cat ROWS UNBOUNDED PRECEDING)
-                       AS entropy_nats,
-                   row_number() OVER (ORDER BY cat DESC) AS rn
+            SELECT sum(c) OVER w AS sc,
+                   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       OVER w AS scl,
+                   row_number() OVER (ORDER BY cat) AS rn
             FROM (
-                SELECT CAST({col} AS VARCHAR) AS cat, count(*) AS c,
-                       sum(count(*)) OVER () AS n,
-                       count(*) OVER () AS k
+                SELECT CAST({col} AS VARCHAR) AS cat, count(*) AS c
                 FROM {table} GROUP BY {col}
-            )
-        ) WHERE rn = 1
+            ) WINDOW w AS (ORDER BY cat ROWS UNBOUNDED PRECEDING)
+        ) ORDER BY rn DESC LIMIT 1
     """
 
 
@@ -142,7 +143,8 @@ def _entropy_sql(label: str, table: str, col: str) -> str:
            CAST(n AS BIGINT) AS n_rows,
            round(entropy_nats / ln(2.0), 6) AS entropy_bits
     FROM (
-        {" UNION ALL ".join(_entropy_sql(*e) for e in _ENTROPY_COLS)}
+        {" UNION ALL ".join("(" + _entropy_sql(*e) + ")"
+                            for e in _ENTROPY_COLS)}
     ) ORDER BY col_name
     """,
 )
@@ -160,24 +162,26 @@ def categorical_entropy_profile(spark: SparkSession,
         counts = (_t(spark, sf_dir, table)
                   .groupBy(F.col(col).cast("string").alias("cat"))
                   .agg(F.count(F.lit(1)).alias("c")))
-        tot = Window.partitionBy(F.lit(1))
+        # H = ln(n) − (Σ c·ln c)/n lets counts, k and Σ c·ln c all ride
+        # ONE ordered cumulative window (same spec, same frame); the
+        # last row (max rn — rn is unique, so the struct-max is exact)
+        # carries every total
         wasc = Window.orderBy("cat").rowsBetween(
             Window.unboundedPreceding, 0)
-        p = F.col("c").cast("double") / F.col("n")
-        ranked = (counts
-                  .select("cat", "c",
-                          F.sum("c").over(tot).alias("n"),
-                          F.count(F.lit(1)).over(tot).alias("k"))
-                  .select("k", "n",
-                          F.sum(-p * F.log(p)).over(wasc)
-                          .alias("entropy_nats"),
-                          F.row_number().over(
-                              Window.orderBy(F.col("cat").desc()))
-                          .alias("rn"))
-                  .where(F.col("rn") == 1)
-                  .select(F.lit(label).alias("col_name"), "k", "n",
-                          "entropy_nats"))
-        outs.append(ranked)
+        cum = counts.select(
+            F.sum("c").over(wasc).alias("sc"),
+            F.sum(F.col("c").cast("double")
+                  * F.log(F.col("c").cast("double"))).over(wasc)
+            .alias("scl"),
+            F.row_number().over(Window.orderBy("cat")).alias("rn"))
+        last = (cum.agg(F.max(F.struct("rn", "sc", "scl")).alias("m"))
+                .select(F.lit(label).alias("col_name"),
+                        F.col("m.rn").alias("k"),
+                        F.col("m.sc").alias("n"),
+                        (F.log(F.col("m.sc").cast("double"))
+                         - F.col("m.scl") / F.col("m.sc"))
+                        .alias("entropy_nats")))
+        outs.append(last)
     allc = outs[0]
     for o in outs[1:]:
         allc = allc.unionByName(o)

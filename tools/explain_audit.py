@@ -1329,6 +1329,105 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_window_execs": 0,
     },
+    # r10 survival: two user-keyed shuffles then everything runs on the
+    # <=73-row risk frame; the estimator windows are global-ordered over
+    # that tiny frame (plan-split across cumulative/rank orders)
+    "nelson_aalen_hazard": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 2,
+    },
+    "logrank_signup_cohorts": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 3,
+    },
+    "rmst_signup_72h": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct"],
+        "max_window_execs": 4,
+    },
+    # r10 profile: single-pass aggregations; entropy runs one ordered
+    # window per column (4 columns -> 4 plan-split window pairs)
+    "table_profile_orders": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "categorical_entropy_profile": {
+        # one ordered cumulative window per column (H = ln n − Σc·lnc/n
+        # folds counts, k and the entropy sum into a single window spec)
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 4,
+    },
+    "histogram_totalprice_profile": {
+        # min/max scalar broadcasts via BroadcastNestedLoop (the
+        # scalar-broadcast idiom); bucketing is one partial agg
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    # r10 candles: tick stream collapses to bars under two rank windows
+    # sharing the (event_type, day) partitioning; pattern lags ride the
+    # tiny bar frame
+    "candlestick_patterns_daily": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    "gap_days_analysis": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    "pivot_point_levels": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    # r10 bandit: one aggregation + a 1-row scalar broadcast
+    "ucb1_arm_scores": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "beta_posterior_arms": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # r10 LTV: purchases shuffle once on user_id; cells collapse to
+    # <=25 rows before the per-cohort cumulative window; sizes broadcast
+    "ltv_cohort_curves": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "arpu_daily": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    "cohort_payback_week": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    # r10 graph metrics: the fact join reduces to the <=300-row pair
+    # frame (cached); wedge/edge joins broadcast on that frame
+    "local_clustering_coefficient": {
+        "must": ["InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+    },
+    "degree_assortativity": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
+    "rich_club_coefficients": {
+        "must": ["InMemoryTableScan", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+    },
 }
 
 
