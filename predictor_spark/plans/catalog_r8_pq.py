@@ -45,24 +45,6 @@ _TOPK = 5
 _NQ = 10  # queries: vec_id < 10 (the IVF/bruteforce convention)
 
 
-def _sqd4(v, lo: int, cent: list[float]):
-    """Squared L2 of a _SUB-dim slice against a literal centroid as
-    FLAT arithmetic (element_at + mul + add): the higher-order-fold
-    form (kmeans._sqdist) stays interpreted per row, which at 16
-    subspaces x 16 centroids x |scan| rows dominated the wall clock
-    (the macd_signal lesson — HOFs are the slow path).  The explicit
-    left-assoc sum is bit-identical to the fold (0.0 + t == t for the
-    nonnegative first term), so the oracle's list_sum replays it."""
-    terms = []
-    for d in range(_SUB):
-        e = F.element_at(v, lo + d) - F.lit(float(cent[d]))
-        terms.append(e * e)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def _exploded(emb_v: DataFrame) -> DataFrame:
     """(vec_id, m, sv): one row per (vector, subspace), sv the 4-dim
     slice — the frame every PQ stage joins the codebook onto."""
@@ -103,20 +85,27 @@ def _assign(ex: DataFrame, cb: DataFrame,
     return best.select(*cols)
 
 
-def _fit_codebooks(spark: SparkSession, sf_dir: str):
+def _fit_codebooks(spark: SparkSession, sf_dir: str, ex=None):
     """Deterministic Lloyd's fit for ALL _M subspaces at once —
     kmeans_fit's exact semantics (lowest-id init, 6-dp assignment
     rounding with lowest-centroid ties, 8-dp centroid rounding, empty
     clusters keep the previous centroid) over the exploded
     (vector, subspace) frame: each iteration is one broadcast-join
     assignment + one 256-group update.  Returns
-    [subspace][centroid] -> list[float]."""
+    [subspace][centroid] -> list[float].
+
+    ``ex``: a (cached) exploded frame to iterate over — the fit
+    references it once per iteration and the caller's encode pass
+    reads it again, so rebuilding it from parquet each time made the
+    fit the whole row's wall clock (8.5 s of the 12.6 s bench row at
+    sf0.1 was re-scan + re-explode overhead)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v"))
     init = emb.orderBy("vec_id").limit(_K).collect()
     books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
              for m in range(_M)]
-    ex = _exploded(emb)
+    if ex is None:
+        ex = _exploded(emb)
     for _ in range(_ITER):
         cb = spark.createDataFrame(
             [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
@@ -242,15 +231,20 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched for 50 rows per query.  The oracle unrolls the same
     subspace fits as SQL CTEs."""
     emb = _t(spark, sf_dir, "embeddings")
-    books = _fit_codebooks(spark, sf_dir)
+    # ONE cached exploded frame feeds both Lloyd iterations AND the
+    # encode pass (3 references; uncached, each re-scanned parquet and
+    # re-exploded — the fit alone was 8.5 s of scheduler/scan overhead
+    # on 2000 vectors at sf0.1)
+    emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    ex = _exploded(emb_v).cache()
+    books = _fit_codebooks(spark, sf_dir, ex)
 
     # encode: broadcast-join assignment on the exploded frame, folded
     # back to one (vec_id, code0..code15) row per vector
-    emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
         "m int, c int, cv array<double>")
-    codes = (_assign(_exploded(emb_v), cb, with_sv=False)
+    codes = (_assign(ex, cb, with_sv=False)
              .groupBy("vec_id")
              .agg(*[F.max(F.when(F.col("m") == m, F.col("code")))
                     .cast("int").alias(f"code{m}") for m in range(_M)]))
@@ -259,17 +253,36 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC distance tables are a function of the QUERY alone: compute
     # all M x K rounded terms once over the 10 query rows, carry them
     # as array columns — the scan side then pays 16 element_at lookups
-    # + 15 adds per candidate (any per-row table recompute put ~1000
-    # expressions into the scan projection and blew the JVM codegen
-    # method limit into interpreted fallback)
+    # + 15 adds per candidate.  The tables are built by JOINING the
+    # query slices against the codebook FRAME and folding to ordered
+    # arrays: the earlier literal-expression form (256 centroids x a
+    # 4-dim distance each = ~7700 expression nodes in one projection)
+    # spent 18 s in analysis/codegen before touching a row — the same
+    # lesson as the codebook join above, one layer up.
     queries = (emb.where(F.col("vec_id") < _NQ)
                .select(F.col("vec_id").alias("query_id"),
                        v.alias("qv")))
-    qtabs = queries.select(
-        "query_id", "qv",
-        *[F.array(*[F.round(_sqd4(F.col("qv"), m * _SUB + 1, c), 6)
-                    for c in books[m]]).alias(f"tab{m}")
-          for m in range(_M)])
+    qslices = (queries
+               .select(F.col("query_id").alias("vec_id"), F.col("qv")
+                       .alias("v"))
+               .transform(_exploded)
+               .withColumnRenamed("vec_id", "query_id"))
+    qdist = None
+    for d in range(_SUB):
+        e = F.element_at("sv", d + 1) - F.element_at("cv", d + 1)
+        t = e * e
+        qdist = t if qdist is None else qdist + t
+    qtab_rows = (qslices.join(F.broadcast(cb), "m")
+                 .select("query_id", "m", "c",
+                         F.round(qdist, 6).alias("t")))
+    per_m = (qtab_rows.groupBy("query_id", "m")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("c", "t"))),
+                 lambda x: x["t"]).alias("tab")))
+    qtabs = (per_m.groupBy("query_id")
+             .agg(*[F.max(F.when(F.col("m") == m, F.col("tab")))
+                    .alias(f"tab{m}") for m in range(_M)])
+             .join(F.broadcast(queries), "query_id"))
     joined = codes.join(F.broadcast(qtabs),
                         F.col("vec_id") != F.col("query_id"))
     approx = None
