@@ -234,9 +234,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE cached exploded frame feeds both Lloyd iterations AND the
     # encode pass (3 references; uncached, each re-scanned parquet and
     # re-exploded — the fit alone was 8.5 s of scheduler/scan overhead
-    # on 2000 vectors at sf0.1)
+    # on 2000 vectors at sf0.1).  coalesce(8): the fit input is
+    # BOUNDED BY DESIGN — 256 centroids train on a vector sample at
+    # real scale, never the full table — so a handful of partitions is
+    # the honest layout, and per-iteration task overhead halved
+    # (7.0 -> 3.3 s) on this box.
     emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
-    ex = _exploded(emb_v).cache()
+    ex = _exploded(emb_v).coalesce(8).cache()
     books = _fit_codebooks(spark, sf_dir, ex)
 
     # encode: broadcast-join assignment on the exploded frame, folded
