@@ -66,6 +66,8 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r10_bandit", 2, "ucb1_arm_scores"),
     ("catalog_r10_ltv", 3, "ltv_cohort_curves"),
     ("catalog_r10_graphmetrics", 3, "local_clustering_coefficient"),
+    ("catalog_r11_forensic", 3, "benford_first_digit"),
+    ("catalog_r11_longmemory", 2, "hurst_rs_per_series"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -90,6 +92,9 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r10_bandit",
     "catalog_r10_ltv",
     "catalog_r10_graphmetrics",
+    # --- r11 families (built in round 7; flip AFTER the r10 families) ---
+    "catalog_r11_forensic",
+    "catalog_r11_longmemory",
 )
 
 

@@ -1428,6 +1428,37 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "must": ["InMemoryTableScan", "BroadcastHashJoin"],
         "not": ["CartesianProduct"],
     },
+    # r11 forensic: digit extraction is JVM expression, one
+    # count-by-digit partial agg, chi2 over a <=10-row window
+    "benford_first_digit": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "cents_digit_uniformity": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "round_price_bias": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # r11 long-memory: one rank window over the tick stream, block
+    # rollup, then tiny frames (sizes ladder broadcasts; the R/S
+    # average + pivot and the VR sums each add ordered windows over
+    # <=|series|x|sizes| / <=|days| rows)
+    "hurst_rs_per_series": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "variance_ratio_test": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
 }
 
 
