@@ -2,12 +2,12 @@
 
 Extends the nation trade graph's census (triangle_count_trade_graph,
 catalog_quality.py:237 — same thresholded edge list, same fact-join
-reduction) with the three standard topology readouts:
+reduction) with two node-level topology readouts (Newman degree assortativity
+already ships on the neighbor graph as degree_assortativity,
+catalog_r7_linkanalysis.py:302):
 
 - local_clustering_coefficient  per-node C_i = 2·t_i / (k_i(k_i−1))
                                 (Watts & Strogatz 1998)
-- degree_assortativity          Pearson correlation of endpoint
-                                degrees over edge copies (Newman 2002)
 - rich_club_coefficients        φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1))
                                 at k ∈ {2,4,6,8} (Colizza et al. 2006)
 
@@ -16,11 +16,10 @@ trade volume reaches the mean pair volume (the relative threshold that
 keeps the graph non-complete at every SF).
 
 Determinism: degrees, wedge counts, triangle counts and edge counts
-are exact integers; assortativity is one closed-form expression over
-six exact integer moment sums; every ratio rounds 6 dp in-query.
+are exact integers; every ratio rounds 6 dp in-query.
 
 Scale: the ONLY heavy step is the fact-join reduction to the
-≤|nations|²/2 pair table (scan-bound at 100 TB); all three metrics run
+≤|nations|²/2 pair table (scan-bound at 100 TB); both metrics run
 wedge/edge joins on that broadcast-sized frame, so their cost does not
 grow with fact rows at all.
 """
@@ -134,56 +133,6 @@ def local_clustering_coefficient(spark: SparkSession,
                     .alias("n_triangles"),
                     F.round(lcc, 6).alias("clustering_coef"))
             .orderBy("node"))
-
-
-@query(
-    "degree_assortativity",
-    oracle=f"""
-    WITH {_GRAPH},
-    ends AS (
-        SELECT du.k AS kx, dv.k AS ky
-        FROM sym e JOIN deg du ON du.node = e.u
-                   JOIN deg dv ON dv.node = e.v
-    ),
-    mom AS (
-        SELECT count(*) AS m, sum(kx) AS sx, sum(ky) AS sy,
-               sum(kx * ky) AS sxy, sum(kx * kx) AS sxx,
-               sum(ky * ky) AS syy
-        FROM ends
-    )
-    SELECT CAST(m AS BIGINT) AS n_edge_ends,
-           round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(m AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * sy)), 6)
-               AS assortativity
-    FROM mom
-    """,
-)
-def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Newman's degree assortativity of the trade graph: the Pearson
-    correlation of endpoint degrees over directed edge copies —
-    negative means hubs trade with the periphery (the usual trade-
-    network signature), positive means hubs cluster together.
-
-    Scale: six exact integer moment sums over the symmetric edge list,
-    one closed-form expression at the end."""
-    pairs, sym, deg = _graph(spark, sf_dir)
-    du = deg.select(F.col("node").alias("u"), F.col("k").alias("kx"))
-    dv = deg.select(F.col("node").alias("v"), F.col("k").alias("ky"))
-    ends = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    mom = ends.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("kx").alias("sx"), F.sum("ky").alias("sy"),
-        F.sum(F.col("kx") * F.col("ky")).alias("sxy"),
-        F.sum(F.col("kx") * F.col("kx")).alias("sxx"),
-        F.sum(F.col("ky") * F.col("ky")).alias("syy"))
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    r = ((d("m") * F.col("sxy") - d("sx") * F.col("sy"))
-         / F.sqrt((d("m") * F.col("sxx") - d("sx") * F.col("sx"))
-                  * (d("m") * F.col("syy") - d("sy") * F.col("sy"))))
-    return mom.select(F.col("m").cast("long").alias("n_edge_ends"),
-                      F.round(r, 6).alias("assortativity"))
 
 
 @query(

@@ -3,11 +3,11 @@
 Extends the signup→first-purchase survival framing of
 survival_km_conversion (catalog_behavior.py:157 — hours to convert,
 administratively right-censored at 72 h) with the three classical
-companions every survival report carries:
+companions every survival report carries (the Nelson-Aalen hazard
+itself already ships as nelson_aalen_hazard,
+catalog_r7_metrics2.py:157 — this family adds the TESTS on top of
+the curves):
 
-- nelson_aalen_hazard    the Nelson-Aalen cumulative-hazard estimator
-                         H(t) = Σ_{t_i≤t} d_i/n_i (Nelson 1972,
-                         Aalen 1978)
 - logrank_signup_cohorts the two-sample log-rank test (Mantel 1966)
                          between even/odd user cohorts: O−E, variance,
                          z and χ² on one row
@@ -108,37 +108,6 @@ def _risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "d", "d1",
         F.sum("ucnt").over(wdesc).cast("long").alias("n_risk"),
         F.sum("ucnt1").over(wdesc).cast("long").alias("n_risk1"))
-
-
-@query(
-    "nelson_aalen_hazard",
-    oracle=f"""
-    WITH {_OBS}
-    SELECT t AS dur_h, d AS n_died, n_risk,
-           round(sum(CAST(d AS DOUBLE) / n_risk)
-                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) + 0.0
-               AS cum_hazard
-    FROM risk WHERE d > 0 ORDER BY dur_h
-    """,
-)
-def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nelson-Aalen cumulative hazard of signup→first-purchase
-    conversion: H(t) = Σ_{t_i≤t} d_i/n_i over the distinct conversion
-    hours — the nonparametric hazard companion to the KM curve, summed
-    in explicit time order so the float accumulation is identical on
-    every engine.
-
-    Scale: the d/n terms live on the ≤73-row risk frame; one ordered
-    cumulative window."""
-    risk = _risk(spark, sf_dir)
-    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return (risk.where(F.col("d") > 0)
-            .select(F.col("t").alias("dur_h"),
-                    F.col("d").alias("n_died"), "n_risk",
-                    (F.round(F.sum(F.col("d").cast("double")
-                                   / F.col("n_risk")).over(wasc), 6)
-                     + 0.0).alias("cum_hazard"))
-            .orderBy("dur_h"))
 
 
 @query(

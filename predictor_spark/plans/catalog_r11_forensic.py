@@ -4,20 +4,20 @@ The digit-distribution tests an audit/data-forensics team runs over a
 monetary column before trusting it (Nigrini, "Benford's Law", 2012 —
 the standard fraud/synthetic-data screens):
 
-- benford_first_digit     observed first-significant-digit shares of
-                          order value vs Benford's log10(1+1/d), with
-                          a running χ² (the last row carries the total)
 - cents_digit_uniformity  last-digit distribution of exact cents vs
                           uniform — entry errors and fabricated values
-                          favor round digits
+                          favor round digits (the Benford FIRST-digit
+                          screen already ships as benford_first_digit,
+                          catalog_drift.py:319 — this family adds the
+                          χ²-carrying last-digit and price-ending legs)
 - round_price_bias        the share of prices ending .00 / .50 / .99 —
                           psychological-pricing vs organic-value mix
 
-Determinism: digits come from exact integer cents (string/modulo
+Determinism: digits come from exact integer cents (modulo
 arithmetic — no float log decides a digit); observed counts are exact
 integers; expected shares are fixed constants; the χ² terms accumulate
 in explicit digit order via a cumulative window (the ordered-sum
-discipline), so the 9/10-term float sums are engine-identical.
+discipline), so the 10-term float sum is engine-identical.
 
 Scale: each screen is one map-side-combinable count-by-digit over the
 scan, collapsing to ≤10 rows before the window. The digit extraction
@@ -30,70 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
-
-
-@query(
-    "benford_first_digit",
-    oracle="""
-    WITH digits AS (
-        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        FROM orders
-    ),
-    counts AS (
-        SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
-    ),
-    tot AS (SELECT sum(n_obs) AS n FROM counts),
-    terms AS (
-        SELECT digit, n_obs, n,
-               log10(1.0 + 1.0 / digit) AS benford_p,
-               (n_obs - n * log10(1.0 + 1.0 / digit))
-                   * (n_obs - n * log10(1.0 + 1.0 / digit))
-                   / (n * log10(1.0 + 1.0 / digit)) AS term
-        FROM counts, tot
-    )
-    SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
-           round(CAST(n_obs AS DOUBLE) / n, 6) AS observed_share,
-           round(benford_p, 6) AS benford_share,
-           round(sum(term) OVER (ORDER BY digit
-                                 ROWS UNBOUNDED PRECEDING), 6)
-               AS cum_chi2
-    FROM terms ORDER BY digit
-    """,
-)
-def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law screen on order value: the first significant
-    digit of exact cents against log10(1+1/d), with the χ² statistic
-    accumulating digit by digit (the digit-9 row carries the full
-    test statistic). Values that pass trend smoothly from 30.1%% down
-    to 4.6%%; fabricated or capped values spike mid-digits.
-
-    Scale: one count-by-digit aggregation; the χ² window runs over 9
-    rows."""
-    od = _t(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-        1, 1).cast("long")
-    counts = od.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_obs"))
-    tot = Window.partitionBy(F.lit(1))
-    wasc = Window.orderBy("digit").rowsBetween(
-        Window.unboundedPreceding, 0)
-    bp = F.log10(1.0 + 1.0 / F.col("digit"))
-    n = F.sum("n_obs").over(tot)
-    withp = counts.select(
-        "digit", "n_obs", n.alias("n"), bp.alias("benford_p"))
-    term = ((F.col("n_obs") - F.col("n") * F.col("benford_p"))
-            * (F.col("n_obs") - F.col("n") * F.col("benford_p"))
-            / (F.col("n") * F.col("benford_p")))
-    return (withp.select(
-        F.col("digit").cast("long").alias("digit"),
-        F.col("n_obs").cast("long").alias("n_obs"),
-        F.round(F.col("n_obs").cast("double") / F.col("n"), 6)
-        .alias("observed_share"),
-        F.round("benford_p", 6).alias("benford_share"),
-        F.round(F.sum(term).over(wasc), 6).alias("cum_chi2"))
-        .orderBy("digit"))
 
 
 @query(

@@ -60,13 +60,13 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r8_seqpred", 1, "markov_next_event_accuracy"),
     ("catalog_r9_opsresearch", 3, "kingman_wait_estimate"),
     ("catalog_r10_funnel", 4, "funnel_abandonment_profile"),
-    ("catalog_r10_survival2", 3, "nelson_aalen_hazard"),
+    ("catalog_r10_survival2", 2, "logrank_signup_cohorts"),
     ("catalog_r10_profile", 3, "table_profile_orders"),
     ("catalog_r10_candles", 3, "candlestick_patterns_daily"),
     ("catalog_r10_bandit", 2, "ucb1_arm_scores"),
     ("catalog_r10_ltv", 3, "ltv_cohort_curves"),
-    ("catalog_r10_graphmetrics", 3, "local_clustering_coefficient"),
-    ("catalog_r11_forensic", 3, "benford_first_digit"),
+    ("catalog_r10_graphmetrics", 2, "local_clustering_coefficient"),
+    ("catalog_r11_forensic", 2, "cents_digit_uniformity"),
     ("catalog_r11_longmemory", 2, "hurst_rs_per_series"),
 )
 

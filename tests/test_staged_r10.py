@@ -130,23 +130,6 @@ class TestSurvival2:
         per_t["n1"] = per_t.ucnt1.cumsum()
         return per_t.sort_index()
 
-    def test_nelson_aalen_matches_pandas(self, spark, surv_obs):
-        from predictor_spark.plans.catalog_r10_survival2 import (
-            nelson_aalen_hazard)
-
-        per_t = self._risk(surv_obs)
-        dead = per_t[per_t.d > 0]
-        want = (dead.d / dead.n).cumsum()
-        rows = nelson_aalen_hazard(spark, SF_DIR).collect()
-        assert [r["dur_h"] for r in rows] == list(dead.index)
-        for r, (t, h) in zip(rows, want.items()):
-            assert r["cum_hazard"] == pytest.approx(h, abs=2e-6)
-            assert r["n_died"] == int(dead.loc[t, "d"])
-            assert r["n_risk"] == int(dead.loc[t, "n"])
-        # hazard is nondecreasing
-        hz = [r["cum_hazard"] for r in rows]
-        assert hz == sorted(hz)
-
     def test_logrank_matches_pandas(self, spark, surv_obs):
         from predictor_spark.plans.catalog_r10_survival2 import (
             logrank_signup_cohorts)
@@ -464,22 +447,6 @@ class TestGraphMetrics:
             assert r["degree"] == k and r["n_triangles"] == t
             want = 2 * t / (k * (k - 1)) if k >= 2 else 0.0
             assert r["clustering_coef"] == pytest.approx(want, abs=1e-6)
-
-    def test_assortativity_matches_numpy(self, spark, graph):
-        from predictor_spark.plans.catalog_r10_graphmetrics import (
-            degree_assortativity)
-
-        pairs, adj = graph
-        deg = {n: len(v) for n, v in adj.items()}
-        kx = np.array([deg[u] for u, v in pairs]
-                      + [deg[v] for u, v in pairs], dtype=float)
-        ky = np.array([deg[v] for u, v in pairs]
-                      + [deg[u] for u, v in pairs], dtype=float)
-        want = float(np.corrcoef(kx, ky)[0, 1])
-        row = degree_assortativity(spark, SF_DIR).collect()[0]
-        assert row["n_edge_ends"] == 2 * len(pairs)
-        assert row["assortativity"] == pytest.approx(want, abs=1e-5)
-        assert -1 <= row["assortativity"] <= 1
 
     def test_rich_club_matches_bruteforce(self, spark, graph):
         from predictor_spark.plans.catalog_r10_graphmetrics import (

@@ -17,30 +17,6 @@ def _cents(col="o_totalprice", table="orders") -> np.ndarray:
 
 
 class TestForensic:
-    def test_benford_matches_numpy(self, spark):
-        from predictor_spark.plans.catalog_r11_forensic import (
-            benford_first_digit)
-
-        c = _cents()
-        first = np.array([int(str(x)[0]) for x in c])
-        n = len(first)
-        rows = benford_first_digit(spark, SF_DIR).collect()
-        chi2 = 0.0
-        seen_digits = []
-        for r in rows:
-            d = r["digit"]
-            seen_digits.append(d)
-            obs = int((first == d).sum())
-            assert r["n_obs"] == obs
-            assert r["observed_share"] == pytest.approx(obs / n, abs=1e-6)
-            p = np.log10(1 + 1 / d)
-            assert r["benford_share"] == pytest.approx(p, abs=1e-6)
-            chi2 += (obs - n * p) ** 2 / (n * p)
-            assert r["cum_chi2"] == pytest.approx(chi2, abs=2e-4)
-        assert seen_digits == sorted(seen_digits)
-        # every observed first digit is covered
-        assert set(seen_digits) == set(np.unique(first))
-
     def test_cents_uniformity_matches_numpy(self, spark):
         from predictor_spark.plans.catalog_r11_forensic import (
             cents_digit_uniformity)

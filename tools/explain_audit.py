@@ -1332,11 +1332,6 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
     # r10 survival: two user-keyed shuffles then everything runs on the
     # <=73-row risk frame; the estimator windows are global-ordered over
     # that tiny frame (plan-split across cumulative/rank orders)
-    "nelson_aalen_hazard": {
-        "must": ["partial_"],
-        "not": ["CartesianProduct"],
-        "max_window_execs": 2,
-    },
     "logrank_signup_cohorts": {
         "must": ["partial_"],
         "not": ["CartesianProduct"],
@@ -1420,21 +1415,12 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "must": ["InMemoryTableScan"],
         "not": ["CartesianProduct"],
     },
-    "degree_assortativity": {
-        "must": ["InMemoryTableScan", "BroadcastHashJoin"],
-        "not": ["CartesianProduct"],
-    },
     "rich_club_coefficients": {
         "must": ["InMemoryTableScan", "BroadcastHashJoin"],
         "not": ["CartesianProduct"],
     },
     # r11 forensic: digit extraction is JVM expression, one
     # count-by-digit partial agg, chi2 over a <=10-row window
-    "benford_first_digit": {
-        "must": ["partial_"],
-        "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_scans": 1, "max_window_execs": 2,
-    },
     "cents_digit_uniformity": {
         "must": ["partial_"],
         "not": ["CartesianProduct", "SortMergeJoin"],
