@@ -34,8 +34,18 @@ def main() -> None:
 
     build(SF1_DIR)  # no-op when already present
     qs = entry_mod.queries()
+    # mirror bench.main()'s flip auto-activation: every REGISTERED
+    # family headline from FLIP_ORDER joins the table (without this,
+    # freshly flipped families were invisible to SCALING.md — the r7
+    # regeneration missed all 15 flipped headlines)
+    from predictor_spark.plans.staged import FLIP_ORDER
+
+    headline = list(HEADLINE)
+    for _mod, _n, flip_bench in FLIP_ORDER:
+        if flip_bench not in headline and flip_bench in qs:
+            headline.append(flip_bench)
     # warm-up once per sf dir (parquet footers), plus codegen warm-up
-    timings: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    timings: dict[str, list[float]] = {n: [] for n in headline}
     for sf in SFS:
         # FRESH SparkSession per scale factor: a single session aging
         # across 4 SFs x |HEADLINE| x 2 runs accumulates GC/python-worker
@@ -53,7 +63,7 @@ def main() -> None:
             except Exception:
                 pass
         materialize(qs["q1_pricing_summary"](spark, sf))
-        for name in HEADLINE:
+        for name in headline:
             best = None
             for _ in range(2):  # min-of-2, like bench.py: single shots at
                 # these sizes are GC/scheduler noise, not plan signal
