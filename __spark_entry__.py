@@ -73,10 +73,12 @@ def _load_catalog():
 # never-graded and newly-added queries land inside the grading window first.
 # The rotation set is CONTENT-HASHED, not a static snapshot: a query rotates
 # back only if its current (function source + oracle SQL) hash matches the
-# hash recorded when tools/check_correctness.py last verified it green
-# (tools/graded_green.json, written by its --record flag after a full local
-# sweep). Any edit to a query or its oracle invalidates the hash and moves
-# it to the front for driver re-grading.
+# hash recorded AT DRIVER-GRADE TIME (tools/driver_grades.json, written by
+# tools/sync_driver_grades.py at each round start from the committed
+# CORRECTNESS_r*.json files). Any edit to a query or its oracle after the
+# driver's grade invalidates the hash and moves it back toward the window
+# for re-grading — a local check_correctness.py --record run cannot rotate
+# an edited row out (VERDICT r7 #2).
 #
 # The hash covers the query FUNCTION's source, its oracle SQL, AND the
 # transitive predictor_spark module closure of the module defining the
@@ -155,6 +157,32 @@ def _green_hashes() -> dict[str, str]:
         return {}
 
 
+def _driver_grades() -> dict[str, dict]:
+    """name -> {"round": N, "hash": h} recorded at ROUND START by
+    tools/sync_driver_grades.py — the hash of the code the DRIVER graded
+    green, not of whatever the local sweep last saw.  Rotation out of the
+    grading window keys on THIS file (VERDICT r7 #2): an edit after the
+    driver's grade moves the row back toward the window even if a local
+    `check_correctness.py --record` re-verified it, because the local
+    record can no longer overwrite the grade-time hash."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "driver_grades.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+#: Names forced to the head of the grading window regardless of grade
+#: history — for rows whose recorded driver grade was VACUOUS (e.g.
+#: drawdown_duration's r7 green compared 0 rows to 0 rows) and needs a
+#: re-grade that actually exercises values.  Remove once re-graded.
+_FORCE_WINDOW: tuple[str, ...] = ("drawdown_duration",)
+
+
 def _driver_green() -> frozenset[str]:
     """Queries the DRIVER has already graded fully green (rows+schema+hash
     all true) in ANY recorded round — parsed from the committed
@@ -180,17 +208,33 @@ def _driver_green() -> frozenset[str]:
 
 
 def _ordered(queries, oracle) -> list[str]:
-    green = _green_hashes()
-    driver_green = _driver_green()
+    grades = _driver_grades()
+    if grades:
+        driver_green = frozenset(grades)
+
+        def grade_hash(n: str):
+            return grades[n].get("hash") if n in grades else None
+    else:
+        # bootstrap fallback (driver_grades.json absent): the pre-r8
+        # mechanism — CORRECTNESS history for the green set, the local
+        # sweep's graded_green.json for the hash identity
+        green = _green_hashes()
+        driver_green = _driver_green()
+
+        def grade_hash(n: str):
+            return green.get(n)
 
     def verified(n: str) -> bool:
-        # rotate back only if the driver graded it green AND the local
-        # full-sweep hash still matches the current (source + oracle) —
-        # new queries and changed queries both stay in the window
+        # rotate back only if the driver graded it green AND the hash
+        # recorded AT GRADE TIME still matches the current (source +
+        # oracle + module closure) — new queries and queries edited
+        # since their last driver grade both stay in the window
         return (n in driver_green
-                and green.get(n) == _query_hash(queries[n], oracle.get(n)))
+                and grade_hash(n) == _query_hash(queries[n], oracle.get(n)))
 
     def rank(n: str) -> int:
+        if n in _FORCE_WINDOW:
+            return -1
         if not verified(n):
             # grading-window priority: queries needing their FIRST driver
             # grade outrank previously-driver-green rows whose content

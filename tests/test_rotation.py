@@ -2,12 +2,16 @@
 for the driver contract: it decides which queries land in the driver's
 ~50-query grading window.  Pin its priority law:
 
-  0. never-driver-graded, oracle-backed   (need their FIRST grade)
-  1. driver-green but content-hash moved  (re-grades)
-  2/3. same classes without oracle
-  4/5. verified (driver-green + hash-match) — rotated to the back
+  -1. _FORCE_WINDOW names (vacuous prior grades needing a real re-grade)
+   0. never-driver-graded, oracle-backed   (need their FIRST grade)
+   1. driver-green but content-hash moved since the DRIVER's grade
+   2/3. same classes without oracle
+   4/5. verified (driver-green + grade-time hash match) — rotated back
 
-and stability (registration order preserved within a class)."""
+stability (registration order preserved within a class), and the
+VERDICT r7 #2 property: the rotation keys on tools/driver_grades.json
+(hashes recorded at driver-grade time), so a local --record sweep after
+an edit can NOT rotate the edited row back out."""
 
 from __future__ import annotations
 
@@ -21,20 +25,24 @@ def _fake_fn(name):
     return fn
 
 
+def _grades_for(queries, oracle, names, stale=()):
+    return {n: {"round": 7,
+                "hash": ("stale" if n in stale
+                         else entry._query_hash(queries[n], oracle.get(n)))}
+            for n in names}
+
+
 def test_rotation_priority_and_stability(monkeypatch):
     queries = {n: _fake_fn(n) for n in
                ["old_green_moved", "new_a", "old_green_ok",
                 "new_b", "old_green_moved2", "new_rows_only"]}
     oracle = {n: f"SELECT 1 -- {n}" for n in queries if n != "new_rows_only"}
 
-    hashes = {n: entry._query_hash(queries[n], oracle.get(n))
-              for n in queries}
-    monkeypatch.setattr(entry, "_green_hashes", lambda: {
-        "old_green_ok": hashes["old_green_ok"],
-        "old_green_moved": "stale", "old_green_moved2": "stale",
-    })
-    monkeypatch.setattr(entry, "_driver_green", lambda: frozenset(
-        {"old_green_ok", "old_green_moved", "old_green_moved2"}))
+    monkeypatch.setattr(entry, "_driver_grades", lambda: _grades_for(
+        queries, oracle,
+        ["old_green_ok", "old_green_moved", "old_green_moved2"],
+        stale={"old_green_moved", "old_green_moved2"}))
+    monkeypatch.setattr(entry, "_FORCE_WINDOW", ())
 
     got = entry._ordered(queries, oracle)
     assert got == [
@@ -45,13 +53,60 @@ def test_rotation_priority_and_stability(monkeypatch):
     ]
 
 
-def test_rotation_treats_unknown_hash_as_unverified(monkeypatch):
+def test_edited_green_query_reenters_window_ahead_of_filler(monkeypatch):
+    """VERDICT r7 #3 'done' condition: a query edited after its driver
+    grade provably re-enters the window ahead of rotation filler, and a
+    simulated local re-record (which under the OLD mechanism overwrote
+    the rotation hash) cannot rotate it back out."""
+    queries = {n: _fake_fn(n) for n in ["edited", "untouched"]}
+    oracle = {n: f"SELECT 1 -- {n}" for n in queries}
+    grades = _grades_for(queries, oracle, ["edited", "untouched"])
+
+    monkeypatch.setattr(entry, "_driver_grades", lambda: grades)
+    monkeypatch.setattr(entry, "_FORCE_WINDOW", ())
+    assert entry._ordered(queries, oracle) == ["edited", "untouched"]
+
+    # "edit" the query: its content hash moves away from the grade-time one
+    queries["edited"] = _fake_fn("edited_v2")
+    assert entry._ordered(queries, oracle)[0] == "edited"
+
+    # a local --record sweep updates graded_green.json — which the rotation
+    # must IGNORE while driver_grades.json exists
+    monkeypatch.setattr(entry, "_green_hashes", lambda: {
+        "edited": entry._query_hash(queries["edited"], oracle["edited"]),
+        "untouched": entry._query_hash(queries["untouched"], oracle["untouched"]),
+    })
+    assert entry._ordered(queries, oracle)[0] == "edited"
+
+
+def test_force_window_outranks_everything(monkeypatch):
+    queries = {n: _fake_fn(n) for n in ["brand_new", "vacuous_green"]}
+    oracle = {n: f"SELECT 1 -- {n}" for n in queries}
+    monkeypatch.setattr(entry, "_driver_grades", lambda: _grades_for(
+        queries, oracle, ["vacuous_green"]))
+    monkeypatch.setattr(entry, "_FORCE_WINDOW", ("vacuous_green",))
+    assert entry._ordered(queries, oracle) == ["vacuous_green", "brand_new"]
+
+
+def test_rotation_fallback_without_driver_grades(monkeypatch):
+    """Bootstrap fallback: with driver_grades.json absent the pre-r8
+    mechanism applies (CORRECTNESS green set + local graded_green hash);
+    driver-green but never locally recorded -> stays in the window."""
     queries = {"q": _fake_fn("q")}
     oracle = {"q": "SELECT 1"}
+    monkeypatch.setattr(entry, "_driver_grades", lambda: {})
     monkeypatch.setattr(entry, "_green_hashes", lambda: {})
     monkeypatch.setattr(entry, "_driver_green", lambda: frozenset({"q"}))
-    # driver-green but never locally recorded -> must stay in the window
+    monkeypatch.setattr(entry, "_FORCE_WINDOW", ())
     assert entry._ordered(queries, oracle) == ["q"]
+
+
+def test_live_force_window_names_are_registered():
+    """_FORCE_WINDOW is a manual override list — a typo'd or since-
+    de-registered name would silently do nothing."""
+    cat = entry._load_catalog()
+    for n in entry._FORCE_WINDOW:
+        assert n in cat.QUERIES, n
 
 
 def test_every_catalog_module_imports_cleanly():
