@@ -60,6 +60,25 @@ def _load_catalog():
                 "catalog_r8_matrixprofile",
                 "catalog_r8_pq",
                 "catalog_r8_distdist",
+                "catalog_r8_models2",
+                "catalog_r8_scorecard",
+                "catalog_r8_inventory",
+                "catalog_r8_changepoint",
+                "catalog_r8_mcda",
+                "catalog_r8_forecast2",
+                "catalog_r8_dedupeval",
+                "catalog_r8_multimodal2",
+                "catalog_r8_estimation",
+                "catalog_r8_privacy",
+                "catalog_r8_sequential",
+                "catalog_r8_seqpred",
+                "catalog_r9_opsresearch",
+                "catalog_r10_funnel",
+                "catalog_r10_survival2",
+                "catalog_r10_profile",
+                "catalog_r10_candles",
+                "catalog_r10_bandit",
+                "catalog_r10_ltv",
     ):
         try:
             __import__(f"predictor_spark.plans.{mod}")

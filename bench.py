@@ -166,16 +166,13 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # flip-ready headlines: every staged family's bench row is
-    # pre-listed from FLIP_ORDER (importing the constant does NOT load
-    # the staged modules); the `name not in qs` guard below skips rows
-    # whose family hasn't flipped yet, so tools/flip_staged.py
-    # auto-activates each family's bench row with zero bench.py edits
-    from predictor_spark.plans.staged import FLIP_ORDER
+    # flip-ready headlines: every REGISTERED FLIP_ORDER family headline
+    # joins HEADLINE (shared rule in plans/staged.py, also used by
+    # tools/scale_check.py), so tools/flip_staged.py auto-activates each
+    # family's bench row with zero bench.py edits
+    from predictor_spark.plans.staged import registered_headlines
 
-    for _mod, _n, flip_bench in FLIP_ORDER:
-        if flip_bench not in HEADLINE:
-            HEADLINE.append(flip_bench)
+    HEADLINE[:] = registered_headlines(HEADLINE, qs)
 
     # warm-up: every benched table's footer + ts-conversion path, then one
     # query for JVM/codegen
@@ -279,6 +276,19 @@ def main() -> None:
         dropped += 1
         emit["queries_omitted"] = dropped
         line = json.dumps(emit, separators=(",", ":"))
+    if len(line) > line_budget:
+        # all query rows dropped and the residual metadata alone is over
+        # budget: shed the cold/warm detail too (it lives in
+        # BENCH_FULL.json), then fail LOUDLY rather than print a line the
+        # driver's ~2000-char tail capture would truncate to parsed:null
+        # (ADVICE r7: a silent overflow loses the whole round's perf
+        # record, as in BENCH_r06)
+        emit.pop("single_run_cold_warm", None)
+        line = json.dumps(emit, separators=(",", ":"))
+    assert len(line) <= line_budget, (
+        f"bench stdout line is {len(line)} chars (> {line_budget}) even "
+        "with every query row and cold/warm detail dropped — shrink the "
+        "metadata keys; a truncated line records parsed:null for the round")
     print(line)
 
 

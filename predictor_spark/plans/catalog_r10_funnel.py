@@ -4,7 +4,8 @@ The product-analytics funnel family every event warehouse runs
 (the view → click → purchase ladder, strictly time-ordered per user):
 
 - funnel_abandonment_profile  where non-converters stalled: the LAST
-                              event type of viewers who never purchased
+                              event type of viewers with no purchase
+                              within 24h of their first view
 - funnel_conversion_7d        windowed funnel: first view → first
                               subsequent purchase within 7 days
 - funnel_latency_quantiles    exact p50/p90 view→purchase latency as

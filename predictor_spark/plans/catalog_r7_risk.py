@@ -242,25 +242,22 @@ def capm_beta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "drawdown_duration",
     oracle="""
-    WITH daily AS (
-        SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
-               sum(CAST(round(value * 100) AS BIGINT)) AS c
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               sum(CAST(round(value * 100) AS BIGINT)) AS bar
         FROM events GROUP BY 1, 2
     ),
     dd AS (
-        SELECT event_type, day,
-               max(cum) OVER w - cum AS drawdown
-        FROM (SELECT event_type, day,
-                     sum(c) OVER (PARTITION BY event_type
-                                  ORDER BY day) AS cum
-              FROM daily)
-        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        SELECT event_type, hr,
+               max(bar) OVER w - bar AS drawdown,
+               row_number() OVER w AS rn_all
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr)
     ),
     uw AS (
-        SELECT event_type, day,
-               row_number() OVER (PARTITION BY event_type ORDER BY day)
-               - row_number() OVER (PARTITION BY event_type,
-                                    (drawdown > 0) ORDER BY day) AS grp
+        SELECT event_type,
+               rn_all - row_number() OVER (PARTITION BY event_type
+                                           ORDER BY hr) AS grp
         FROM dd WHERE drawdown > 0
     ),
     spells AS (
@@ -269,41 +266,45 @@ def capm_beta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_spells,
-           CAST(max(len) AS BIGINT) AS longest_spell_days,
-           CAST(sum(len) AS BIGINT) AS underwater_days
+           CAST(max(len) AS BIGINT) AS longest_spell_hours,
+           CAST(sum(len) AS BIGINT) AS underwater_hours
     FROM spells GROUP BY event_type
     """,
 )
 def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Underwater-spell statistics per event type: a spell is a maximal
-    run of consecutive observed days with drawdown > 0 on the exact
-    integer-cent equity curve (the time dimension of max drawdown,
-    Magdon-Ismail et al. 2004).  Spells come from the gaps-and-islands
-    row_number difference — pure integer arithmetic end to end.
+    """Underwater-spell statistics per event type on the hourly
+    integer-cent bar curve: drawdown is the gap to the running peak bar
+    (the time dimension of max drawdown, Magdon-Ismail et al. 2004); a
+    spell is a maximal run of consecutive OBSERVED underwater bars.
 
-    Scale: one events scan -> daily rollup; the equity cumsum, running
-    max and both spell ranks all ride ONE (type ordered by day)
-    partitioning over the ~150-row bar frame; the rollup is a 5-group
-    aggregate."""
-    daily = (_t(spark, sf_dir, "events")
-             .groupBy("event_type",
-                      F.dayofmonth("ts").cast("long").alias("day"))
-             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-                  .alias("c")))
-    w = Window.partitionBy("event_type").orderBy("day")
-    dd = (daily
-          .withColumn("cum", F.sum("c").over(w))
-          .withColumn("drawdown", F.max("cum").over(w) - F.col("cum")))
+    Re-grained in r8: the original per-day-of-month cumulative-sum curve
+    was monotone at every SF (all-positive increments), so the r7 driver
+    grade compared 0 rows to 0 rows (VERDICT r7 #1).  The rewrite also
+    fixes a latent gaps-and-islands bug that grade could never see: both
+    sides computed the anchor row_number AFTER the underwater filter, so
+    the rank difference was constant and every type collapsed to one
+    spell.  The anchor rank (rn_all) is now taken over ALL bars before
+    filtering, the island rank over underwater bars only.
+
+    Scale: one events scan -> (type, hour) rollup; the running max and
+    anchor rank ride ONE (type ordered by hour) partitioning over the
+    ~3.4k-row bar frame (bars per type ~= hours in range, independent of
+    SF); spells are tiny grouped counts."""
+    hourly = (_t(spark, sf_dir, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                   .alias("bar")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dd = (hourly
+          .withColumn("drawdown", F.max("bar").over(w) - F.col("bar"))
+          .withColumn("rn_all", F.row_number().over(w)))
     uw = (dd.filter(F.col("drawdown") > 0)
-          .select("event_type", "day",
-                  (F.row_number().over(w)
-                   - F.row_number().over(
-                       Window.partitionBy(
-                           "event_type", F.col("drawdown") > 0)
-                       .orderBy("day"))).alias("grp")))
+          .select("event_type",
+                  (F.col("rn_all") - F.row_number().over(w)).alias("grp")))
     spells = uw.groupBy("event_type", "grp").agg(
         F.count(F.lit(1)).alias("len"))
     return (spells.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_spells"),
-                 F.max("len").cast("long").alias("longest_spell_days"),
-                 F.sum("len").cast("long").alias("underwater_days")))
+                 F.max("len").cast("long").alias("longest_spell_hours"),
+                 F.sum("len").cast("long").alias("underwater_hours")))

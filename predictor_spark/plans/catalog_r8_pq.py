@@ -13,8 +13,9 @@ compressed-domain scan every billion-vector index runs on top of IVF:
                codes, queries scanning CODES ONLY via per-subspace
                distance tables to a 50-candidate shortlist, then ONE
                keyed join pulls raw vectors for the exact top-5
-               re-rank (recall@5 vs brute force: 0.90 at sf0.001,
-               0.92 at sf0.01 — pinned in tests)
+               re-rank (recall@5 vs brute force with the _FIT_N-sample
+               quantizer: 0.88 at sf0.001, 0.90 at sf0.01 — pinned in
+               tests)
 
 Determinism: the per-subspace k-means rides kmeans_fit's rounding
 conventions (assign_dp = 6, centroid_dp = 8 — the knn_cosine_ivf
@@ -43,6 +44,12 @@ _M, _SUB, _K, _ITER = 16, 4, 16, 2
 _SHORT = 50  # ADC shortlist size before the exact re-rank
 _TOPK = 5
 _NQ = 10  # queries: vec_id < 10 (the IVF/bruteforce convention)
+#: quantizer-fit sample size: the 256 codebook centroids train on the
+#: _FIT_N lowest-md5 vectors (deterministic, engine-agnostic), NEVER the
+#: full table — the bound that makes "fit input is bounded by design"
+#: true at any SF (VERDICT r7 #6; at 100 TB a codebook fit over every
+#: vector would shuffle the whole corpus into 8 partitions)
+_FIT_N = 256
 
 
 def _exploded(emb_v: DataFrame) -> DataFrame:
@@ -85,27 +92,35 @@ def _assign(ex: DataFrame, cb: DataFrame,
     return best.select(*cols)
 
 
-def _fit_codebooks(spark: SparkSession, sf_dir: str, ex=None):
+def _fit_sample(emb_v: DataFrame) -> DataFrame:
+    """The _FIT_N lowest-md5(vec_id) vectors — a deterministic,
+    engine-agnostic sample (DuckDB replays the identical ORDER BY
+    md5 LIMIT) that bounds the quantizer-fit input at any SF.  Spark
+    plans it as TakeOrderedAndProject: a map-side top-K, no full
+    shuffle."""
+    return (emb_v
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h", "vec_id").limit(_FIT_N).drop("h"))
+
+
+def _fit_codebooks(fitv: DataFrame, ex) -> DataFrame:
     """Deterministic Lloyd's fit for ALL _M subspaces at once —
     kmeans_fit's exact semantics (lowest-id init, 6-dp assignment
     rounding with lowest-centroid ties, 8-dp centroid rounding, empty
     clusters keep the previous centroid) over the exploded
-    (vector, subspace) frame: each iteration is one broadcast-join
-    assignment + one 256-group update.  Returns
-    [subspace][centroid] -> list[float].
+    (vector, subspace) frame of the _FIT_N-vector sample: each
+    iteration is one broadcast-join assignment + one 256-group update.
+    Returns [subspace][centroid] -> list[float].
 
-    ``ex``: a (cached) exploded frame to iterate over — the fit
-    references it once per iteration and the caller's encode pass
-    reads it again, so rebuilding it from parquet each time made the
-    fit the whole row's wall clock (8.5 s of the 12.6 s bench row at
-    sf0.1 was re-scan + re-explode overhead)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("v"))
-    init = emb.orderBy("vec_id").limit(_K).collect()
+    ``fitv``: the _fit_sample frame (init comes from its lowest ids).
+    ``ex``: its CACHED exploded form — the fit references it once per
+    iteration, so rebuilding from parquet each time made the fit the
+    whole row's wall clock (8.5 s of the 12.6 s bench row at sf0.1 was
+    re-scan + re-explode overhead)."""
+    spark = fitv.sparkSession
+    init = fitv.orderBy("vec_id").limit(_K).collect()
     books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
              for m in range(_M)]
-    if ex is None:
-        ex = _exploded(emb)
     for _ in range(_ITER):
         cb = spark.createDataFrame(
             [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
@@ -126,7 +141,13 @@ def _pq_oracle() -> str:
     """Replays the whole PQ path in SQL: per-subspace Lloyd's unrolled
     as CTE chains (the knn_cosine_ivf oracle pattern on slices),
     encode, then the ADC scan with 6-dp rounded table terms."""
-    ctes = ["c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    ctes = [
+        "c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        # quantizer-fit sample: the _FIT_N lowest-md5 vectors (identical
+        # predicate to the Spark _fit_sample — engine-agnostic hex)
+        f"fitv AS MATERIALIZED (SELECT vec_id, v FROM c "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_FIT_N})",
+    ]
     code_joins = []
     for m in range(_M):
         lo = m * _SUB + 1
@@ -136,7 +157,7 @@ def _pq_oracle() -> str:
         ctes.append(
             f"s{m}_c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
             f"AS cent_id, v[{lo}:{lo + _SUB - 1}] AS cv "
-            f"FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_K}))")
+            f"FROM (SELECT * FROM fitv ORDER BY vec_id LIMIT {_K}))")
         cur = f"s{m}_c0"
         for it in range(_ITER):
             a, u, nxt = f"s{m}_a{it}", f"s{m}_u{it}", f"s{m}_c{it + 1}"
@@ -144,11 +165,11 @@ def _pq_oracle() -> str:
                 f"{a} AS MATERIALIZED (SELECT vec_id, cent_id FROM ("
                 f"SELECT e.vec_id, ct.cent_id, row_number() OVER "
                 f"(PARTITION BY e.vec_id ORDER BY {sqd}, ct.cent_id) AS rn "
-                f"FROM c e, {cur} ct) WHERE rn = 1)")
+                f"FROM fitv e, {cur} ct) WHERE rn = 1)")
             ctes.append(
                 f"{u} AS MATERIALIZED (SELECT {a}.cent_id, d.i, "
                 f"round(avg(e.v[CAST(d.i + {lo - 1} AS INTEGER)]), 8) AS m "
-                f"FROM {a} JOIN c e USING (vec_id), "
+                f"FROM {a} JOIN fitv e USING (vec_id), "
                 f"(SELECT unnest(range(1, {_SUB + 1})) AS i) d "
                 f"GROUP BY {a}.cent_id, d.i)")
             ctes.append(
@@ -225,23 +246,24 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is literal arrays in the projection — a candidate costs 16
     element_at lookups + 15 adds), the top-50 shortlist pulls raw
     vectors through ONE keyed join, and the exact distances pick the
-    final 5.  Recall@5 vs brute force: 0.90/0.92 (sf0.001/sf0.01).
+    final 5.  Recall@5 vs brute force: 0.88/0.90 (sf0.001/sf0.01) with
+    the bounded _FIT_N-sample quantizer.
 
     Scale: the scan side reads ONLY the code table; raw vectors are
     touched for 50 rows per query.  The oracle unrolls the same
     subspace fits as SQL CTEs."""
     emb = _t(spark, sf_dir, "embeddings")
-    # ONE cached exploded frame feeds both Lloyd iterations AND the
-    # encode pass (3 references; uncached, each re-scanned parquet and
-    # re-exploded — the fit alone was 8.5 s of scheduler/scan overhead
-    # on 2000 vectors at sf0.1).  coalesce(8): the fit input is
-    # BOUNDED BY DESIGN — 256 centroids train on a vector sample at
-    # real scale, never the full table — so a handful of partitions is
-    # the honest layout, and per-iteration task overhead halved
-    # (7.0 -> 3.3 s) on this box.
     emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
-    ex = _exploded(emb_v).coalesce(8).cache()
-    books = _fit_codebooks(spark, sf_dir, ex)
+    # the quantizer trains on the _FIT_N lowest-md5 vectors, not the
+    # full table (VERDICT r7 #6): the fit input is now bounded at any
+    # SF, so coalesce(8)+cache on the SAMPLE is the honest layout (a
+    # few thousand exploded rows; per-iteration task overhead halved).
+    # The full exploded frame is referenced exactly once, by the
+    # encode pass, at its natural partitioning — no cache, no coalesce.
+    fitv = _fit_sample(emb_v)
+    ex_fit = _exploded(fitv).coalesce(8).cache()
+    books = _fit_codebooks(fitv, ex_fit)
+    ex = _exploded(emb_v)
 
     # encode: broadcast-join assignment on the exploded frame, folded
     # back to one (vec_id, code0..code15) row per vector

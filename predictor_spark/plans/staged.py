@@ -72,30 +72,27 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
 
 STAGED_MODULES: tuple[str, ...] = (
     # --- r8 families (built in round 6; flip AFTER the r7 families) ---
-    "catalog_r8_inventory",
-    "catalog_r8_mcda",
-    "catalog_r8_scorecard",
-    "catalog_r8_privacy",
-    "catalog_r8_forecast2",
-    "catalog_r8_changepoint",
-    "catalog_r8_dedupeval",
-    "catalog_r8_multimodal2",
-    "catalog_r8_estimation",
-    "catalog_r8_sequential",
-    "catalog_r8_seqpred",
-    "catalog_r9_opsresearch",
     # --- r10 families (built in round 7) ---
-    "catalog_r10_funnel",
-    "catalog_r10_survival2",
-    "catalog_r10_profile",
-    "catalog_r10_candles",
-    "catalog_r10_bandit",
-    "catalog_r10_ltv",
     "catalog_r10_graphmetrics",
     # --- r11 families (built in round 7; flip AFTER the r10 families) ---
     "catalog_r11_forensic",
     "catalog_r11_longmemory",
 )
+
+
+def registered_headlines(base: "list[str]", qs) -> list[str]:
+    """bench.py / tools/scale_check.py share this flip auto-activation
+    rule (ADVICE r7: the two inline copies could desync, reproducing the
+    r7 'SCALING.md missed all flipped headlines' failure in one tool
+    only): extend ``base`` with every FLIP_ORDER family headline whose
+    family is REGISTERED (present in ``qs``), preserving order, no
+    duplicates.  Importing FLIP_ORDER does not load staged modules, so
+    un-flipped families stay invisible."""
+    out = list(base)
+    for _mod, _n, flip_bench in FLIP_ORDER:
+        if flip_bench not in out and flip_bench in qs:
+            out.append(flip_bench)
+    return out
 
 
 def load_staged() -> list[str]:

@@ -21,6 +21,17 @@ session (VERDICT r3 #3):
   idempotent for a SINGLE writer; NOT concurrent-writer-safe — two
   simultaneous upserts can lose one writer's rows in the swap. Deploys
   with more than one ETL writer must use the Delta path.
+- **JDBC / Postgres** (``backend="jdbc"``, VERDICT r7 #7) for users who
+  actually have the Metabase-facing Postgres the reference writes to:
+  the staging-table + ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col
+  = EXCLUDED.col`` arrangement of etl_migrate_v2.py:274-298,455-622 —
+  ``df.write.jdbc`` bulk-loads a stage table, one server-side statement
+  merges it, so the upsert is atomic per statement and safe under
+  concurrent writers (row-level locking), and no per-row round trips
+  cross the wire. Gated on the JDBC driver jar + a reachable database;
+  the test image ships neither, so the path is covered by
+  statement-generation tests plus an env-gated live round trip
+  (POSTGRES_JDBC_URL).
 
 Writes are partitioned by project/phase so a 10^6-experiment warehouse
 prunes to one partition per upsert.
@@ -49,28 +60,92 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+#: Spark SQL -> Postgres column types for CREATE TABLE IF NOT EXISTS
+#: (natural-key star schema uses only flat scalar columns by design)
+_PG_TYPES = {
+    "string": "TEXT", "int": "INTEGER", "bigint": "BIGINT",
+    "smallint": "SMALLINT", "double": "DOUBLE PRECISION", "float": "REAL",
+    "boolean": "BOOLEAN", "timestamp": "TIMESTAMP", "date": "DATE",
+    "binary": "BYTEA",
+}
+
+
+def jdbc_upsert_statements(table: str, schema, keys: list[str],
+                           stage: str | None = None) -> tuple[str, str]:
+    """(CREATE TABLE IF NOT EXISTS ..., INSERT ... ON CONFLICT ... DO
+    UPDATE ...) for one natural-key upsert — the reference's staging
+    merge (olap/etl_migrate_v2.py:274-298: per-dim ON CONFLICT upserts;
+    455-622: the fact merge), emitted as TWO server-side statements so
+    the bulk of the data moves via df.write.jdbc, not per-row execute.
+
+    Split out of the class so the statement text is unit-testable
+    without a live Postgres (the test image ships no JDBC driver)."""
+    stage = stage or f"{table}__stage"
+    cols, types = [], {}
+    for f in schema.fields:
+        t = _PG_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"column {f.name!r}: no Postgres mapping for Spark type "
+                f"{f.dataType.simpleString()!r} (star-schema tables are "
+                "flat scalars)")
+        cols.append(f.name)
+        types[f.name] = t
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"natural keys {missing} not in schema {cols}")
+    col_defs = ", ".join(f'"{c}" {types[c]}' for c in cols)
+    create = (f'CREATE TABLE IF NOT EXISTS "{table}" ({col_defs}, '
+              f'UNIQUE ({", ".join(chr(34) + k + chr(34) for k in keys)}))')
+    collist = ", ".join(f'"{c}"' for c in cols)
+    non_keys = [c for c in cols if c not in keys]
+    if non_keys:
+        action = "DO UPDATE SET " + ", ".join(
+            f'"{c}" = EXCLUDED."{c}"' for c in non_keys)
+    else:
+        action = "DO NOTHING"  # pure-key dim: nothing to update
+    merge = (f'INSERT INTO "{table}" ({collist}) '
+             f'SELECT {collist} FROM "{stage}" '
+             f'ON CONFLICT ({", ".join(chr(34) + k + chr(34) for k in keys)}) '
+             f"{action}")
+    return create, merge
+
+
 class StarSchemaWarehouse:
     """Star schema with natural-key upserts; Delta MERGE when available,
-    parquet anti-join emulation otherwise.
+    parquet anti-join emulation otherwise, or a live Postgres over JDBC.
 
-    ``backend``: "auto" (default — Delta iff available), "delta", or
-    "parquet"."""
+    ``backend``: "auto" (default — Delta iff available), "delta",
+    "parquet", or "jdbc" (requires ``url``; ``root`` is unused).
+    ``properties``: JDBC connection properties (user, password, driver —
+    defaults to the Postgres driver class)."""
 
-    def __init__(self, spark: SparkSession, root: str, backend: str = "auto"):
+    def __init__(self, spark: SparkSession, root: str, backend: str = "auto",
+                 url: str | None = None,
+                 properties: dict[str, str] | None = None):
         self.spark = spark
         self.root = root
         if backend == "auto":
             backend = "delta" if delta_available(spark) else "parquet"
-        if backend not in ("delta", "parquet"):
+        if backend not in ("delta", "parquet", "jdbc"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "jdbc" and not url:
+            raise ValueError("backend='jdbc' requires url")
         self.backend = backend
+        self.url = url
+        self.properties = dict(properties or {})
+        if backend == "jdbc":
+            self.properties.setdefault("driver", "org.postgresql.Driver")
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
     def _read(self, table: str) -> DataFrame | None:
-        p = self._path(table)
         try:
+            if self.backend == "jdbc":
+                return self.spark.read.jdbc(self.url, f'"{table}"',
+                                            properties=self.properties)
+            p = self._path(table)
             if self.backend == "delta":
                 return self.spark.read.format("delta").load(p)
             return self.spark.read.parquet(p)
@@ -83,8 +158,48 @@ class StarSchemaWarehouse:
         a no-op (idempotent)."""
         if self.backend == "delta":
             self._upsert_delta(table, new_rows, keys)
+        elif self.backend == "jdbc":
+            self._upsert_jdbc(table, new_rows, keys)
         else:
             self._upsert_parquet(table, new_rows, keys)
+
+    def _execute_jdbc(self, *statements: str) -> None:
+        """Run server-side statements over one JVM DriverManager
+        connection (the driver jar is already on the session classpath
+        for df.write.jdbc to work at all)."""
+        jvm = self.spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            st = conn.createStatement()
+            for sql in statements:
+                st.execute(sql)
+            st.close()
+        finally:
+            conn.close()
+
+    def _upsert_jdbc(self, table: str, new_rows: DataFrame,
+                     keys: list[str]) -> None:
+        """Staging merge (etl_migrate_v2.py:274-298,455-622): bulk-load
+        the stage table with df.write.jdbc (overwrite — TRUNCATE +
+        append), then one server-side INSERT ... ON CONFLICT (natural
+        keys) DO UPDATE moves it into the target atomically.  Safe under
+        concurrent writers (Postgres row locks on the conflict index);
+        data crosses the wire once, batched, never per-row."""
+        stage = f"{table}__stage"
+        create, merge = jdbc_upsert_statements(table, new_rows.schema, keys,
+                                               stage)
+        self._execute_jdbc(create)
+        # ON CONFLICT DO UPDATE errors if one statement touches the same
+        # key twice ("cannot affect row a second time") — dedupe the
+        # batch on the natural keys first, like the other backends'
+        # distinct() anti-join key set
+        new_rows = new_rows.dropDuplicates(keys)
+        new_rows.write.jdbc(self.url, f'"{stage}"', mode="overwrite",
+                            properties=self.properties)
+        self._execute_jdbc(merge, f'DROP TABLE "{stage}"')
 
     def _upsert_delta(self, table: str, new_rows: DataFrame,
                       keys: list[str]) -> None:

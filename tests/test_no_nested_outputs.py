@@ -34,7 +34,11 @@ def test_no_registered_query_emits_nested_types(spark):
     qs = dict(entry.queries())
     assert len(qs) >= 200
     staged_names = load_staged()
-    assert len(staged_names) >= 30
+    # one row per staged module at minimum — the count shrinks at every
+    # flip (6 after the r8 flip), so pin consistency, not a magnitude
+    from predictor_spark.plans.staged import STAGED_MODULES
+    if STAGED_MODULES:
+        assert staged_names, "STAGED_MODULES non-empty but no rows loaded"
     qs.update({n: catalog.QUERIES[n] for n in staged_names})
     for name, fn in qs.items():
         try:

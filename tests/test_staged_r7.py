@@ -298,17 +298,23 @@ def test_capm_beta_matches_numpy_lstsq(spark, daily_rets):
 
 
 def test_drawdown_duration_matches_pandas(spark):
+    """Independent pandas recomputation of the hourly underwater spells
+    (r8 re-grain, VERDICT r7 #1) — and a non-vacuity pin: the hourly bar
+    curve must actually dip at this SF, with more than one spell per
+    type (the bug class the 0-row r7 grade hid was a constant
+    gaps-and-islands rank difference collapsing all spells into one)."""
     con = duckdb.connect()
-    daily = con.execute(f"""
-        SELECT event_type, day(ts) AS day,
-               sum(CAST(round(value * 100) AS BIGINT)) AS c
+    hourly = con.execute(f"""
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               sum(CAST(round(value * 100) AS BIGINT)) AS bar
         FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
         ORDER BY 1, 2""").fetchdf()
     con.close()
     out = _run(spark, "drawdown_duration").set_index("event_type")
-    for t, g in daily.groupby("event_type"):
-        cum = g.sort_values("day").c.cumsum()
-        under = (cum.cummax() - cum) > 0
+    assert len(out) > 0
+    for t, g in hourly.groupby("event_type"):
+        bar = g.sort_values("hr").bar
+        under = (bar.cummax() - bar) > 0
         spells, run = [], 0
         for u in under:
             if u:
@@ -322,8 +328,9 @@ def test_drawdown_duration_matches_pandas(spark):
             assert t not in out.index, t
             continue
         assert out.loc[t, "n_spells"] == len(spells), t
-        assert out.loc[t, "longest_spell_days"] == max(spells), t
-        assert out.loc[t, "underwater_days"] == sum(spells), t
+        assert out.loc[t, "longest_spell_hours"] == max(spells), t
+        assert out.loc[t, "underwater_hours"] == sum(spells), t
+        assert len(spells) > 1, f"vacuous at this SF: {t}"
 
 
 # ---------------------------------------------------------------------------

@@ -712,25 +712,35 @@ class TestProductQuantization:
     @pytest.fixture(scope="class")
     def pq_numpy(self):
         """Independent numpy PQ: per-subspace Lloyd's (same lowest-id
-        init / rounding conventions), encode, ADC with 6-dp-rounded
-        table terms — no Spark, no shared SQL."""
-        from predictor_spark.plans.catalog_r8_pq import _ITER, _K, _M, _SUB
+        init / rounding conventions) over the same _FIT_N lowest-md5
+        fit sample, encode, ADC with 6-dp-rounded table terms — no
+        Spark, no shared SQL."""
+        import hashlib
+
+        from predictor_spark.plans.catalog_r8_pq import (_FIT_N, _ITER, _K,
+                                                         _M, _SUB)
 
         pdf = (pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
                .sort_values("vec_id").reset_index(drop=True))
         X = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"]])
         ids = pdf["vec_id"].to_numpy()
+        fit_ids = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:_FIT_N]
+        fit_rows = np.array(sorted(
+            np.flatnonzero(np.isin(ids, fit_ids)), key=lambda r: ids[r]))
         books, codes = [], []
         for m in range(_M):
             S = X[:, m * _SUB:(m + 1) * _SUB]
-            C = S[:_K].copy()
+            Sf = S[fit_rows]
+            C = Sf[:_K].copy()
             for _ in range(_ITER):
-                d = np.round(((S[:, None, :] - C[None, :, :]) ** 2)
+                d = np.round(((Sf[:, None, :] - C[None, :, :]) ** 2)
                              .sum(axis=2), 6)
                 lab = d.argmin(axis=1)
                 C = np.stack([
-                    np.round(S[lab == c].mean(axis=0), 8)
+                    np.round(Sf[lab == c].mean(axis=0), 8)
                     if (lab == c).any() else C[c] for c in range(_K)])
             books.append(C)
             d = np.round(((S[:, None, :] - C[None, :, :]) ** 2)
@@ -767,7 +777,8 @@ class TestProductQuantization:
     def test_pq_rerank_recall_vs_bruteforce(self, spark, pq_numpy):
         """The ADC+R arrangement must FIND neighbors: recall@5 of the
         reranked shortlist against exact L2 top-5 over the 10 queries
-        (deterministic data -> a fixed fact; 0.90 at sf0.001)."""
+        (deterministic data -> a fixed fact; 0.88 at sf0.001
+        with the _FIT_N-sample quantizer)."""
         from predictor_spark.plans.catalog_r8_pq import pq_adc_topk
 
         X, ids, _, _ = pq_numpy
@@ -1035,8 +1046,14 @@ class TestFlipOrder:
         entry_copy = tmp_path / "entry.py"
         staged_copy = tmp_path / "staged.py"
         shutil.copy("/root/repo/__spark_entry__.py", entry_copy)
-        shutil.copy("/root/repo/predictor_spark/plans/staged.py",
-                    staged_copy)
+        staged_src = open("/root/repo/predictor_spark/plans/staged.py").read()
+        # seed the fake families into the staged list so apply() has
+        # real entries to remove (ADVICE r7: removal is asserted now)
+        staged_src = staged_src.replace(
+            "STAGED_MODULES: tuple[str, ...] = (\n",
+            'STAGED_MODULES: tuple[str, ...] = (\n'
+            '    "fake_family_one",\n    "fake_family_two",\n')
+        staged_copy.write_text(staged_src)
         m.ENTRY = str(entry_copy)
         m.STAGED = str(staged_copy)
 
@@ -1046,3 +1063,14 @@ class TestFlipOrder:
         src = entry_copy.read_text()
         compile(src, "entry.py", "exec")  # the r6 bug died here
         assert '"fake_family_one",' in src and '"fake_family_two",' in src
+        left = staged_copy.read_text()
+        assert '"fake_family_one"' not in left
+        assert '"fake_family_two"' not in left
+
+        # ADVICE r7 guard: a name NOT in the staged list (or drifted
+        # formatting) must abort loudly BEFORE writing either file
+        before_entry = entry_copy.read_text()
+        with pytest.raises(SystemExit, match="not found in the expected"):
+            m.apply([("fake_family_ghost", 1, "b3")])
+        assert entry_copy.read_text() == before_entry, \
+            "guard fired but the entry tuple was already edited"

@@ -104,6 +104,14 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return out
 
 
+#: Queries whose correct output at the default sweep SF is genuinely empty.
+#: Any OTHER query matching its oracle on 0 rows is a VACUOUS pass (the r7
+#: drawdown_duration grade compared 0 rows to 0 rows and verified nothing,
+#: hiding a real gaps-and-islands bug) and is reported as a FAIL so it gets
+#: re-parameterized before the driver wastes a grading-window slot on it.
+EXPECTED_EMPTY: frozenset[str] = frozenset()
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a not in ("--record", "--staged")]
     record = "--record" in sys.argv[1:]
@@ -188,6 +196,10 @@ def main() -> int:
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         if not problems:
             problems.extend(dtype_mismatches(sdf, odf))
+        if not problems and len(sdf) == 0 and name not in EXPECTED_EMPTY:
+            problems.append(
+                "vacuous 0-row pass — re-parameterize so rows exist at this "
+                "SF, or add to EXPECTED_EMPTY")
         if not problems:
             a, b = normalize_pdf(sdf), normalize_pdf(odf)
             if not a.equals(b):

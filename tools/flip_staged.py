@@ -67,11 +67,21 @@ def apply(chosen) -> None:
     head = entry[:m.end(1)].rstrip()
     sep = "" if head.endswith(",") else ","
     entry = head + sep + "\n" + inject + "    " + entry[m.start(2):]
-    open(ENTRY, "w").write(entry)
 
+    # validate the staged-list removals BEFORE writing either file: a
+    # silent replace no-op would leave the family both registered and
+    # staged (load_staged() double-imports and misreports staged names)
     staged = open(STAGED).read()
     for name in mods:
+        before = staged
         staged = staged.replace(f'    "{name}",\n', "", 1)
+        if staged == before:
+            raise SystemExit(
+                f"STAGED_MODULES entry for {name!r} not found in the "
+                f"expected '    \"{name}\",' form — fix plans/staged.py "
+                "formatting and re-run (no edits written)")
+
+    open(ENTRY, "w").write(entry)
     open(STAGED, "w").write(staged)
 
 

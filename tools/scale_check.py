@@ -34,16 +34,14 @@ def main() -> None:
 
     build(SF1_DIR)  # no-op when already present
     qs = entry_mod.queries()
-    # mirror bench.main()'s flip auto-activation: every REGISTERED
-    # family headline from FLIP_ORDER joins the table (without this,
+    # every REGISTERED family headline from FLIP_ORDER joins the table
+    # (shared rule in plans/staged.py, also used by bench.main() —
+    # ADVICE r7: the inline copies could desync; without the rule,
     # freshly flipped families were invisible to SCALING.md — the r7
     # regeneration missed all 15 flipped headlines)
-    from predictor_spark.plans.staged import FLIP_ORDER
+    from predictor_spark.plans.staged import registered_headlines
 
-    headline = list(HEADLINE)
-    for _mod, _n, flip_bench in FLIP_ORDER:
-        if flip_bench not in headline and flip_bench in qs:
-            headline.append(flip_bench)
+    headline = registered_headlines(HEADLINE, qs)
     # warm-up once per sf dir (parquet footers), plus codegen warm-up
     timings: dict[str, list[float]] = {n: [] for n in headline}
     for sf in SFS:
