@@ -68,6 +68,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r10_graphmetrics", 2, "local_clustering_coefficient"),
     ("catalog_r11_forensic", 2, "cents_digit_uniformity"),
     ("catalog_r11_longmemory", 2, "hurst_rs_per_series"),
+    ("catalog_r12_risk3", 3, "ulcer_index_by_type"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -77,6 +78,8 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r11 families (built in round 7; flip AFTER the r10 families) ---
     "catalog_r11_forensic",
     "catalog_r11_longmemory",
+    # --- r12 families (built in round 8; flip AFTER the r11 families) ---
+    "catalog_r12_risk3",
 )
 
 
