@@ -69,6 +69,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r11_forensic", 2, "cents_digit_uniformity"),
     ("catalog_r11_longmemory", 2, "hurst_rs_per_series"),
     ("catalog_r12_risk3", 3, "ulcer_index_by_type"),
+    ("catalog_r12_statefilter", 2, "kalman_level_daily"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -80,6 +81,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r11_longmemory",
     # --- r12 families (built in round 8; flip AFTER the r11 families) ---
     "catalog_r12_risk3",
+    "catalog_r12_statefilter",
 )
 
 

@@ -117,3 +117,81 @@ class TestRisk3:
                 continue
             net = row["gain_micro"] - row["loss_micro"]
             assert (row["omega"] > 1) == (net > 0)
+
+
+class TestStateFilter:
+    @pytest.fixture(scope="class")
+    def kf_truth(self):
+        """Independent pandas/float recompute of the local-level filter
+        (same Q/R constants, textbook form — not the module's fold)."""
+        from predictor_spark.plans.catalog_r12_statefilter import _Q, _R
+
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date,
+                          cents=np.round(ev["value"].to_numpy() * 100)
+                          .astype(np.int64))
+                .groupby(["event_type", "d"])["cents"].sum()
+                .reset_index(name="bar"))
+        out = {}
+        for t, g in bars.groupby("event_type"):
+            g = g.sort_values("d")
+            y = g["bar"].to_numpy(dtype=float)
+            d = list(g["d"])
+            m, p = y[0], _R
+            levels, gains, zs = [(d[0], m, None)], [], []
+            for i in range(1, len(y)):
+                pp = p + _Q
+                k = pp / (pp + _R)
+                zs.append((y[i] - m) / np.sqrt(pp + _R))
+                m = m + k * (y[i] - m)
+                p = (1 - k) * pp
+                levels.append((d[i], m, k))
+                gains.append(k)
+            out[t] = (levels, gains, zs)
+        return out
+
+    def test_kalman_levels_match_pandas(self, spark, kf_truth):
+        from predictor_spark.plans.catalog_r12_statefilter import (
+            kalman_level_daily)
+
+        got = (kalman_level_daily(spark, SF_DIR).toPandas()
+               .set_index(["event_type", "ddate"]))
+        for t, (levels, _, _) in kf_truth.items():
+            for d, m, k in levels:
+                row = got.loc[(t, d.isoformat())]
+                assert row["level"] == pytest.approx(round(m / 100.0, 6),
+                                                     abs=1e-9)
+                if k is None:
+                    assert pd.isna(row["gain"])
+                else:
+                    assert row["gain"] == pytest.approx(round(k, 6),
+                                                        abs=1e-9)
+
+    def test_kalman_gain_converges_to_steady_state(self, kf_truth):
+        """The predicted-variance recursion has a fixed point P* solving
+        P* = (1-K)(P*+Q); the gain sequence must approach K* = f(P*)
+        monotonically from the P_1 = R seed."""
+        from predictor_spark.plans.catalog_r12_statefilter import _Q, _R
+
+        # steady state: P* = ((-Q + sqrt(Q^2 + 4 Q R)) / 2)
+        p_star = (-_Q + np.sqrt(_Q * _Q + 4 * _Q * _R)) / 2
+        k_star = (p_star + _Q) / (p_star + _Q + _R)
+        for _, gains, _ in kf_truth.values():
+            diffs = np.abs(np.array(gains) - k_star)
+            assert (np.diff(diffs) <= 1e-12).all()  # monotone approach
+            # geometric approach from K_1 ~ 0.5: within the ~30-day
+            # month the gap closes from 0.41 to ~5e-4
+            assert diffs[-1] < 1e-3
+
+    def test_kalman_innovations_match_pandas(self, spark, kf_truth):
+        from predictor_spark.plans.catalog_r12_statefilter import (
+            kalman_innovation_summary)
+
+        got = (kalman_innovation_summary(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, (levels, _, zs) in kf_truth.items():
+            row = got.loc[t]
+            assert row["n_innovations"] == len(zs) == len(levels) - 1
+            assert row["n_anomalies"] == sum(1 for z in zs if abs(z) > 3)
+            assert row["max_abs_z"] == pytest.approx(
+                round(max(abs(z) for z in zs), 6), abs=1e-9)
