@@ -70,6 +70,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r11_longmemory", 2, "hurst_rs_per_series"),
     ("catalog_r12_risk3", 3, "ulcer_index_by_type"),
     ("catalog_r12_statefilter", 2, "kalman_level_daily"),
+    ("catalog_r12_outlier2", 2, "generalized_esd_stats"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -82,6 +83,7 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r12 families (built in round 8; flip AFTER the r11 families) ---
     "catalog_r12_risk3",
     "catalog_r12_statefilter",
+    "catalog_r12_outlier2",
 )
 
 

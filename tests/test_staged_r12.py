@@ -195,3 +195,71 @@ class TestStateFilter:
             assert row["n_anomalies"] == sum(1 for z in zs if abs(z) > 3)
             assert row["max_abs_z"] == pytest.approx(
                 round(max(abs(z) for z in zs), 6), abs=1e-9)
+
+
+class TestOutlier2:
+    @pytest.fixture(scope="class")
+    def daily_cents(self):
+        ev = _events()
+        return (ev.assign(d=ev["ts"].dt.date,
+                          cents=np.round(ev["value"].to_numpy() * 100)
+                          .astype(np.int64))
+                .groupby(["event_type", "d"])["cents"].sum()
+                .reset_index(name="c"))
+
+    def test_modified_zscore_matches_numpy(self, spark, daily_cents):
+        from predictor_spark.plans.catalog_r12_outlier2 import (
+            _MZ_THRESH, modified_zscore_outliers)
+
+        got = (modified_zscore_outliers(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, g in daily_cents.groupby("event_type"):
+            x = g["c"].to_numpy(dtype=float)
+            med = np.percentile(x, 50, method="linear")
+            mad = np.percentile(np.abs(x - med), 50, method="linear")
+            if mad == 0:
+                assert t not in got.index
+                continue
+            mi = np.round(0.6745 * (x - med) / mad, 6)
+            row = got.loc[t]
+            assert row["n_days"] == len(x)
+            assert row["n_outliers"] == int((np.abs(mi) > _MZ_THRESH).sum())
+            assert row["max_abs_mz"] == pytest.approx(
+                round(float(np.abs(mi).max()), 6), abs=1e-9)
+
+    def test_esd_matches_numpy_rounds(self, spark, daily_cents):
+        from predictor_spark.plans.catalog_r12_outlier2 import (
+            _ESD_ROUNDS, generalized_esd_stats)
+
+        got = generalized_esd_stats(spark, SF_DIR).toPandas()
+        for t, g in daily_cents.groupby("event_type"):
+            g = g.sort_values("d").reset_index(drop=True)
+            remaining = g.copy()
+            for i in range(1, _ESD_ROUNDS + 1):
+                x = remaining["c"].to_numpy(dtype=float)
+                if len(x) < 3:
+                    break
+                mean, sd = x.mean(), x.std(ddof=1)
+                dev = np.abs(x - mean)
+                # earliest-day tie-break
+                best = min(range(len(x)),
+                           key=lambda j: (-dev[j], remaining["d"].iloc[j]))
+                row = got[(got.event_type == t) & (got["round"] == i)]
+                assert len(row) == 1
+                row = row.iloc[0]
+                assert row["ddate"] == remaining["d"].iloc[best].isoformat()
+                assert row["value"] == pytest.approx(
+                    round(remaining["c"].iloc[best] / 100.0, 6), abs=1e-9)
+                assert row["r_stat"] == pytest.approx(
+                    round(float(dev[best] / sd), 6), abs=1e-6)
+                remaining = remaining.drop(remaining.index[best])
+
+    def test_esd_r_stats_nonincreasing_usually(self, spark):
+        """Rosner's R_i typically decreases as extremes are removed;
+        at minimum every statistic is positive and finite."""
+        from predictor_spark.plans.catalog_r12_outlier2 import (
+            generalized_esd_stats)
+
+        got = generalized_esd_stats(spark, SF_DIR).toPandas()
+        assert (got["r_stat"] > 0).all()
+        assert np.isfinite(got["r_stat"]).all()
