@@ -71,6 +71,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_risk3", 3, "ulcer_index_by_type"),
     ("catalog_r12_statefilter", 2, "kalman_level_daily"),
     ("catalog_r12_outlier2", 2, "generalized_esd_stats"),
+    ("catalog_r12_ordinal", 2, "permutation_entropy_by_type"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -84,6 +85,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_risk3",
     "catalog_r12_statefilter",
     "catalog_r12_outlier2",
+    "catalog_r12_ordinal",
 )
 
 

@@ -263,3 +263,75 @@ class TestOutlier2:
         got = generalized_esd_stats(spark, SF_DIR).toPandas()
         assert (got["r_stat"] > 0).all()
         assert np.isfinite(got["r_stat"]).all()
+
+
+class TestOrdinal:
+    @pytest.fixture(scope="class")
+    def pattern_truth(self):
+        """Independent numpy recompute: stable argsort rank strings of
+        order-3 windows over hourly cents bars."""
+        ev = _events()
+        hourly = (ev.assign(hr=ev["ts"].dt.floor("h"),
+                            cents=np.round(ev["value"].to_numpy() * 100)
+                            .astype(np.int64))
+                  .groupby(["event_type", "hr"])["cents"].sum()
+                  .reset_index(name="c"))
+        out = {}
+        for t, g in hourly.groupby("event_type"):
+            x = g.sort_values("hr")["c"].to_numpy()
+            pats = []
+            for i in range(len(x) - 2):
+                w = x[i:i + 3]
+                ranks = np.argsort(np.argsort(w, kind="stable"),
+                                   kind="stable")
+                pats.append("".join(map(str, ranks)))
+            out[t] = pats
+        return out
+
+    def test_histogram_matches_numpy(self, spark, pattern_truth):
+        from collections import Counter
+
+        from predictor_spark.plans.catalog_r12_ordinal import (
+            ordinal_pattern_histogram)
+
+        got = ordinal_pattern_histogram(spark, SF_DIR).toPandas()
+        for t, pats in pattern_truth.items():
+            want = Counter(pats)
+            sub = got[got.event_type == t].set_index("pattern")
+            assert set(sub.index) == set(want)
+            for pat, cnt in want.items():
+                assert sub.loc[pat, "n_windows"] == cnt
+                assert sub.loc[pat, "share"] == pytest.approx(
+                    round(cnt / len(pats), 6), abs=1e-9)
+
+    def test_entropy_matches_numpy(self, spark, pattern_truth):
+        from collections import Counter
+
+        from predictor_spark.plans.catalog_r12_ordinal import (
+            permutation_entropy_by_type)
+
+        got = (permutation_entropy_by_type(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, pats in pattern_truth.items():
+            want = Counter(pats)
+            n = len(pats)
+            terms = [np.floor(-1e9 * (c / n) * np.log(c / n) + 0.5)
+                     for c in want.values()]
+            h = sum(terms) / (1e9 * np.log(6.0))
+            row = got.loc[t]
+            assert row["n_windows"] == n
+            assert row["perm_entropy"] == pytest.approx(round(h, 6),
+                                                        abs=1e-9)
+            # bounded in [0, 1] by construction
+            assert 0.0 <= row["perm_entropy"] <= 1.0
+
+    def test_monotone_series_has_zero_entropy(self):
+        """Spec sanity (pure numpy): a strictly increasing series emits
+        only pattern '012' -> normalized PE exactly 0."""
+        x = np.arange(10)
+        pats = set()
+        for i in range(len(x) - 2):
+            w = x[i:i + 3]
+            ranks = np.argsort(np.argsort(w, kind="stable"), kind="stable")
+            pats.add("".join(map(str, ranks)))
+        assert pats == {"012"}
