@@ -72,6 +72,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_statefilter", 2, "kalman_level_daily"),
     ("catalog_r12_outlier2", 2, "generalized_esd_stats"),
     ("catalog_r12_ordinal", 2, "permutation_entropy_by_type"),
+    ("catalog_r12_isotonic", 2, "isotonic_conversion_curve"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -86,6 +87,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_statefilter",
     "catalog_r12_outlier2",
     "catalog_r12_ordinal",
+    "catalog_r12_isotonic",
 )
 
 

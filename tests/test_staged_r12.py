@@ -335,3 +335,83 @@ class TestOrdinal:
             ranks = np.argsort(np.argsort(w, kind="stable"), kind="stable")
             pats.add("".join(map(str, ranks)))
         assert pats == {"012"}
+
+
+class TestIsotonic:
+    @pytest.fixture(scope="class")
+    def bins_truth(self):
+        """Per-activity-bin (w, y) recomputed in pandas with the same
+        decile-threshold binning."""
+        ev = _events()
+        users = (ev.groupby("user_id")
+                 .agg(n_events=("event_id", "size"),
+                      converted=("event_type",
+                                 lambda s: int((s == "purchase").any()))))
+        thr = np.percentile(users["n_events"], [10 * i for i in range(1, 10)],
+                            method="linear")
+        b = np.zeros(len(users), dtype=int)
+        for t in thr:
+            b += (users["n_events"].to_numpy() > t).astype(int)
+        g = pd.DataFrame({"bin": b, "converted": users["converted"]})
+        bins = (g.groupby("bin")
+                .agg(w=("converted", "size"), y=("converted", "sum")))
+        return bins
+
+    @staticmethod
+    def _pav(y, w):
+        """Classic sequential pool-adjacent-violators — an INDEPENDENT
+        algorithm from the module's minimax form."""
+        blocks = [[yi, wi] for yi, wi in zip(y, w)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        return blocks
+
+    def test_curve_matches_sequential_pav(self, spark, bins_truth):
+        from predictor_spark.plans.catalog_r12_isotonic import (
+            isotonic_conversion_curve)
+
+        got = (isotonic_conversion_curve(spark, SF_DIR).toPandas()
+               .sort_values("bin").reset_index(drop=True))
+        want_raw = (bins_truth["y"] / bins_truth["w"]).to_numpy()
+        assert list(got["n_users"]) == list(bins_truth["w"])
+        np.testing.assert_allclose(got["raw_rate"], np.round(want_raw, 6),
+                                   atol=1e-9)
+        # expand PAV blocks back to per-bin fitted values
+        blocks = self._pav(bins_truth["y"].to_numpy(dtype=float),
+                           bins_truth["w"].to_numpy(dtype=float))
+        fitted = []
+        wl = list(bins_truth["w"])
+        bi = 0
+        for by, bw in blocks:
+            acc = 0
+            while acc < bw - 1e-9:
+                acc += wl[bi]
+                fitted.append(by / bw)
+                bi += 1
+        np.testing.assert_allclose(got["iso_rate"], np.round(fitted, 6),
+                                   atol=1e-8)
+        # isotonic by construction
+        assert (np.diff(got["iso_rate"]) >= -1e-12).all()
+
+    def test_summary_consistent_with_curve(self, spark):
+        from predictor_spark.plans.catalog_r12_isotonic import (
+            isotonic_conversion_curve, isotonic_fit_summary)
+
+        curve = (isotonic_conversion_curve(spark, SF_DIR).toPandas()
+                 .sort_values("bin"))
+        row = isotonic_fit_summary(spark, SF_DIR).collect()[0]
+        assert row["n_bins"] == len(curve)
+        raw = curve["raw_rate"].to_numpy()
+        assert row["n_raw_violations"] == int((np.diff(raw) < 0).sum())
+        iso = np.round(curve["iso_rate"].to_numpy(), 9)
+        assert row["n_iso_blocks"] == 1 + int((np.diff(iso) != 0).sum())
+        sse = float((curve["n_users"]
+                     * (curve["raw_rate"] - curve["iso_rate"]) ** 2).sum())
+        assert row["weighted_sse"] == pytest.approx(sse, abs=1e-4)
