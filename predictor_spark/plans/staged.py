@@ -73,6 +73,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_outlier2", 2, "generalized_esd_stats"),
     ("catalog_r12_ordinal", 2, "permutation_entropy_by_type"),
     ("catalog_r12_isotonic", 2, "isotonic_conversion_curve"),
+    ("catalog_r12_cattests", 2, "cochran_armitage_trend"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -88,6 +89,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_outlier2",
     "catalog_r12_ordinal",
     "catalog_r12_isotonic",
+    "catalog_r12_cattests",
 )
 
 

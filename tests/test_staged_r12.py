@@ -415,3 +415,54 @@ class TestIsotonic:
         sse = float((curve["n_users"]
                      * (curve["raw_rate"] - curve["iso_rate"]) ** 2).sum())
         assert row["weighted_sse"] == pytest.approx(sse, abs=1e-4)
+
+
+class TestCatTests:
+    def test_mcnemar_matches_pandas(self, spark):
+        from predictor_spark.plans.catalog_r12_cattests import (
+            _EARLY_END, _LATE_START, mcnemar_purchase_weeks)
+
+        ev = _events()
+        p = ev[ev.event_type == "purchase"]
+        early = set(p[p.ts < pd.Timestamp(_EARLY_END)]["user_id"])
+        late = set(p[p.ts >= pd.Timestamp(_LATE_START)]["user_id"])
+        users = set(ev["user_id"])
+        b = len([u for u in users if u in early and u not in late])
+        c = len([u for u in users if u not in early and u in late])
+        row = mcnemar_purchase_weeks(spark, SF_DIR).collect()[0]
+        assert row["n_users"] == len(users)
+        assert row["b_yes_no"] == b
+        assert row["c_no_yes"] == c
+        assert b + c > 0, "degenerate pairing at this SF"
+        want = (abs(b - c) - 1.0) ** 2 / (b + c)
+        assert row["mcnemar_chi2"] == pytest.approx(round(want, 6),
+                                                    abs=1e-9)
+
+    def test_cochran_armitage_matches_numpy(self, spark):
+        from predictor_spark.plans.catalog_r12_cattests import (
+            _LATE_START, _QS, cochran_armitage_trend)
+
+        ev = _events()
+        users = (ev.groupby("user_id")
+                 .agg(n_events=("event_id", "size")))
+        conv = (ev.assign(c=((ev.event_type == "purchase")
+                             & (ev.ts >= pd.Timestamp(_LATE_START)))
+                          .astype(int))
+                .groupby("user_id")["c"].max())
+        users["converted"] = conv
+        thr = np.percentile(users["n_events"], [100 * q for q in _QS],
+                            method="linear")
+        s = np.zeros(len(users), dtype=int)
+        for t in thr:
+            s += (users["n_events"].to_numpy() > t).astype(int)
+        y = users["converted"].to_numpy()
+        n = len(y)
+        pbar = y.mean()
+        num = float((s * y).sum()) - y.sum() * float(s.sum()) / n
+        den = np.sqrt(pbar * (1 - pbar)
+                      * (float((s * s).sum()) - float(s.sum()) ** 2 / n))
+        assert den > 0, "degenerate outcome at this SF"
+        row = cochran_armitage_trend(spark, SF_DIR).collect()[0]
+        assert row["n_users"] == n
+        assert row["pbar"] == pytest.approx(round(pbar, 6), abs=1e-9)
+        assert row["z_trend"] == pytest.approx(num / den, abs=2e-6)
