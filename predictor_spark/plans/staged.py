@@ -74,6 +74,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_ordinal", 2, "permutation_entropy_by_type"),
     ("catalog_r12_isotonic", 2, "isotonic_conversion_curve"),
     ("catalog_r12_cattests", 2, "cochran_armitage_trend"),
+    ("catalog_r12_cointegration", 2, "engle_granger_pairs"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -90,6 +91,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_ordinal",
     "catalog_r12_isotonic",
     "catalog_r12_cattests",
+    "catalog_r12_cointegration",
 )
 
 

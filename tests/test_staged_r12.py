@@ -466,3 +466,74 @@ class TestCatTests:
         assert row["n_users"] == n
         assert row["pbar"] == pytest.approx(round(pbar, 6), abs=1e-9)
         assert row["z_trend"] == pytest.approx(num / den, abs=2e-6)
+
+
+class TestCointegration:
+    @pytest.fixture(scope="class")
+    def pair_truth(self):
+        """Independent numpy EG recompute: np.polyfit OLS + textbook DF
+        regression on hundredth-cent quantized residuals."""
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date,
+                          cents=np.round(ev["value"].to_numpy() * 100)
+                          .astype(np.int64))
+                .groupby(["event_type", "d"])["cents"].sum()
+                .reset_index(name="c"))
+        types = sorted(bars["event_type"].unique())
+        wide = bars.pivot(index="d", columns="event_type", values="c")
+        out = {}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                sub = wide[[ta, tb]].dropna()
+                x = sub[ta].to_numpy(dtype=float)
+                y = sub[tb].to_numpy(dtype=float)
+                b, a = np.polyfit(x, y, 1)
+                e = np.floor(100.0 * (y - a - b * x) + 0.5)
+                e = np.where(100.0 * (y - a - b * x) >= 0, e,
+                             np.ceil(100.0 * (y - a - b * x) - 0.5))
+                ep, de = e[:-1], np.diff(e)
+                g = (ep * de).sum() / (ep * ep).sum()
+                m = len(ep)
+                rss = (de * de).sum() - g * g * (ep * ep).sum()
+                se = np.sqrt((rss / (m - 1)) / (ep * ep).sum())
+                rho = (ep * e[1:]).sum() / (ep * ep).sum()
+                out[(ta, tb)] = (len(x), b, g / se, rho)
+        return out
+
+    def test_engle_granger_matches_numpy(self, spark, pair_truth):
+        from predictor_spark.plans.catalog_r12_cointegration import (
+            engle_granger_pairs)
+
+        got = (engle_granger_pairs(spark, SF_DIR).toPandas()
+               .set_index(["type_a", "type_b"]))
+        assert len(got) == len(pair_truth)
+        for (ta, tb), (n, b, adf, _) in pair_truth.items():
+            row = got.loc[(ta, tb)]
+            assert row["n_days"] == n
+            assert row["hedge_beta"] == pytest.approx(b, abs=2e-5)
+            assert row["adf_stat"] == pytest.approx(adf, abs=2e-4)
+
+    def test_half_life_matches_numpy(self, spark, pair_truth):
+        from predictor_spark.plans.catalog_r12_cointegration import (
+            spread_half_life)
+
+        got = (spread_half_life(spark, SF_DIR).toPandas()
+               .set_index(["type_a", "type_b"]))
+        for (ta, tb), (_, _, _, rho) in pair_truth.items():
+            row = got.loc[(ta, tb)]
+            assert row["rho"] == pytest.approx(rho, abs=2e-5)
+            if 0 < rho < 1:
+                assert row["half_life_days"] == pytest.approx(
+                    -np.log(2) / np.log(rho), abs=2e-3)
+            else:
+                assert pd.isna(row["half_life_days"])
+
+    def test_ols_residuals_decorrelated_from_x(self, pair_truth):
+        """OLS law: residuals are orthogonal to the regressor — the
+        hedge ratio is the variance-minimizing spread weight, which is
+        why step-2 tests the RESIDUAL, not a unit spread."""
+        # the fixture already encodes b from polyfit; orthogonality is
+        # numpy's guarantee — assert the ADF stat is finite for all 10
+        # pairs (S2 > 0: no degenerate constant residual)
+        for (_, _), (n, b, adf, rho) in pair_truth.items():
+            assert np.isfinite(adf) and np.isfinite(rho) and n >= 10
