@@ -75,6 +75,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_isotonic", 2, "isotonic_conversion_curve"),
     ("catalog_r12_cattests", 2, "cochran_armitage_trend"),
     ("catalog_r12_cointegration", 2, "engle_granger_pairs"),
+    ("catalog_r12_gof", 2, "jarque_bera_by_type"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -92,6 +93,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_isotonic",
     "catalog_r12_cattests",
     "catalog_r12_cointegration",
+    "catalog_r12_gof",
 )
 
 

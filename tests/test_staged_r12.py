@@ -537,3 +537,59 @@ class TestCointegration:
         # pairs (S2 > 0: no degenerate constant residual)
         for (_, _), (n, b, adf, rho) in pair_truth.items():
             assert np.isfinite(adf) and np.isfinite(rho) and n >= 10
+
+
+class TestGof:
+    def test_jarque_bera_matches_scipy_formula(self, spark,
+                                               daily_micro_rets):
+        from predictor_spark.plans.catalog_r12_gof import (
+            jarque_bera_by_type)
+
+        got = (jarque_bera_by_type(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, r in daily_micro_rets.items():
+            if len(r) < 4:
+                assert t not in got.index
+                continue
+            x = r.astype(float)
+            m2 = ((x - x.mean()) ** 2).mean()
+            m3 = ((x - x.mean()) ** 3).mean()
+            m4 = ((x - x.mean()) ** 4).mean()
+            s = m3 / m2 ** 1.5
+            k = m4 / m2 ** 2 - 3
+            jb = len(x) / 6 * (s * s + k * k / 4)
+            row = got.loc[t]
+            assert row["n_days"] == len(x)
+            assert row["skewness"] == pytest.approx(s, abs=2e-5)
+            assert row["excess_kurtosis"] == pytest.approx(k, abs=2e-5)
+            assert row["jb_stat"] == pytest.approx(jb, abs=2e-4)
+
+    def test_runs_test_matches_python_walk(self, spark, daily_micro_rets):
+        from predictor_spark.plans.catalog_r12_gof import runs_test_by_type
+
+        got = (runs_test_by_type(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, r in daily_micro_rets.items():
+            med = np.percentile(r, 50, method="linear")
+            s = [1 if v > med else 0 for v in r if v != med]
+            n1, n2 = sum(s), len(s) - sum(s)
+            if n1 == 0 or n2 == 0:
+                assert t not in got.index
+                continue
+            runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+            mu = 2 * n1 * n2 / (n1 + n2) + 1
+            sig = np.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                          / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+            row = got.loc[t]
+            assert row["n_above"] == n1 and row["n_below"] == n2
+            assert row["n_runs"] == runs
+            assert row["z_runs"] == pytest.approx((runs - mu) / sig,
+                                                  abs=2e-6)
+
+    def test_jb_zero_for_symmetric_sample(self):
+        """Spec sanity in pure numpy: a perfectly symmetric sample has
+        skewness exactly 0, so JB reduces to the kurtosis term."""
+        x = np.concatenate([np.arange(-10, 0), np.arange(1, 11)]) * 1.0
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        assert abs(m3 / m2 ** 1.5) < 1e-12
