@@ -76,6 +76,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_cattests", 2, "cochran_armitage_trend"),
     ("catalog_r12_cointegration", 2, "engle_granger_pairs"),
     ("catalog_r12_gof", 2, "jarque_bera_by_type"),
+    ("catalog_r12_keyness", 2, "dunning_g2_terms"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -94,6 +95,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_cattests",
     "catalog_r12_cointegration",
     "catalog_r12_gof",
+    "catalog_r12_keyness",
 )
 
 

@@ -593,3 +593,74 @@ class TestGof:
         m2 = ((x - x.mean()) ** 2).mean()
         m3 = ((x - x.mean()) ** 3).mean()
         assert abs(m3 / m2 ** 1.5) < 1e-12
+
+
+class TestKeyness:
+    @pytest.fixture(scope="class")
+    def counts(self):
+        import re
+        from collections import Counter
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        sw = Counter()
+        stot = Counter()
+        wtot = Counter()
+        for _, row in docs.iterrows():
+            for w in re.split(r"\s+", row["text"].strip()):
+                if w:
+                    sw[(row["source"], w)] += 1
+                    stot[row["source"]] += 1
+                    wtot[w] += 1
+        return sw, stot, wtot, sum(stot.values())
+
+    def test_g2_matches_python(self, spark, counts):
+        from predictor_spark.plans.catalog_r12_keyness import (
+            _MIN_COUNT, _TOPK, dunning_g2_terms)
+
+        sw, stot, wtot, n = counts
+        scored = {}
+        for (s, w), a in sw.items():
+            if a < _MIN_COUNT:
+                continue
+            b = wtot[w] - a
+            rest = n - stot[s]
+            if a / stot[s] <= (a + b) / n:
+                continue
+            ea = stot[s] * (a + b) / n
+            eb = rest * (a + b) / n
+            g2 = 2 * (a * np.log(a / ea)
+                      + (b * np.log(b / eb) if b else 0.0))
+            scored.setdefault(s, []).append((round(g2, 6), w, a))
+        got = dunning_g2_terms(spark, SF_DIR).toPandas()
+        for s, terms in scored.items():
+            want = sorted(terms, key=lambda t: (-t[0], t[1]))[:_TOPK]
+            sub = got[got.source == s]
+            assert len(sub) == len(want)
+            for (g2, w, a), (_, row) in zip(want, sub.iterrows()):
+                assert row["term"] == w
+                assert row["n_in_source"] == a
+                assert row["g2"] == pytest.approx(g2, abs=2e-5)
+
+    def test_log_odds_matches_python(self, spark, counts):
+        from predictor_spark.plans.catalog_r12_keyness import (
+            _MIN_COUNT, _TOPK, log_odds_ratio_terms)
+
+        sw, stot, wtot, n = counts
+        scored = {}
+        for (s, w), a in sw.items():
+            if a < _MIN_COUNT:
+                continue
+            b = wtot[w] - a
+            rest = n - stot[s]
+            delta = (np.log((a + .5) / (stot[s] - a + .5))
+                     - np.log((b + .5) / (rest - b + .5)))
+            z = delta / np.sqrt(1 / (a + .5) + 1 / (b + .5))
+            scored.setdefault(s, []).append((round(float(z), 6), w, a))
+        got = log_odds_ratio_terms(spark, SF_DIR).toPandas()
+        for s, terms in scored.items():
+            want = sorted(terms, key=lambda t: (-t[0], t[1]))[:_TOPK]
+            sub = got[got.source == s]
+            assert len(sub) == len(want)
+            for (z, w, a), (_, row) in zip(want, sub.iterrows()):
+                assert row["term"] == w
+                assert row["z_logodds"] == pytest.approx(z, abs=2e-5)
