@@ -77,6 +77,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_cointegration", 2, "engle_granger_pairs"),
     ("catalog_r12_gof", 2, "jarque_bera_by_type"),
     ("catalog_r12_keyness", 2, "dunning_g2_terms"),
+    ("catalog_r12_textdiversity", 2, "distinct_ngram_ratios"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -96,6 +97,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_cointegration",
     "catalog_r12_gof",
     "catalog_r12_keyness",
+    "catalog_r12_textdiversity",
 )
 
 

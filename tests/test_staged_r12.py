@@ -664,3 +664,82 @@ class TestKeyness:
             for (z, w, a), (_, row) in zip(want, sub.iterrows()):
                 assert row["term"] == w
                 assert row["z_logodds"] == pytest.approx(z, abs=2e-5)
+
+
+class TestTextDiversity:
+    @pytest.fixture(scope="class")
+    def docs(self):
+        return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def test_distinct_n_matches_python(self, spark, docs):
+        import re
+        from collections import Counter
+
+        from predictor_spark.plans.catalog_r12_textdiversity import (
+            distinct_ngram_ratios)
+
+        got = (distinct_ngram_ratios(spark, SF_DIR).toPandas()
+               .set_index(["source", "n"]))
+        per = {}
+        for _, row in docs.iterrows():
+            t = [w for w in re.split(r"\s+", row["text"].strip()) if w]
+            for n in (1, 2, 3):
+                grams = [" ".join(t[i:i + n])
+                         for i in range(len(t) - n + 1)]
+                cnt = per.setdefault((row["source"], n), Counter())
+                cnt.update(grams)
+        for (s, n), cnt in per.items():
+            total = sum(cnt.values())
+            if total == 0:
+                assert (s, n) not in got.index
+                continue
+            row = got.loc[(s, n)]
+            assert row["n_distinct"] == len(cnt)
+            assert row["n_total"] == total
+            assert row["distinct_ratio"] == pytest.approx(
+                round(len(cnt) / total, 6), abs=1e-9)
+
+    def test_burstiness_matches_python(self, spark, docs):
+        import re
+        from collections import Counter
+
+        from predictor_spark.plans.catalog_r12_textdiversity import (
+            _BURST_MIN, _BURST_TOPK, token_burstiness)
+
+        D = len(docs)
+        dw = Counter()
+        for _, row in docs.iterrows():
+            for w, c in Counter(
+                    w for w in re.split(r"\s+", row["text"].strip())
+                    if w).items():
+                dw[w] = dw[w] + 0  # ensure key
+                dw[(row["doc_id"], w)] = c
+        tot, ss = Counter(), Counter()
+        for key, c in dw.items():
+            if isinstance(key, tuple):
+                _, w = key
+                tot[w] += c
+                ss[w] += c * c
+        scored = []
+        for w, t in tot.items():
+            if t < _BURST_MIN:
+                continue
+            mean = t / D
+            vmr = (ss[w] / D - mean * mean) / mean
+            scored.append((round(vmr, 6), w, t))
+        want = sorted(scored, key=lambda x: (-x[0], x[1]))[:_BURST_TOPK]
+        got = token_burstiness(spark, SF_DIR).toPandas()
+        assert len(got) == len(want)
+        for (vmr, w, t), (_, row) in zip(want, got.iterrows()):
+            assert row["term"] == w
+            assert row["n_occurrences"] == t
+            assert row["vmr"] == pytest.approx(vmr, abs=2e-5)
+
+    def test_burstiness_at_least_poissonish(self, spark):
+        """VMR of the top-burst words must exceed 1 (clumping) — on a
+        multi-topic corpus the burstiest words are never sub-Poisson."""
+        from predictor_spark.plans.catalog_r12_textdiversity import (
+            token_burstiness)
+
+        got = token_burstiness(spark, SF_DIR).toPandas()
+        assert (got["vmr"] > 1.0).all()
