@@ -156,7 +156,9 @@ def runs_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign are counted with a lag window, and z compares the observed run
     count to mu_R = 2 n1 n2/(n1+n2) + 1.  |z| >> 0 means the sequence
     clusters or alternates — serial structure."""
-    rets = _rets(spark, sf_dir)
+    # the ~|days|x|types| return frame feeds the median AND the sign
+    # stream — cache so the rollup + lag window runs once
+    rets = _rets(spark, sf_dir).cache()
     med = rets.groupBy("event_type").agg(
         F.expr("percentile(r, 0.5)").alias("med"))
     signs = (rets.join(F.broadcast(med), "event_type")

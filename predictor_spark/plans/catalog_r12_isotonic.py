@@ -112,7 +112,10 @@ def _iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bin, w, y, iso_rate): the weighted isotonic fit via the minimax
     form over integer prefix sums — three self-joins of the <= 10-row
     bin frame (each side broadcast), extrema over identical doubles."""
-    bins = _bins(spark, sf_dir)
+    # the <= 10-row bin frame feeds the prefix window AND three
+    # minimax self-joins — cache it so the user rollup + threshold
+    # binning runs once (the audit caught 6 parquet scans uncached)
+    bins = _bins(spark, sf_dir).cache()
     wnd = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     pre = (bins
            .withColumn("cw", F.sum("w").over(wnd))

@@ -69,7 +69,10 @@ def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.expr(
                         "filter(split(trim(text), '\\\\s+'),"
                         " w -> w <> '')")).alias("w")))
-    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    # vocabulary-bounded aggregate, referenced by the totals AND the
+    # windowed extension — cache so the scan+explode runs once
+    sw = (toks.groupBy("source", "w")
+          .agg(F.count(F.lit(1)).alias("a")).cache())
     # the corpus total joins as a broadcast SCALAR — a partition-less
     # global window would drag the whole aggregated frame through one
     # partition at real vocabulary sizes

@@ -993,9 +993,13 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "max_scans": 1, "max_window_execs": 0,
     },
     "trigram_hapax_share": {
+        # r8 redesign (VERDICT r7 #5): pre-aggregate to (source, g, cnt),
+        # global frequency as ONE window sum over the aggregated frame —
+        # single scan+explode, no self-join re-reading the parquet
         "must": ["partial_", "Generate"],
-        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        "max_scans": 2, "max_window_execs": 0,
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
     },
     # ops/SLA family: one orders|x|lineitem join shuffled on the shared
     # order key (co-partitioned SMJ is the right fact-to-fact plan);
@@ -1444,6 +1448,140 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "must": ["partial_"],
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1,
+    },
+    # --- r12 families (staged for round 9) ---
+    # risk3: one daily rollup + (returns lag window | running-peak
+    # window) + a 5-group moment aggregate; never a join
+    "omega_ratio_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "kelly_fraction_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "ulcer_index_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    # statefilter: one rollup shuffle into the applyInPandas fold
+    "kalman_level_daily": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1,
+    },
+    "kalman_innovation_summary": {
+        "must": ["partial_", "FlatMapGroupsInPandas"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1,
+    },
+    # outlier2: exact-percentile passes re-reference the cached/derived
+    # bar frame; the 3 unrolled ESD rounds are broadcast joins + anti-
+    # joins over ~150 bar rows (InMemoryTableScan from the cache)
+    "modified_zscore_outliers": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "generalized_esd_stats": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # ordinal: two lead taps + one pattern groupBy over ONE (type, hour)
+    # window partitioning; entropy adds the per-type share window
+    "ordinal_pattern_histogram": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "permutation_entropy_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # isotonic: user rollup -> broadcast thresholds (one extra users
+    # pass, the modified_zscore two-quantile-pass precedent) -> CACHED
+    # <=10 bin rows -> broadcast-nested-loop triple self-join for the
+    # minimax range conditions (BNLJ is the right operator for j<=i/k>=i
+    # over a broadcast 10-row side)
+    "isotonic_conversion_curve": {
+        "must": ["partial_", "BroadcastNestedLoopJoin",
+                 "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "isotonic_fit_summary": {
+        "must": ["partial_", "BroadcastNestedLoopJoin",
+                 "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    # cattests: one user rollup; CA adds the broadcast quintile
+    # thresholds
+    "mcnemar_purchase_weeks": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # (two scans: the quintile-threshold pass over the user rollup +
+    # the scoring pass — the repo's exact-percentile precedent)
+    "cochran_armitage_trend": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    # cointegration: bar self-join on date is broadcast (tiny daily
+    # frame); residual lag rides one (pair ordered by date) window
+    "engle_granger_pairs": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "spread_half_life": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    # gof: returns lag window + moment aggregates; runs test adds the
+    # broadcast median join and the sign-lag window
+    "jarque_bera_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "runs_test_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # keyness: ONE (source, word) pre-aggregation; totals as partitioned
+    # window sums + a broadcast scalar cross join; top-5 rank windows
+    "dunning_g2_terms": {
+        "must": ["partial_", "Generate", "BroadcastNestedLoopJoin",
+                 "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "log_odds_ratio_terms": {
+        "must": ["partial_", "Generate", "BroadcastNestedLoopJoin",
+                 "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    # textdiversity: single tagged-gram generator scan; burstiness ends
+    # in TakeOrderedAndProject (global top-k without a rank window)
+    "distinct_ngram_ratios": {
+        "must": ["partial_", "Generate"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 0,
+    },
+    # (second scan is the n_docs count(*) — parquet metadata only)
+    "token_burstiness": {
+        "must": ["partial_", "Generate", "TakeOrderedAndProject"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
     },
 }
 
