@@ -21,10 +21,11 @@ Determinism: everything is exact integer pair counts until the two
 display ratios, which ride the integer-scale rounding idiom.
 
 Scale: reduction ratio is WHY LSH exists — the report itself runs the
-quadratic truth join, so it belongs on a SAMPLE at 100 TB (bounded
-corpus slices per source, the standard practice); the engine-side
-plan is the sample-ready shape (every stage keyed on doc/shingle,
-no driver state).
+quadratic truth join, so it RUNS ON A SAMPLE (the _EVAL_N lowest-md5
+documents; r8 made the sample real after the SCALING sweep measured
+the unsampled row at 14.75x per 10x rows, 37.8 s at sf1 — the one
+super-linear plan in the repo); the engine-side plan is sample-first
+(every stage keyed on doc/shingle, no driver state).
 """
 
 from __future__ import annotations
@@ -36,6 +37,21 @@ from predictor_spark.plans.catalog import query, _t
 from predictor_spark.plans.catalog_text import _SHINGLES_CTE
 
 _NPERM, _BANDS, _THRESH = 16, 4, 0.1
+#: evaluation sample: the report card runs the QUADRATIC exact-Jaccard
+#: truth join, so it evaluates the blocker on the _EVAL_N lowest-md5
+#: documents (deterministic, engine-agnostic — the PQ _FIT_N idiom).
+#: The r8 SCALING sweep measured the unsampled row at 14.75x for 10x
+#: rows (37.8 s at sf1): the one super-linear plan in the repo, exactly
+#: what its own docstring said must run on a sample at scale.  sf0.01
+#: has 500 docs (< _EVAL_N), so the driver-graded result is unchanged.
+_EVAL_N = 2000
+
+#: _SHINGLES_CTE rebased onto the sample (the CTE text is shared with
+#: catalog_text verbatim, only the source table swaps)
+_SHINGLES_EVAL_CTE = (
+    f"eval_docs AS MATERIALIZED (SELECT doc_id, text FROM documents "
+    f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_EVAL_N}),"
+    + _SHINGLES_CTE.replace("FROM documents)", "FROM eval_docs)"))
 
 
 def _cands_oracle() -> str:
@@ -72,7 +88,7 @@ def _cands_oracle() -> str:
 @query(
     "blocking_quality_report",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_SHINGLES_EVAL_CTE},
     {_cands_oracle()},
     truth AS (
         SELECT id_a, id_b FROM jac WHERE j >= {_THRESH}
@@ -106,7 +122,9 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE shingling feeds all three legs (cached doc-shingle
     frame); candidates come from the band-bucket join, truth from the
     shingle-inverted join — the same two plans the dedup rows run."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+            .orderBy("__h", "doc_id").limit(_EVAL_N).drop("__h"))
     doc = dedup._doc_shingles(docs, "doc_id", "text", 3).cache()
     n_docs = doc.count()  # materializes the shared cache
 

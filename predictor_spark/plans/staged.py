@@ -78,6 +78,8 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_gof", 2, "jarque_bera_by_type"),
     ("catalog_r12_keyness", 2, "dunning_g2_terms"),
     ("catalog_r12_textdiversity", 2, "distinct_ngram_ratios"),
+    ("catalog_r13_ranktests", 2, "mann_whitney_value"),
+    ("catalog_r13_tails", 2, "hill_tail_index"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -98,6 +100,9 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r12_gof",
     "catalog_r12_keyness",
     "catalog_r12_textdiversity",
+    # --- r13 families (built in round 8, second batch) ---
+    "catalog_r13_ranktests",
+    "catalog_r13_tails",
 )
 
 

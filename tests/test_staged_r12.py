@@ -743,3 +743,118 @@ class TestTextDiversity:
 
         got = token_burstiness(spark, SF_DIR).toPandas()
         assert (got["vmr"] > 1.0).all()
+
+
+class TestRankTests:
+    @pytest.fixture(scope="class")
+    def pooled(self):
+        ev = _events()
+        sub = ev[ev.event_type.isin(["purchase", "view"])]
+        c = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        ga = (sub["event_type"] == "purchase").to_numpy()
+        return c, ga
+
+    @staticmethod
+    def _u_and_ties(c, ga):
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        # average ranks with ties
+        ranks = np.empty(len(cs), dtype=float)
+        i = 0
+        tie_term = 0
+        while i < len(cs):
+            j = i
+            while j < len(cs) and cs[j] == cs[i]:
+                j += 1
+            t = j - i
+            ranks[i:j] = (i + 1 + j) / 2.0
+            tie_term += t ** 3 - t
+            i = j
+        r = np.empty(len(cs))
+        r[order] = ranks
+        n1 = int(ga.sum())
+        n2 = len(c) - n1
+        r1 = float(r[ga].sum())
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        return n1, n2, u1, tie_term
+
+    def test_mann_whitney_matches_numpy(self, spark, pooled):
+        from predictor_spark.plans.catalog_r13_ranktests import (
+            mann_whitney_value)
+
+        c, ga = pooled
+        n1, n2, u1, tie = self._u_and_ties(c, ga)
+        n = n1 + n2
+        var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2.0) / np.sqrt(var)
+        row = mann_whitney_value(spark, SF_DIR).collect()[0]
+        assert row["n_purchase"] == n1 and row["n_view"] == n2
+        assert row["u_stat"] == pytest.approx(u1, abs=0.06)
+        assert row["z_stat"] == pytest.approx(z, abs=2e-6)
+
+    def test_cliffs_delta_matches_numpy(self, spark, pooled):
+        from predictor_spark.plans.catalog_r13_ranktests import (
+            cliffs_delta_value)
+
+        c, ga = pooled
+        n1, n2, u1, _ = self._u_and_ties(c, ga)
+        cl = u1 / (n1 * n2)
+        row = cliffs_delta_value(spark, SF_DIR).collect()[0]
+        assert row["common_language"] == pytest.approx(cl, abs=2e-6)
+        assert row["cliffs_delta"] == pytest.approx(2 * cl - 1, abs=2e-6)
+        assert -1.0 <= row["cliffs_delta"] <= 1.0
+
+
+class TestTails:
+    @pytest.fixture(scope="class")
+    def cents_by_type(self):
+        ev = _events()
+        sub = ev[ev.value > 0]
+        return {t: np.round(g["value"].to_numpy() * 100).astype(np.int64)
+                for t, g in sub.groupby("event_type")}, \
+               {t: g["event_id"].to_numpy()
+                for t, g in sub.groupby("event_type")}
+
+    def test_hill_matches_numpy(self, spark, cents_by_type):
+        from predictor_spark.plans.catalog_r13_tails import (
+            _K, hill_tail_index)
+
+        cents, ids = cents_by_type
+        got = (hill_tail_index(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, c in cents.items():
+            if len(c) < _K + 1:
+                assert t not in got.index
+                continue
+            order = sorted(range(len(c)), key=lambda i: (-c[i], ids[t][i]))
+            top = [c[i] for i in order[:_K]]
+            ck = c[order[_K]]
+            terms = [np.floor(1e9 * np.log(x / ck) + 0.5) for x in top]
+            h = sum(terms) / (1e9 * _K)
+            row = got.loc[t]
+            assert row["hill_h"] == pytest.approx(round(h, 6), abs=1e-9)
+            assert row["tail_alpha"] == pytest.approx(1.0 / h, abs=2e-4)
+
+    def test_mean_excess_matches_numpy(self, spark, cents_by_type):
+        from predictor_spark.plans.catalog_r13_tails import (
+            tail_mean_excess)
+
+        cents, _ = cents_by_type
+        got = (tail_mean_excess(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, c in cents.items():
+            cs = np.sort(c)
+            # smallest value with cumulative share >= 0.9
+            cum = np.arange(1, len(cs) + 1) / len(cs)
+            u = int(cs[np.argmax(cum >= 0.90)])
+            exc = c[c > u] - u
+            if len(exc) == 0:
+                assert t not in got.index
+                continue
+            row = got.loc[t]
+            assert row["threshold_cents"] == u
+            assert row["n_exceed"] == len(exc)
+            assert row["mean_excess"] == pytest.approx(
+                round(float(exc.mean()) / 100.0, 6), abs=1e-9)
+            assert row["excess_over_threshold"] == pytest.approx(
+                float(exc.mean()) / u, abs=2e-6)

@@ -1577,6 +1577,32 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # ranktests: ONE per-distinct-cents aggregation; the rank cumsum is
+    # a deliberately-global window over the DOMAIN-bounded distinct-
+    # value frame (|distinct cents|, independent of row count)
+    "mann_whitney_value": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "cliffs_delta_value": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    # tails: top-(k+1) rank window per type + broadcast kth join; mean
+    # excess re-scans for the discrete-quantile support pass (the
+    # _qdisc precedent)
+    "hill_tail_index": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "tail_mean_excess": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
