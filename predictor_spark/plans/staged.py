@@ -80,6 +80,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r12_textdiversity", 2, "distinct_ngram_ratios"),
     ("catalog_r13_ranktests", 2, "mann_whitney_value"),
     ("catalog_r13_tails", 2, "hill_tail_index"),
+    ("catalog_r13_embeddiag", 2, "intrinsic_dimension_twonn"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -103,6 +104,7 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r13 families (built in round 8, second batch) ---
     "catalog_r13_ranktests",
     "catalog_r13_tails",
+    "catalog_r13_embeddiag",
 )
 
 

@@ -858,3 +858,75 @@ class TestTails:
                 round(float(exc.mean()) / 100.0, 6), abs=1e-9)
             assert row["excess_over_threshold"] == pytest.approx(
                 float(exc.mean()) / u, abs=2e-6)
+
+
+class TestEmbedDiag:
+    @pytest.fixture(scope="class")
+    def sample(self):
+        import hashlib
+
+        from predictor_spark.plans.catalog_r13_embeddiag import _DIAG_N
+
+        pdf = (pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+               .sort_values("vec_id").reset_index(drop=True))
+        ids = pdf["vec_id"].tolist()
+        keep = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:_DIAG_N]
+        sub = pdf[pdf.vec_id.isin(keep)].sort_values("vec_id")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in sub["embedding"]])
+        return X, sub["vec_id"].to_numpy()
+
+    @staticmethod
+    def _d2(X):
+        return np.round(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2),
+                        9)
+
+    def test_twonn_matches_numpy(self, spark, sample):
+        from predictor_spark.plans.catalog_r13_embeddiag import (
+            intrinsic_dimension_twonn)
+
+        X, ids = sample
+        D = self._d2(X)
+        terms = []
+        for i in range(len(ids)):
+            order = sorted((j for j in range(len(ids)) if j != i),
+                           key=lambda j: (D[i, j], ids[j]))
+            d1, d2 = D[i, order[0]], D[i, order[1]]
+            if d1 <= 0:
+                continue
+            terms.append(np.floor(1e9 * 0.5 * np.log(d2 / d1) + 0.5))
+        n = len(terms)
+        s = sum(terms)
+        row = intrinsic_dimension_twonn(spark, SF_DIR).collect()[0]
+        assert row["n_points"] == n
+        assert row["intrinsic_dim"] == pytest.approx(
+            round(n / (s / 1e9), 6), abs=1e-6)
+        assert row["mean_log_mu"] == pytest.approx(
+            round(s / (1e9 * n), 6), abs=1e-9)
+        # embeddings live on a manifold far thinner than the ambient D
+        assert 0 < row["intrinsic_dim"] < X.shape[1]
+
+    def test_hubness_matches_numpy(self, spark, sample):
+        from predictor_spark.plans.catalog_r13_embeddiag import (
+            _K, knn_hubness_skew)
+
+        X, ids = sample
+        D = self._d2(X)
+        occ = {int(v): 0 for v in ids}
+        for i in range(len(ids)):
+            order = sorted((j for j in range(len(ids)) if j != i),
+                           key=lambda j: (D[i, j], ids[j]))[:_K]
+            for j in order:
+                occ[int(ids[j])] += 1
+        x = np.array(list(occ.values()), dtype=float)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        row = knn_hubness_skew(spark, SF_DIR).collect()[0]
+        assert row["n_points"] == len(x)
+        assert row["max_occurrence"] == int(x.max())
+        assert row["occurrence_skewness"] == pytest.approx(
+            m3 / m2 ** 1.5, abs=2e-5)
+        # mean k-occurrence is k by construction (each point emits k votes)
+        assert x.mean() == pytest.approx(_K)

@@ -1603,6 +1603,19 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2,
     },
+    # embeddiag: bounded-sample all-pairs (BNLJ over the broadcast
+    # 512-row side is the DESIGNED quadratic) + one rank window; the
+    # hubness row adds the left join back to the sample ids
+    "intrinsic_dimension_twonn": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
+    "knn_hubness_skew": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 1,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
