@@ -81,6 +81,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_ranktests", 2, "mann_whitney_value"),
     ("catalog_r13_tails", 2, "hill_tail_index"),
     ("catalog_r13_embeddiag", 2, "intrinsic_dimension_twonn"),
+    ("catalog_r13_regdiag", 2, "cooks_distance_top"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -105,6 +106,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r13_ranktests",
     "catalog_r13_tails",
     "catalog_r13_embeddiag",
+    "catalog_r13_regdiag",
 )
 
 

@@ -930,3 +930,59 @@ class TestEmbedDiag:
             m3 / m2 ** 1.5, abs=2e-5)
         # mean k-occurrence is k by construction (each point emits k votes)
         assert x.mean() == pytest.approx(_K)
+
+
+class TestRegDiag:
+    @pytest.fixture(scope="class")
+    def ols(self):
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        x = np.round(li["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        keys = list(zip(li["l_orderkey"], li["l_linenumber"]))
+        n = len(x)
+        b = (n * (x * y).sum() - x.sum() * y.sum()) \
+            / (n * (x.astype(object) * x).sum() - x.sum() ** 2)
+        a = (y.sum() - b * x.sum()) / n
+        raw_e = y - a - b * x
+        e = np.where(raw_e >= 0, np.floor(raw_e + 0.5),
+                     np.ceil(raw_e - 0.5)).astype(np.int64)
+        return x, e, keys
+
+    def test_breusch_pagan_matches_numpy(self, spark, ols):
+        from predictor_spark.plans.catalog_r13_regdiag import (
+            breusch_pagan_test)
+
+        x, e, _ = ols
+        u = e.astype(float) ** 2
+        xf = x.astype(float)
+        n = len(x)
+        num = (n * (xf * u).sum() - xf.sum() * u.sum()) ** 2
+        den = ((n * (xf * xf).sum() - xf.sum() ** 2)
+               * (n * (u * u).sum() - u.sum() ** 2))
+        r2 = num / den
+        row = breusch_pagan_test(spark, SF_DIR).collect()[0]
+        assert row["n_rows"] == n
+        assert row["r2_aux"] == pytest.approx(r2, abs=2e-6)
+        assert row["bp_lm"] == pytest.approx(n * r2, rel=1e-4)
+        assert row["bp_lm"] >= 0.0 and np.isfinite(row["bp_lm"])
+
+    def test_cooks_top_matches_numpy(self, spark, ols):
+        from predictor_spark.plans.catalog_r13_regdiag import (
+            _TOPK, cooks_distance_top)
+
+        x, e, keys = ols
+        n = len(x)
+        xf = x.astype(float)
+        sxx = (xf * xf).sum() - xf.sum() ** 2 / n
+        h = 1.0 / n + (xf - xf.mean()) ** 2 / sxx
+        s2 = (e.astype(float) ** 2).sum() / (n - 2)
+        d = np.round(e.astype(float) ** 2 * h
+                     / (2 * s2 * (1 - h) ** 2), 9)
+        order = sorted(range(n), key=lambda i: (-d[i], keys[i]))[:_TOPK]
+        got = cooks_distance_top(spark, SF_DIR).toPandas()
+        assert len(got) == _TOPK
+        for i, (_, row) in zip(order, got.iterrows()):
+            assert (row["l_orderkey"], row["l_linenumber"]) == keys[i]
+            assert row["quantity"] == x[i]
+            assert row["resid_cents"] == e[i]
+            assert row["cooks_d"] == pytest.approx(d[i], rel=1e-6)

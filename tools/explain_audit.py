@@ -1616,6 +1616,22 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_window_execs": 1,
     },
+    # regdiag: moment pass + residual pass (coefficients broadcast
+    # back) — two map-side scans by design; Cook's ends in the top-k
+    "breusch_pagan_test": {
+        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 0,
+    },
+    # (Cook's deliberately re-scans the 4-column lineitem projection
+    # per aggregate pass instead of caching a fact-sized residual frame
+    # — the spearman precedent: map-side scans beat caching 6M rows)
+    "cooks_distance_top": {
+        "must": ["partial_", "BroadcastNestedLoopJoin",
+                 "TakeOrderedAndProject"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 4, "max_window_execs": 0,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
