@@ -82,6 +82,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_tails", 2, "hill_tail_index"),
     ("catalog_r13_embeddiag", 2, "intrinsic_dimension_twonn"),
     ("catalog_r13_regdiag", 2, "cooks_distance_top"),
+    ("catalog_r13_grangerccf", 2, "granger_causality_pairs"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -107,6 +108,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r13_tails",
     "catalog_r13_embeddiag",
     "catalog_r13_regdiag",
+    "catalog_r13_grangerccf",
 )
 
 

@@ -986,3 +986,88 @@ class TestRegDiag:
             assert row["quantity"] == x[i]
             assert row["resid_cents"] == e[i]
             assert row["cooks_d"] == pytest.approx(d[i], rel=1e-6)
+
+
+class TestGrangerCcf:
+    def test_granger_matches_numpy_lstsq(self, spark, daily_micro_rets):
+        from predictor_spark.plans.catalog_r13_grangerccf import (
+            granger_causality_pairs)
+
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date)
+                .groupby(["event_type", "d"])["value"].sum()
+                .round(6).reset_index(name="bar"))
+        # rebuild (type, date, micro r) aligned frames
+        series = {}
+        for t, g in bars.groupby("event_type"):
+            g = g.sort_values("d")
+            prev = g["bar"].shift(1)
+            ok = (prev.notna() & (prev > 0)).to_numpy()
+            x = 1e6 * (g["bar"].to_numpy()[ok] / prev.to_numpy()[ok] - 1)
+            r = np.where(x >= 0, np.floor(x + .5),
+                         np.ceil(x - .5)).astype(np.int64)
+            series[t] = dict(zip(np.array(g["d"])[ok], r))
+        got = (granger_causality_pairs(spark, SF_DIR).toPandas()
+               .set_index(["cause", "effect"]))
+        types = sorted(series)
+        import datetime as dt
+        for tx in types:
+            for ty in types:
+                if tx == ty:
+                    continue
+                rows = []
+                for d0, yt in series[ty].items():
+                    dp = d0 - dt.timedelta(days=1)
+                    if dp in series[ty] and dp in series[tx]:
+                        rows.append((yt, series[ty][dp], series[tx][dp]))
+                if len(rows) < 5:
+                    assert (tx, ty) not in got.index
+                    continue
+                arr = np.array(rows, dtype=float)
+                yt, yp, xp = arr[:, 0], arr[:, 1], arr[:, 2]
+                n = len(yt)
+                Xr = np.column_stack([np.ones(n), yp])
+                Xu = np.column_stack([np.ones(n), yp, xp])
+                br, *_ = np.linalg.lstsq(Xr, yt, rcond=None)
+                bu, *_ = np.linalg.lstsq(Xu, yt, rcond=None)
+                rss_r = ((yt - Xr @ br) ** 2).sum()
+                rss_u = ((yt - Xu @ bu) ** 2).sum()
+                f = (rss_r - rss_u) / (rss_u / (n - 3))
+                row = got.loc[(tx, ty)]
+                assert row["n_days"] == n
+                assert row["f_stat"] == pytest.approx(f, abs=2e-3)
+
+    def test_ccf_matches_numpy(self, spark):
+        from predictor_spark.plans.catalog_r13_grangerccf import (
+            _LAGS, ccf_purchase_view)
+
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date)
+                .groupby(["event_type", "d"])["value"].sum()
+                .round(6).reset_index(name="bar"))
+        series = {}
+        for t in ("purchase", "view"):
+            g = bars[bars.event_type == t].sort_values("d")
+            prev = g["bar"].shift(1)
+            ok = (prev.notna() & (prev > 0)).to_numpy()
+            x = 1e6 * (g["bar"].to_numpy()[ok] / prev.to_numpy()[ok] - 1)
+            r = np.where(x >= 0, np.floor(x + .5),
+                         np.ceil(x - .5)).astype(np.int64)
+            series[t] = dict(zip(np.array(g["d"])[ok], r))
+        got = (ccf_purchase_view(spark, SF_DIR).toPandas()
+               .set_index("lag"))
+        import datetime as dt
+        for lag in range(-_LAGS, _LAGS + 1):
+            pairs = [(xr, series["view"][d0 + dt.timedelta(days=lag)])
+                     for d0, xr in series["purchase"].items()
+                     if d0 + dt.timedelta(days=lag) in series["view"]]
+            if len(pairs) < 3:
+                assert lag not in got.index
+                continue
+            a = np.array(pairs, dtype=float)
+            r = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+            row = got.loc[lag]
+            assert row["n_days"] == len(pairs)
+            assert row["ccf"] == pytest.approx(r, abs=2e-6)
+        # lag 0 correlation equals plain Pearson on the common dates
+        assert -1 <= got.loc[0, "ccf"] <= 1

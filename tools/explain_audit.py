@@ -1632,6 +1632,18 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 4, "max_window_execs": 0,
     },
+    # grangerccf: one lag window over the daily return frame, pair/lag
+    # date joins broadcast (tiny frames); moments are map-side partials
+    "granger_causality_pairs": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "ccf_purchase_view": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 2,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
