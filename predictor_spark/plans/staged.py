@@ -83,6 +83,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_embeddiag", 2, "intrinsic_dimension_twonn"),
     ("catalog_r13_regdiag", 2, "cooks_distance_top"),
     ("catalog_r13_grangerccf", 2, "granger_causality_pairs"),
+    ("catalog_r13_archtest", 2, "arch_lm_test"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -109,6 +110,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r13_embeddiag",
     "catalog_r13_regdiag",
     "catalog_r13_grangerccf",
+    "catalog_r13_archtest",
 )
 
 

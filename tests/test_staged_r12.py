@@ -963,7 +963,7 @@ class TestRegDiag:
         row = breusch_pagan_test(spark, SF_DIR).collect()[0]
         assert row["n_rows"] == n
         assert row["r2_aux"] == pytest.approx(r2, abs=2e-6)
-        assert row["bp_lm"] == pytest.approx(n * r2, rel=1e-4)
+        assert row["bp_lm"] == pytest.approx(round(n * r2, 4), abs=1e-9)
         assert row["bp_lm"] >= 0.0 and np.isfinite(row["bp_lm"])
 
     def test_cooks_top_matches_numpy(self, spark, ols):
@@ -1071,3 +1071,45 @@ class TestGrangerCcf:
             assert row["ccf"] == pytest.approx(r, abs=2e-6)
         # lag 0 correlation equals plain Pearson on the common dates
         assert -1 <= got.loc[0, "ccf"] <= 1
+
+
+class TestArchTest:
+    def test_arch_lm_matches_numpy(self, spark, daily_micro_rets):
+        from predictor_spark.plans.catalog_r13_archtest import arch_lm_test
+
+        got = (arch_lm_test(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        for t, r in daily_micro_rets.items():
+            u = (r.astype(object) * r).astype(float)
+            x, y = u[:-1], u[1:]
+            n = len(x)
+            if n < 4:
+                assert t not in got.index
+                continue
+            num = (n * (x * y).sum() - x.sum() * y.sum()) ** 2
+            den = ((n * (x * x).sum() - x.sum() ** 2)
+                   * (n * (y * y).sum() - y.sum() ** 2))
+            r2 = num / den
+            row = got.loc[t]
+            assert row["n_days"] == n
+            assert row["r2_aux"] == pytest.approx(r2, abs=2e-6)
+            assert row["arch_lm"] == pytest.approx(round(n * r2, 4),
+                                                   abs=1e-9)
+
+    def test_squared_acf_matches_numpy(self, spark, daily_micro_rets):
+        from predictor_spark.plans.catalog_r13_archtest import (
+            _ACF_LAGS, squared_return_acf)
+
+        got = (squared_return_acf(spark, SF_DIR).toPandas()
+               .set_index(["event_type", "lag"]))
+        for t, r in daily_micro_rets.items():
+            u = (r.astype(object) * r).astype(float)
+            for k in range(1, _ACF_LAGS + 1):
+                x, y = u[:-k], u[k:]
+                if len(x) < 3:
+                    assert (t, k) not in got.index
+                    continue
+                c = np.corrcoef(x, y)[0, 1]
+                row = got.loc[(t, k)]
+                assert row["n_pairs"] == len(x)
+                assert row["acf_sq"] == pytest.approx(c, abs=2e-6)

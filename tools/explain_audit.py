@@ -1644,6 +1644,19 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_window_execs": 2,
     },
+    # archtest: one daily rollup, one (type ordered by date) window
+    # (ARCH lag / all five ACF lead taps share the sort); moments are
+    # 5-group partials
+    "arch_lm_test": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    "squared_return_acf": {
+        "must": ["partial_", "Generate"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
