@@ -84,6 +84,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_regdiag", 2, "cooks_distance_top"),
     ("catalog_r13_grangerccf", 2, "granger_causality_pairs"),
     ("catalog_r13_archtest", 2, "arch_lm_test"),
+    ("catalog_r14_partialcorr", 2, "partial_correlation_qpd"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -111,6 +112,8 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r13_regdiag",
     "catalog_r13_grangerccf",
     "catalog_r13_archtest",
+    # --- r14 families (built in round 8, third batch) ---
+    "catalog_r14_partialcorr",
 )
 
 

@@ -1113,3 +1113,40 @@ class TestArchTest:
                 row = got.loc[(t, k)]
                 assert row["n_pairs"] == len(x)
                 assert row["acf_sq"] == pytest.approx(c, abs=2e-6)
+
+
+class TestPartialCorr:
+    @pytest.fixture(scope="class")
+    def xzy(self):
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        return (np.round(li["l_quantity"].to_numpy()).astype(float),
+                np.round(li["l_discount"].to_numpy() * 100).astype(float),
+                np.round(li["l_extendedprice"].to_numpy() * 100)
+                .astype(float))
+
+    def test_partial_matches_numpy(self, spark, xzy):
+        from predictor_spark.plans.catalog_r14_partialcorr import (
+            partial_correlation_qpd)
+
+        x, z, y = xzy
+        rxy = np.corrcoef(x, y)[0, 1]
+        rxz = np.corrcoef(x, z)[0, 1]
+        rzy = np.corrcoef(z, y)[0, 1]
+        want = (rxy - rxz * rzy) / np.sqrt((1 - rxz ** 2) * (1 - rzy ** 2))
+        row = partial_correlation_qpd(spark, SF_DIR).collect()[0]
+        assert row["n_rows"] == len(x)
+        assert row["r_price_qty"] == pytest.approx(rxy, abs=2e-6)
+        assert row["r_price_discount"] == pytest.approx(rzy, abs=2e-6)
+        assert row["partial_r"] == pytest.approx(want, abs=2e-6)
+
+    def test_vif_matches_numpy(self, spark, xzy):
+        from predictor_spark.plans.catalog_r14_partialcorr import (
+            vif_regressors)
+
+        x, z, _ = xzy
+        rxz = np.corrcoef(x, z)[0, 1]
+        row = vif_regressors(spark, SF_DIR).collect()[0]
+        assert row["r_qty_discount"] == pytest.approx(rxz, abs=2e-6)
+        assert row["vif"] == pytest.approx(1 / (1 - rxz ** 2), abs=2e-6)
+        # TPC-H draws quantity and discount independently: VIF ~ 1
+        assert row["vif"] < 1.2
