@@ -85,6 +85,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_grangerccf", 2, "granger_causality_pairs"),
     ("catalog_r13_archtest", 2, "arch_lm_test"),
     ("catalog_r14_partialcorr", 2, "partial_correlation_qpd"),
+    ("catalog_r14_pagehinkley", 1, "page_hinkley_drift"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -114,6 +115,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r13_archtest",
     # --- r14 families (built in round 8, third batch) ---
     "catalog_r14_partialcorr",
+    "catalog_r14_pagehinkley",
 )
 
 

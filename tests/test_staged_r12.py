@@ -1150,3 +1150,43 @@ class TestPartialCorr:
         assert row["vif"] == pytest.approx(1 / (1 - rxz ** 2), abs=2e-6)
         # TPC-H draws quantity and discount independently: VIF ~ 1
         assert row["vif"] < 1.2
+
+
+class TestPageHinkley:
+    def test_ph_matches_python_walk(self, spark):
+        from predictor_spark.plans.catalog_r14_pagehinkley import (
+            page_hinkley_drift)
+
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date,
+                          cents=np.round(ev["value"].to_numpy() * 100)
+                          .astype(np.int64))
+                .groupby(["event_type", "d"])["cents"].sum()
+                .reset_index(name="x"))
+        got = (page_hinkley_drift(spark, SF_DIR).toPandas()
+               .set_index("event_type"))
+        saw_positive = False
+        for t, g in bars.groupby("event_type"):
+            g = g.sort_values("d").reset_index(drop=True)
+            x = g["x"].to_numpy(dtype=float)
+            m = 0.0
+            cum = 0.0
+            best, best_day = -1.0, None
+            floor = np.inf
+            csum = 0.0
+            for i in range(len(x)):
+                csum += x[i]
+                mean = csum / (i + 1)
+                term = np.floor(1e9 * (x[i] - mean) + 0.5) \
+                    if x[i] >= mean else np.ceil(1e9 * (x[i] - mean) - 0.5)
+                cum += term
+                floor = min(floor, cum)
+                climb = cum - floor
+                if climb > best:
+                    best, best_day = climb, g["d"].iloc[i]
+            row = got.loc[t]
+            assert row["ph_stat"] == pytest.approx(
+                round(best / (1e9 * 100.0), 6), abs=1e-9)
+            assert row["peak_date"] == best_day.isoformat()
+            saw_positive |= best > 0
+        assert saw_positive  # a flat-zero walk everywhere would be vacuous
