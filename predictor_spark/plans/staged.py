@@ -86,6 +86,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r13_archtest", 2, "arch_lm_test"),
     ("catalog_r14_partialcorr", 2, "partial_correlation_qpd"),
     ("catalog_r14_pagehinkley", 1, "page_hinkley_drift"),
+    ("catalog_r14_reliability", 1, "weibull_mrr_fit"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -116,6 +117,7 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r14 families (built in round 8, third batch) ---
     "catalog_r14_partialcorr",
     "catalog_r14_pagehinkley",
+    "catalog_r14_reliability",
 )
 
 

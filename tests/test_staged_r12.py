@@ -1190,3 +1190,40 @@ class TestPageHinkley:
             assert row["peak_date"] == best_day.isoformat()
             saw_positive |= best > 0
         assert saw_positive  # a flat-zero walk everywhere would be vacuous
+
+
+class TestReliability:
+    def test_weibull_mrr_matches_numpy(self, spark):
+        from predictor_spark.plans.catalog_r14_reliability import (
+            weibull_mrr_fit)
+
+        o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j["t"] = (j["l_shipdate"].dt.normalize()
+                  - j["o_orderdate"].dt.normalize()).dt.days
+        j = j[j.t > 0]
+        got = (weibull_mrr_fit(spark, SF_DIR).toPandas()
+               .set_index("priority"))
+        for pri, g in j.groupby("o_orderpriority"):
+            g = g.sort_values(["t", "l_orderkey", "l_linenumber"])
+            n = len(g)
+            if n < 3:
+                assert pri not in got.index
+                continue
+            i = np.arange(1, n + 1)
+            f = (i - 0.3) / (n + 0.4)
+            x = np.floor(1e9 * np.log(g["t"].to_numpy(dtype=float))
+                         + 0.5) / 1e9
+            yr = 1e9 * np.log(-np.log(1 - f))
+            y = np.where(yr >= 0, np.floor(yr + .5), np.ceil(yr - .5)) / 1e9
+            k, c = np.polyfit(x, y, 1)
+            lam = np.exp(-c / k)
+            row = got.loc[pri]
+            assert row["n_lines"] == n
+            assert row["shape_k"] == pytest.approx(k, abs=2e-6)
+            assert row["scale_days"] == pytest.approx(lam, rel=1e-6)
+            assert row["b10_days"] == pytest.approx(
+                lam * (-np.log(0.9)) ** (1 / k), rel=1e-6)
+            # B10 must sit below the scale (10% quantile < 63.2% quantile)
+            assert row["b10_days"] < row["scale_days"]

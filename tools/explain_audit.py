@@ -1675,6 +1675,14 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 4,
     },
+    # reliability: orders|x|lineitem SMJ on the shared order key is the
+    # co-partitioned fact-to-fact plan (the lead_time family precedent);
+    # one rank window per priority + map-side moment partials
+    "weibull_mrr_fit": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 2, "max_window_execs": 2,
+    },
     # (second scan is the n_docs count(*) — parquet metadata only)
     "token_burstiness": {
         "must": ["partial_", "Generate", "TakeOrderedAndProject"],
