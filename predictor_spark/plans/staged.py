@@ -87,6 +87,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r14_partialcorr", 2, "partial_correlation_qpd"),
     ("catalog_r14_pagehinkley", 1, "page_hinkley_drift"),
     ("catalog_r14_reliability", 1, "weibull_mrr_fit"),
+    ("catalog_r14_blockranks", 2, "friedman_test_daily"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -118,6 +119,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r14_partialcorr",
     "catalog_r14_pagehinkley",
     "catalog_r14_reliability",
+    "catalog_r14_blockranks",
 )
 
 

@@ -1227,3 +1227,56 @@ class TestReliability:
                 lam * (-np.log(0.9)) ** (1 / k), rel=1e-6)
             # B10 must sit below the scale (10% quantile < 63.2% quantile)
             assert row["b10_days"] < row["scale_days"]
+
+
+class TestBlockRanks:
+    @pytest.fixture(scope="class")
+    def block_ranks(self, daily_micro_rets):
+        """Within-day ranks over complete blocks, recomputed in pandas
+        from the dated return series (rebuilt here with dates)."""
+        ev = _events()
+        bars = (ev.assign(d=ev["ts"].dt.date)
+                .groupby(["event_type", "d"])["value"].sum()
+                .round(6).reset_index(name="bar"))
+        frames = []
+        for t, g in bars.groupby("event_type"):
+            g = g.sort_values("d")
+            prev = g["bar"].shift(1)
+            ok = (prev.notna() & (prev > 0)).to_numpy()
+            x = 1e6 * (g["bar"].to_numpy()[ok] / prev.to_numpy()[ok] - 1)
+            r = np.where(x >= 0, np.floor(x + .5),
+                         np.ceil(x - .5)).astype(np.int64)
+            frames.append(pd.DataFrame(
+                {"event_type": t, "d": np.array(g["d"])[ok], "r": r}))
+        rets = pd.concat(frames)
+        k = rets["event_type"].nunique()
+        full = rets.groupby("d").filter(lambda g: len(g) == k)
+        full = full.sort_values(["d", "r", "event_type"])
+        full["rk"] = full.groupby("d").cumcount() + 1
+        return full, k
+
+    def test_friedman_matches_pandas(self, spark, block_ranks):
+        from predictor_spark.plans.catalog_r14_blockranks import (
+            friedman_test_daily)
+
+        full, k = block_ranks
+        n = full["d"].nunique()
+        rs2 = (full.groupby("event_type")["rk"].sum() ** 2).sum()
+        q = 12.0 * rs2 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+        row = friedman_test_daily(spark, SF_DIR).collect()[0]
+        assert row["n_blocks"] == n
+        assert row["k_treatments"] == k
+        assert row["friedman_q"] == pytest.approx(round(q, 6), abs=1e-9)
+
+    def test_kendalls_w_matches_and_bounded(self, spark, block_ranks):
+        from predictor_spark.plans.catalog_r14_blockranks import (
+            kendalls_w_concordance)
+
+        full, k = block_ranks
+        n = full["d"].nunique()
+        rs2 = (full.groupby("event_type")["rk"].sum() ** 2).sum()
+        q = 12.0 * rs2 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+        w = q / (n * (k - 1))
+        row = kendalls_w_concordance(spark, SF_DIR).collect()[0]
+        assert row["kendalls_w"] == pytest.approx(round(w, 6), abs=1e-9)
+        assert 0.0 <= row["kendalls_w"] <= 1.0
