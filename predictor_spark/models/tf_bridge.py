@@ -69,20 +69,38 @@ def keras_model_from_params(params: dict, horizons: tuple[int, ...]):
     return model
 
 
+def conv1d_weights_for_keras(W: np.ndarray) -> np.ndarray:
+    """Map a models/tcn.py conv kernel (kernel, c_in, c_out) to the tensor
+    Keras Conv1D must be loaded with: the time axis reversed.
+
+    tcn.forward is a true convolution (tap j hits lag j*d, so W[0] is the
+    current step); Keras Conv1D is a cross-correlation where, under
+    ``padding="causal"``, tap j hits lag (K-1-j)*d (W[K-1] is the current
+    step). Loading unflipped therefore mis-times every tap for kernel>1.
+    Kept as a standalone helper so the layout contract is testable
+    in-image without TensorFlow (tests/test_tf_bridge.py simulates the
+    Keras cross-correlation in numpy against tcn.forward)."""
+    return np.asarray(W)[::-1]
+
+
 def keras_tcn_from_params(params: dict, horizons: tuple[int, ...]):
     """Rebuild the models/tcn.py architecture in Keras and load the
     numpy weights — the champion family's artifact path (VERDICT r7 #8;
     reference predictor_plugins/predictor_plugin_tcn.py:50-236 with the
     base.py:325-330 .keras save/load contract).
 
-    The mapping is exact: each numpy layer's W{l} has shape
-    (kernel, c_in, channels) — byte-identical to Keras Conv1D's kernel
-    layout (kernel_size, in_channels, filters) — and
-    ``padding="causal"`` left-zero-pads precisely like tcn._shift_right,
-    so ``Conv1D(channels, kernel, dilation_rate=2**l, padding="causal",
-    activation="swish")`` reproduces the slice-accumulate conv;
-    the head reads the LAST time step (Lambda slice) into one Dense(1)
-    per horizon."""
+    Layout: each numpy layer's W{l} has shape (kernel, c_in, channels),
+    matching Keras Conv1D's (kernel_size, in_channels, filters) — but the
+    time axis runs the OPPOSITE way. tcn.forward is a true convolution:
+    W[j] applies at lag j*d (W[0] hits the current step), while Keras
+    Conv1D is a cross-correlation: with ``padding="causal"`` tap W[j]
+    hits lag (K-1-j)*d (W[K-1] hits the current step). So the kernel is
+    loaded time-reversed (``W[::-1]``); with that flip,
+    ``Conv1D(channels, kernel, dilation_rate=2**l, padding="causal",
+    activation="swish")`` reproduces the slice-accumulate conv exactly
+    (parity test: tests/test_tf_bridge.py, env-gated on TF). The head
+    reads the LAST time step (Lambda slice) into one Dense(1) per
+    horizon."""
     if not tf_available():  # pragma: no cover - exercised only with TF
         raise ImportError("tensorflow is not installed in this image")
     import tensorflow as tf  # noqa: PLC0415
@@ -102,11 +120,102 @@ def keras_tcn_from_params(params: dict, horizons: tuple[int, ...]):
             for hz in horizons]
     model = tf.keras.Model(inp, outs)
     for layer in range(layers):
+        # time-reverse the kernel: numpy W[j] is the lag-(j*d) tap
+        # (convolution), Keras Conv1D tap j is the lag-((K-1-j)*d) tap
+        # (cross-correlation) — see the docstring's layout note
         model.get_layer(f"conv_{layer}").set_weights(
-            [params[f"W{layer}"], params[f"c{layer}"]])
+            [params[f"W{layer}"][::-1], params[f"c{layer}"]])
     for hz in horizons:
         model.get_layer(f"head_h{hz}").set_weights(
             [params[f"Wh{hz}"][:, None], np.atleast_1d(params[f"ch{hz}"])])
+    return model
+
+
+def lstm_keras_weight_pack(params: dict) -> dict[str, list[np.ndarray]]:
+    """Pack the models/lstm.py weight dict into per-Keras-layer weight
+    lists, in each layer's ``set_weights`` order. Factored out of the
+    builder so the tensor LAYOUT (per-head stacking, output-projection
+    reshape, bidirectional ordering) is testable in-image without
+    TensorFlow against a numpy simulation of the Keras semantics
+    (tests/test_tf_bridge.py).
+
+    Layouts (Keras source contracts):
+    - MultiHeadAttention: query kernel (dm, H, dk) + bias (H, dk), then
+      key, then value (the numpy core has no QKV biases -> zeros), then
+      attention_output kernel (H, dk, dm) + bias (dm,). Per-head Wq{h}
+      (dm, dk) stack on axis 1; Wo (dm, dm) consumes the heads
+      concatenated head0-first, so its rows reshape to (H, dk, dm).
+    - LayerNormalization: [gamma, beta].
+    - Bidirectional(LSTM): forward kernel/recurrent/bias then backward —
+      gate order (i, f, c, o) in both, which models/lstm._lstm_forward
+      already uses by construction.
+    - Dense heads: [W[:, None], atleast_1d(b)]."""
+    input_dim, dm, H, units = (int(v) for v in params["__meta"])
+    dk = dm // H
+    zeros_b = np.zeros((H, dk))
+    pack = {
+        "embed": [params["We"], params["be"]],
+        "mha": [
+            np.stack([params[f"Wq{h}"] for h in range(H)], axis=1), zeros_b,
+            np.stack([params[f"Wk{h}"] for h in range(H)], axis=1), zeros_b,
+            np.stack([params[f"Wv{h}"] for h in range(H)], axis=1), zeros_b,
+            params["Wo"].reshape(H, dk, dm), params["bo"],
+        ],
+        "ln1": [params["g1"], params["bn1"]],
+        "bilstm": [params["Wf_x"], params["Wf_h"], params["bf"],
+                   params["Wb_x"], params["Wb_h"], params["bb"]],
+    }
+    for k in params:
+        if k.startswith("Wh"):
+            hz = k[2:]
+            pack[f"head_h{hz}"] = [params[k][:, None],
+                                   np.atleast_1d(params[f"ch{hz}"])]
+    return pack
+
+
+def keras_lstm_from_params(params: dict, horizons: tuple[int, ...]):
+    """Rebuild the models/lstm.py architecture in Keras — positional
+    encoding -> MultiHeadAttention + residual + LayerNorm -> BiLSTM
+    (return_sequences=False, concat merge) -> per-horizon Dense(1) heads
+    (reference predictor_plugins/predictor_plugin_lstm.py:431-560; VERDICT
+    r8 #2: the artifact-load path for the BiLSTM+attention family).
+
+    Semantics alignment, piece by piece: Keras MHA scales scores by
+    1/sqrt(key_dim) exactly like layers.attention; Keras LSTM's default
+    activations (sigmoid gates, tanh cell) and (i, f, c, o) gate order
+    match _lstm_forward; Bidirectional's backward leg returns the state
+    after consuming t=0 last, matching reverse=True; LayerNormalization
+    must be built with epsilon=1e-5 (layers._LN_EPS) — Keras's default is
+    1e-3 and silently disagrees at ~1e-4 relative. Weight layout lives in
+    lstm_keras_weight_pack (tested without TF)."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    from predictor_spark.models import layers as L
+
+    input_dim, dm, H, units = (int(v) for v in params["__meta"])
+    dk = dm // H
+    T = input_dim
+    pe = L.positional_encoding(T, dm)
+    inp = tf.keras.Input(shape=(T, 1), dtype="float64")
+    e = tf.keras.layers.Dense(dm, name="embed")(inp)
+    e = tf.keras.layers.Lambda(
+        lambda t: t + tf.constant(pe, dtype=t.dtype),
+        output_shape=(T, dm), name="posenc")(e)
+    o = tf.keras.layers.MultiHeadAttention(
+        num_heads=H, key_dim=dk, name="mha")(e, e)
+    x = tf.keras.layers.Add(name="resid")([e, o])
+    x = tf.keras.layers.LayerNormalization(epsilon=1e-5, name="ln1")(x)
+    ctx = tf.keras.layers.Bidirectional(
+        tf.keras.layers.LSTM(units), merge_mode="concat", name="bilstm")(x)
+    outs = [tf.keras.layers.Dense(1, name=f"head_h{hz}")(ctx)
+            for hz in horizons]
+    model = tf.keras.Model(inp, outs)
+    pack = lstm_keras_weight_pack(params)
+    for layer_name in ["embed", "mha", "ln1", "bilstm"] + [
+            f"head_h{hz}" for hz in horizons]:
+        model.get_layer(layer_name).set_weights(pack[layer_name])
     return model
 
 
@@ -116,6 +225,7 @@ def keras_tcn_from_params(params: dict, horizons: tuple[int, ...]):
 _KERAS_BUILDERS = {
     "mlp": keras_model_from_params,
     "tcn": keras_tcn_from_params,
+    "lstm": keras_lstm_from_params,
 }
 
 
@@ -153,11 +263,12 @@ def tf_infer(
     model once per partition inside mapInPandas, stream Arrow batches
     through it. Output: id_cols + one ``pred_h{h}`` column per horizon.
 
-    ``core``: which numpy family the weights belong to ("mlp" or "tcn").
-    For the TCN the flat feature row is reshaped to the (window,
-    in_channels) frame its Conv1D stack consumes — feature_cols must be
-    channel-major within each time step, i.e. the window_tensorize
-    flatten order (t0c0, t0c1, ..)."""
+    ``core``: which numpy family the weights belong to ("mlp", "tcn" or
+    "lstm"). For the TCN the flat feature row is reshaped to the
+    (window, in_channels) frame its Conv1D stack consumes — feature_cols
+    must be channel-major within each time step, i.e. the
+    window_tensorize flatten order (t0c0, t0c1, ..); for the LSTM the
+    row is the univariate window, reshaped (T, 1)."""
     if not tf_available():
         raise ImportError("tensorflow is not installed in this image")
     from predictor_spark.shiplib import ensure_workers_can_import
@@ -174,8 +285,10 @@ def tf_infer(
     schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in id_cols]
         + [f"pred_h{h} double" for h in hs])
-    reshape_3d = core == "tcn"
-    in_channels = int(params["__meta"][4]) if reshape_3d else 1
+    # tcn consumes (N, window, channels) frames; lstm consumes the
+    # univariate (N, T, 1) sequence; mlp eats the flat row as-is
+    reshape_3d = core in ("tcn", "lstm")
+    in_channels = int(params["__meta"][4]) if core == "tcn" else 1
 
     def run(batches):
         import pandas as pd  # noqa: PLC0415
