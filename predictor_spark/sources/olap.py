@@ -163,32 +163,59 @@ class StarSchemaWarehouse:
         else:
             self._upsert_parquet(table, new_rows, keys)
 
-    def _execute_jdbc(self, *statements: str) -> None:
+    def _execute_jdbc(self, *statements: str,
+                      transactional: bool = False) -> None:
         """Run server-side statements over one JVM DriverManager
         connection (the driver jar is already on the session classpath
-        for df.write.jdbc to work at all)."""
+        for df.write.jdbc to work at all). With ``transactional=True``
+        the statements run in ONE transaction (autocommit off, commit at
+        the end, rollback on error) — so merge+drop either both land or
+        neither does."""
         jvm = self.spark._sc._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
+            if transactional:
+                conn.setAutoCommit(False)
             st = conn.createStatement()
-            for sql in statements:
-                st.execute(sql)
-            st.close()
+            try:
+                for sql in statements:
+                    st.execute(sql)
+                if transactional:
+                    conn.commit()
+            except Exception:
+                if transactional:
+                    conn.rollback()
+                raise
+            finally:
+                st.close()
         finally:
             conn.close()
+
+    def _stage_name(self, table: str) -> str:
+        """Per-writer stage-table name: unique per upsert call so two
+        concurrent writers can never truncate each other's stage (the
+        fixed ``{table}__stage`` name raced — ADVICE r8). Truncated +
+        hashed to stay inside Postgres's 63-byte identifier limit."""
+        import uuid  # noqa: PLC0415
+
+        token = uuid.uuid4().hex[:12]
+        return f"{table[:40]}__stg_{token}"
 
     def _upsert_jdbc(self, table: str, new_rows: DataFrame,
                      keys: list[str]) -> None:
         """Staging merge (etl_migrate_v2.py:274-298,455-622): bulk-load
-        the stage table with df.write.jdbc (overwrite — TRUNCATE +
-        append), then one server-side INSERT ... ON CONFLICT (natural
-        keys) DO UPDATE moves it into the target atomically.  Safe under
-        concurrent writers (Postgres row locks on the conflict index);
-        data crosses the wire once, batched, never per-row."""
-        stage = f"{table}__stage"
+        a per-writer stage table with df.write.jdbc (overwrite creates
+        it), then one server-side INSERT ... ON CONFLICT (natural keys)
+        DO UPDATE moves it into the target; merge+drop run in one
+        transaction. Safe under concurrent writers: each call stages
+        into its own uniquely-named table, and the target merge is a
+        single atomic statement serialized by Postgres row locks on the
+        conflict index. Data crosses the wire once, batched, never
+        per-row."""
+        stage = self._stage_name(table)
         create, merge = jdbc_upsert_statements(table, new_rows.schema, keys,
                                                stage)
         self._execute_jdbc(create)
@@ -199,7 +226,17 @@ class StarSchemaWarehouse:
         new_rows = new_rows.dropDuplicates(keys)
         new_rows.write.jdbc(self.url, f'"{stage}"', mode="overwrite",
                             properties=self.properties)
-        self._execute_jdbc(merge, f'DROP TABLE "{stage}"')
+        try:
+            self._execute_jdbc(merge, f'DROP TABLE "{stage}"',
+                               transactional=True)
+        except Exception:
+            # the stage name is unique — no later upsert will ever
+            # overwrite it, so clean up best-effort before re-raising
+            try:
+                self._execute_jdbc(f'DROP TABLE IF EXISTS "{stage}"')
+            except Exception:
+                pass
+            raise
 
     def _upsert_delta(self, table: str, new_rows: DataFrame,
                       keys: list[str]) -> None:

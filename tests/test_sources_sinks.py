@@ -197,3 +197,76 @@ def test_star_schema_delta_merge(spark, tmp_path):
     wh.upsert("t", spark.createDataFrame([(1, "b"), (2, "c")], "k int, v string"), ["k"])
     rows = {r["k"]: r["v"] for r in wh._read("t").collect()}
     assert rows == {1: "b", 2: "c"}
+
+
+def test_jdbc_upsert_wire_sequence(spark, monkeypatch):
+    """Wire-level sequence test (VERDICT r8 #7), no live Postgres: record
+    every server-side statement and every df.write.jdbc call, assert the
+    exact order CREATE target -> write stage (overwrite) -> [INSERT ON
+    CONFLICT + DROP stage] in one transaction — with a per-writer unique
+    stage name (ADVICE r8: the fixed `{table}__stage` raced)."""
+    import pyspark.sql.readwriter as rw
+
+    calls = []
+    wh = StarSchemaWarehouse(spark, "", backend="jdbc",
+                             url="jdbc:postgresql://fake/db")
+    monkeypatch.setattr(
+        StarSchemaWarehouse, "_execute_jdbc",
+        lambda self, *stmts, transactional=False: calls.append(
+            ("exec", stmts, transactional)))
+    monkeypatch.setattr(
+        rw.DataFrameWriter, "jdbc",
+        lambda self, url, table, mode=None, properties=None: calls.append(
+            ("write", table, mode)))
+
+    df = spark.createDataFrame([("k1", 1.0), ("k1", 2.0), ("k2", 3.0)],
+                               "k string, v double")
+    wh.upsert("fact_performance", df, ["k"])
+
+    assert [c[0] for c in calls] == ["exec", "write", "exec"]
+    (_, (create,), tx0), (_, stage_q, mode), (_, mstmts, tx1) = calls
+    assert create.startswith('CREATE TABLE IF NOT EXISTS "fact_performance"')
+    assert tx0 is False
+    # per-writer unique stage, quoted, <=63-byte identifier
+    stage = stage_q.strip('"')
+    assert stage.startswith("fact_performance__stg_") and len(stage) <= 63
+    assert stage != "fact_performance__stage"
+    assert mode == "overwrite"
+    # merge + drop together, transactional, against THE SAME stage name
+    assert tx1 is True and len(mstmts) == 2
+    assert f'FROM "{stage}"' in mstmts[0] and "ON CONFLICT" in mstmts[0]
+    assert mstmts[1] == f'DROP TABLE "{stage}"'
+
+    # two upserts never share a stage name
+    calls.clear()
+    wh.upsert("fact_performance", df, ["k"])
+    assert calls[1][1].strip('"') != stage
+
+
+def test_jdbc_upsert_cleans_stage_on_merge_failure(spark, monkeypatch):
+    """If the transactional merge fails, the uniquely-named stage table
+    is dropped best-effort (it would otherwise leak forever — no later
+    upsert reuses the name) and the error propagates."""
+    import pyspark.sql.readwriter as rw
+
+    calls = []
+    wh = StarSchemaWarehouse(spark, "", backend="jdbc",
+                             url="jdbc:postgresql://fake/db")
+
+    def fake_exec(self, *stmts, transactional=False):
+        calls.append((stmts, transactional))
+        if transactional:
+            raise RuntimeError("merge failed")
+
+    monkeypatch.setattr(StarSchemaWarehouse, "_execute_jdbc", fake_exec)
+    monkeypatch.setattr(
+        rw.DataFrameWriter, "jdbc",
+        lambda self, url, table, mode=None, properties=None: None)
+
+    df = spark.createDataFrame([("k1", 1.0)], "k string, v double")
+    with pytest.raises(RuntimeError, match="merge failed"):
+        wh.upsert("t", df, ["k"])
+    # last call is the best-effort DROP TABLE IF EXISTS of the stage
+    stmts, tx = calls[-1]
+    assert tx is False and len(stmts) == 1
+    assert stmts[0].startswith('DROP TABLE IF EXISTS "t__stg_')
