@@ -216,6 +216,26 @@ def main() -> None:
         train_kwargs={"epochs": 1, "channels": 2, "layers": 1, "kernel": 2}))
 
     timings: dict[str, float] = {}
+
+    # training rows run TWICE and report both timings (VERDICT r5 #6:
+    # champion measured 7.9-33.7 s across r5 with an identical plan —
+    # the cold/warm split makes driver-box noise diagnosable from the
+    # JSON alone). The headline number is the warm (second) run: plan
+    # cost, not scheduler/import noise the warm-up may have missed.
+    # These run BEFORE the headline sweep (VERDICT r8 #4): measuring
+    # them after ~100 rows of sustained all-core load produced phantom
+    # 2x "cold regressions" (r8 driver: champion cold 18.1 s contended
+    # vs 8.2 s on the identical tree measured clean).
+    cold_warm: dict[str, dict[str, float]] = {}
+    for name, fn in SINGLE_RUN.items():
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold_warm[name] = {"cold": runs[0], "warm": runs[1]}
+        timings[name] = runs[1]
+
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -226,21 +246,6 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-
-    # training rows run TWICE and report both timings (VERDICT r5 #6:
-    # champion measured 7.9-33.7 s across r5 with an identical plan —
-    # the cold/warm split makes driver-box noise diagnosable from the
-    # JSON alone). The headline number is the warm (second) run: plan
-    # cost, not scheduler/import noise the warm-up may have missed.
-    cold_warm: dict[str, dict[str, float]] = {}
-    for name, fn in SINGLE_RUN.items():
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        cold_warm[name] = {"cold": runs[0], "warm": runs[1]}
-        timings[name] = runs[1]
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -285,10 +290,15 @@ def main() -> None:
         # record, as in BENCH_r06)
         emit.pop("single_run_cold_warm", None)
         line = json.dumps(emit, separators=(",", ":"))
-    assert len(line) <= line_budget, (
-        f"bench stdout line is {len(line)} chars (> {line_budget}) even "
-        "with every query row and cold/warm detail dropped — shrink the "
-        "metadata keys; a truncated line records parsed:null for the round")
+    if len(line) > line_budget:
+        # explicit raise, not assert: python -O strips asserts, which
+        # would silently reintroduce the truncated-line/parsed:null
+        # failure this guard exists to prevent (ADVICE r8)
+        raise SystemExit(
+            f"bench stdout line is {len(line)} chars (> {line_budget}) even "
+            "with every query row and cold/warm detail dropped — shrink the "
+            "metadata keys; a truncated line records parsed:null for the "
+            "round")
     print(line)
 
 

@@ -158,7 +158,13 @@ def view_purchase_attribution(
         q.stop()
     # the memory-sink table lives in the clone's catalog; drain it there
     # and hand back a local-relation frame on the CALLER's session so
-    # everything downstream plans under the caller's conf
+    # everything downstream plans under the caller's conf. BOUNDED: the
+    # memory sink is already driver-resident by construction (Spark's
+    # MemorySink buffers every batch on the driver), so this collect
+    # moves no data an unbounded sink wouldn't have — the bound is the
+    # join output itself, |views ⋈ purchases within horizon|, events-SF
+    # sized in every catalog use. A production stream would swap the
+    # memory sink for kafka/parquet and never materialize here.
     rows = ss.table(name).collect()
     ss.catalog.dropTempView(name)
     return spark.createDataFrame(rows, joined.schema)
