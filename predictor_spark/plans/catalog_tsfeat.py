@@ -218,13 +218,18 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN abs(z.z - s.mu)
                     > 3 * s.sigma * sqrt(0.2 / 1.8
                                          * (1 - power(0.8, 2 * z.t)))
-                    THEN 1 ELSE 0 END AS ooc
+                    THEN 1 ELSE 0 END AS ooc,
+               abs(z.z - s.mu)
+                 / (3 * s.sigma * sqrt(0.2 / 1.8
+                                       * (1 - power(0.8, 2 * z.t))))
+                   AS rel
         FROM z JOIN stats s ON s.event_type = z.event_type
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(ooc) AS BIGINT) AS n_ooc,
-           min(CASE WHEN ooc = 1 THEN day END) AS first_ooc_day
+           min(CASE WHEN ooc = 1 THEN day END) AS first_ooc_day,
+           round(max(rel), 6) AS max_rel_dev
     FROM flagged GROUP BY event_type
     """,
 )
@@ -264,9 +269,14 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (1 - F.pow(F.lit(0.8), 2 * F.col("tb")))))
     flagged = z.select(
         "event_type", "day",
-        (F.abs(F.col("z") - F.col("mu")) > limit).cast("int").alias("ooc"))
+        (F.abs(F.col("z") - F.col("mu")) > limit).cast("int").alias("ooc"),
+        (F.abs(F.col("z") - F.col("mu")) / limit).alias("rel"))
+    # max_rel_dev (peak chart statistic as a share of its limit) varies
+    # even when no point alarms — without it the grade was degenerate at
+    # the sweep SF (all-constant n_ooc=0 row set; r9 gate)
     return (flagged.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
                  F.sum("ooc").cast("long").alias("n_ooc"),
                  F.min(F.when(F.col("ooc") == 1, F.col("day")))
-                 .alias("first_ooc_day")))
+                 .alias("first_ooc_day"),
+                 F.round(F.max("rel"), 6).alias("max_rel_dev")))

@@ -166,3 +166,36 @@ def test_gate_catches_int_vs_float_dtype_drift():
     # no false alarm: identical float frames still match
     assert normalize_pdf(floats).equals(normalize_pdf(floats.copy()))
     assert dtype_mismatches(ints, ints.copy()) == []
+
+
+def test_degenerate_numeric_gate():
+    """VERDICT r8 #3: the 0-row vacuity guard's sibling — a multi-row
+    frame whose every numeric column is constant would grade green even
+    if the computation were a constant function. The mechanical gate must
+    fail it, and must NOT fire on frames that carry signal."""
+    from tools.check_correctness import degenerate_numeric
+
+    # synthetic degenerate query output: 5 groups, metric always 0.0
+    degen = pd.DataFrame({"grp": list("abcde"), "metric": [0.0] * 5})
+    msg = degenerate_numeric(degen)
+    assert msg is not None and "degenerate" in msg and "metric" in msg
+
+    # constant int col + constant float col, multi-row -> still degenerate
+    degen2 = pd.DataFrame({"k": ["x", "y"], "n": [3, 3], "v": [1.5, 1.5]})
+    assert degenerate_numeric(degen2) is not None
+
+    # one varying numeric column is enough signal
+    ok = pd.DataFrame({"grp": list("abc"), "n": [0, 0, 0],
+                       "v": [1.0, 2.0, 3.0]})
+    assert degenerate_numeric(ok) is None
+
+    # out of scope: 1-row scalars, empty frames, all-string frames
+    assert degenerate_numeric(pd.DataFrame({"v": [4.2]})) is None
+    assert degenerate_numeric(pd.DataFrame({"v": pd.Series([], dtype=float)})) is None
+    assert degenerate_numeric(
+        pd.DataFrame({"a": ["x", "x"], "b": ["y", "z"]})) is None
+
+    # NULLs don't count as distinct values
+    nulls = pd.DataFrame({"k": ["a", "b", "c"],
+                          "v": [7.0, None, None]})
+    assert degenerate_numeric(nulls) is not None

@@ -111,6 +111,34 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 #: re-parameterized before the driver wastes a grading-window slot on it.
 EXPECTED_EMPTY: frozenset[str] = frozenset()
 
+#: Queries whose multi-row output legitimately carries a constant numeric
+#: column set (e.g. a conformance report whose every check passes with
+#: value 0). Every OTHER multi-row frame must show >1 distinct value in at
+#: least one numeric column, else the grade is degenerate — it would pass
+#: even if the computation were replaced by a constant (VERDICT r8 #2: the
+#: 0-row guard's vacuity class exists one level up too).
+ALLOWED_CONSTANT: frozenset[str] = frozenset()
+
+
+def degenerate_numeric(sdf: pd.DataFrame) -> str | None:
+    """Non-degeneracy gate: for a multi-row frame with numeric columns,
+    demand at least one numeric column with >1 distinct non-null value.
+    Returns a FAIL message, or None if the frame carries signal. 0/1-row
+    frames are out of scope (0 rows has its own guard; 1-row scalars are
+    legitimate aggregates)."""
+    if len(sdf) < 2:
+        return None
+    num_cols = [c for c in sdf.columns
+                if dtype_class(sdf[c].dtype) in ("int", "float")]
+    if not num_cols:
+        return None
+    for c in num_cols:
+        if sdf[c].dropna().nunique() > 1:
+            return None
+    return (f"degenerate pass — all numeric columns {num_cols} are "
+            f"constant over {len(sdf)} rows; a constant-function bug would "
+            "grade green. Re-parameterize, or add to ALLOWED_CONSTANT")
+
 
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a not in ("--record", "--staged")]
@@ -200,6 +228,10 @@ def main() -> int:
             problems.append(
                 "vacuous 0-row pass — re-parameterize so rows exist at this "
                 "SF, or add to EXPECTED_EMPTY")
+        if not problems and name not in ALLOWED_CONSTANT:
+            degen = degenerate_numeric(sdf)
+            if degen:
+                problems.append(degen)
         if not problems:
             a, b = normalize_pdf(sdf), normalize_pdf(odf)
             if not a.equals(b):
