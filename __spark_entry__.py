@@ -79,6 +79,25 @@ def _load_catalog():
                 "catalog_r10_candles",
                 "catalog_r10_bandit",
                 "catalog_r10_ltv",
+                "catalog_r10_graphmetrics",
+                "catalog_r11_forensic",
+                "catalog_r11_longmemory",
+                "catalog_r12_risk3",
+                "catalog_r12_statefilter",
+                "catalog_r12_outlier2",
+                "catalog_r12_ordinal",
+                "catalog_r12_isotonic",
+                "catalog_r12_cattests",
+                "catalog_r12_cointegration",
+                "catalog_r12_gof",
+                "catalog_r12_keyness",
+                "catalog_r12_textdiversity",
+                "catalog_r13_ranktests",
+                "catalog_r13_tails",
+                "catalog_r13_embeddiag",
+                "catalog_r13_regdiag",
+                "catalog_r13_grangerccf",
+                "catalog_r13_archtest",
     ):
         try:
             __import__(f"predictor_spark.plans.{mod}")

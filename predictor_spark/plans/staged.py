@@ -88,38 +88,30 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r14_pagehinkley", 1, "page_hinkley_drift"),
     ("catalog_r14_reliability", 1, "weibull_mrr_fit"),
     ("catalog_r14_blockranks", 2, "friedman_test_daily"),
+    ("catalog_r15_hjorth", 2, "hjorth_params_by_type"),
+    ("catalog_r15_complexity", 2, "sample_entropy_by_type"),
+    ("catalog_r15_spatial", 2, "morans_i_nation_balance"),
+    ("catalog_r15_clusterval", 2, "davies_bouldin_segments"),
+    ("catalog_r15_seqinfo", 2, "markov_entropy_rate"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
     # --- r8 families (built in round 6; flip AFTER the r7 families) ---
     # --- r10 families (built in round 7) ---
-    "catalog_r10_graphmetrics",
     # --- r11 families (built in round 7; flip AFTER the r10 families) ---
-    "catalog_r11_forensic",
-    "catalog_r11_longmemory",
     # --- r12 families (built in round 8; flip AFTER the r11 families) ---
-    "catalog_r12_risk3",
-    "catalog_r12_statefilter",
-    "catalog_r12_outlier2",
-    "catalog_r12_ordinal",
-    "catalog_r12_isotonic",
-    "catalog_r12_cattests",
-    "catalog_r12_cointegration",
-    "catalog_r12_gof",
-    "catalog_r12_keyness",
-    "catalog_r12_textdiversity",
     # --- r13 families (built in round 8, second batch) ---
-    "catalog_r13_ranktests",
-    "catalog_r13_tails",
-    "catalog_r13_embeddiag",
-    "catalog_r13_regdiag",
-    "catalog_r13_grangerccf",
-    "catalog_r13_archtest",
     # --- r14 families (built in round 8, third batch) ---
     "catalog_r14_partialcorr",
     "catalog_r14_pagehinkley",
     "catalog_r14_reliability",
     "catalog_r14_blockranks",
+    # --- r15 families (built in round 9) ---
+    "catalog_r15_hjorth",
+    "catalog_r15_complexity",
+    "catalog_r15_spatial",
+    "catalog_r15_clusterval",
+    "catalog_r15_seqinfo",
 )
 
 
