@@ -1701,6 +1701,73 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2, "max_window_execs": 0,
     },
+    # --- r15 families (round 9) ---
+    # hjorth/crest: one events scan -> daily rollup; the return lag and
+    # the two diff lags ride the same (type, date) partitioning but the
+    # prev>0 filter between them splits the Window nodes (no re-shuffle)
+    "hjorth_params_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    "crest_zcr_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # sampen: cached window-decorated return frame fans out to the
+    # tolerance agg + both self-join legs (one events scan); the pair
+    # join is an equi-join on event_type over a broadcast-sized frame
+    "sample_entropy_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "katz_petrosian_fd": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # spatial: cached 25-row nation frame (one customer scan + broadcast
+    # nation dim); the 1-row global-moment attach is the blessed
+    # crossJoin(broadcast(scalar)) BNLJ idiom
+    "morans_i_nation_balance": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "local_moran_nation": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    # clusterval: one customer + one orders scan (globals derive from the
+    # cached k=5 cluster moments); DB's centroid pair join is 5x5 on the
+    # broadcast moment frame
+    "calinski_harabasz_segments": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "davies_bouldin_segments": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    # seqinfo: transition counts off one user-key window pass; entropy
+    # windows ride the |types|² aggregate. fano derives spine+bounds
+    # from the cached (type, hour) count aggregate — one events scan
+    "markov_entropy_rate": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    "fano_factor_by_type": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
 }
 
 
