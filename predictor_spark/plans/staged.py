@@ -93,6 +93,11 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r15_spatial", 2, "morans_i_nation_balance"),
     ("catalog_r15_clusterval", 2, "davies_bouldin_segments"),
     ("catalog_r15_seqinfo", 2, "markov_entropy_rate"),
+    ("catalog_r16_perfratios", 2, "information_ratio_by_type"),
+    ("catalog_r16_spectral", 2, "spectral_entropy_by_type"),
+    ("catalog_r16_inequality", 2, "theil_atkinson_by_region"),
+    ("catalog_r16_sax", 2, "sax_bigram_motifs"),
+    ("catalog_r16_hopkins", 2, "hopkins_statistic"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -112,6 +117,12 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r15_spatial",
     "catalog_r15_clusterval",
     "catalog_r15_seqinfo",
+    # --- r16 families (built in round 9, second batch) ---
+    "catalog_r16_perfratios",
+    "catalog_r16_spectral",
+    "catalog_r16_inequality",
+    "catalog_r16_sax",
+    "catalog_r16_hopkins",
 )
 
 

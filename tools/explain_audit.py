@@ -1768,6 +1768,75 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2,
     },
+    # --- r16 families (round 9, second batch) ---
+    # perfratios: one cached daily-bars frame feeds per-type + benchmark
+    # return legs; the date attach is a ~30-row broadcast
+    "information_ratio_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "treynor_m2_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    # spectral: the DFT term frame is a type-keyed equi-join between the
+    # cached indexed returns and the k-spine — days²/2 rows, bounded
+    "spectral_entropy_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "band_power_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    # inequality: orders⋈customer equi-join (SMJ co-partitioned is fine
+    # at scale, broadcast under the sf0.01 threshold), nation/region
+    # broadcast — 4 single scans; decomposition reuses the cached rm
+    "theil_atkinson_by_region": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_scans": 4,
+    },
+    "theil_decomposition": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 4,
+    },
+    # sax: cached daily bars -> moment attach + symbol cut; bigrams add
+    # one lead window on the (type, date) partitioning
+    "sax_symbol_histogram": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "sax_bigram_motifs": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # hopkins: knn_cosine_bruteforce design — 40 probes broadcast (the
+    # BNLJ is the self-exclusion/unconditional probe join), point set
+    # streams once; customer+orders scanned once each
+    "hopkins_statistic": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
+    "nn_distance_sample": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2,
+    },
 }
 
 
