@@ -98,6 +98,10 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r16_inequality", 2, "theil_atkinson_by_region"),
     ("catalog_r16_sax", 2, "sax_bigram_motifs"),
     ("catalog_r16_hopkins", 2, "hopkins_statistic"),
+    ("catalog_r17_riskmore", 3, "pain_martin_by_type"),
+    ("catalog_r17_structbreak", 2, "chow_test_price_qty"),
+    ("catalog_r17_wavelet", 2, "haar_energy_levels"),
+    ("catalog_r17_stump", 2, "decision_stump_gain"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -123,6 +127,11 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r16_inequality",
     "catalog_r16_sax",
     "catalog_r16_hopkins",
+    # --- r17 families (built in round 9, third batch) ---
+    "catalog_r17_riskmore",
+    "catalog_r17_structbreak",
+    "catalog_r17_wavelet",
+    "catalog_r17_stump",
 )
 
 

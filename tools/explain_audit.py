@@ -1837,6 +1837,64 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 2,
     },
+    # --- r17 families (round 9, third batch) ---
+    # riskmore: the perfratios cached-bars/benchmark-attach shape, or a
+    # pure window pass (tail ratio needs no join at all)
+    "updown_capture_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "pain_martin_by_type": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "tail_ratio_by_type": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    # structbreak: chow is one co-partitioned lineitem⋈orders pass plus
+    # a 1-row span broadcast (the second orders scan is min/max only);
+    # cusum caches the return frame so events scans once
+    "chow_test_price_qty": {
+        "must": ["partial_", "BroadcastHashJoin"],
+        "not": ["CartesianProduct"],
+        "max_scans": 3,
+    },
+    "cusum_squares_break": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    # wavelet: the cascade caches l1/l2 so the 3-level energy union
+    # reads events once; top-details is l1 + one rank window
+    "haar_energy_levels": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1,
+    },
+    "haar_top_details": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
+    # stump: stack-unpivot -> ONE lineitem scan feeds both features'
+    # value counts; all candidate splits from one cumulative window
+    "decision_stump_gain": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 3,
+    },
+    "stump_gain_curve": {
+        "must": ["partial_"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1, "max_window_execs": 2,
+    },
 }
 
 
