@@ -151,16 +151,9 @@ def lstm_keras_weight_pack(params: dict) -> dict[str, list[np.ndarray]]:
       already uses by construction.
     - Dense heads: [W[:, None], atleast_1d(b)]."""
     input_dim, dm, H, units = (int(v) for v in params["__meta"])
-    dk = dm // H
-    zeros_b = np.zeros((H, dk))
     pack = {
         "embed": [params["We"], params["be"]],
-        "mha": [
-            np.stack([params[f"Wq{h}"] for h in range(H)], axis=1), zeros_b,
-            np.stack([params[f"Wk{h}"] for h in range(H)], axis=1), zeros_b,
-            np.stack([params[f"Wv{h}"] for h in range(H)], axis=1), zeros_b,
-            params["Wo"].reshape(H, dk, dm), params["bo"],
-        ],
+        "mha": _mha_pack(params, H, dm),
         "ln1": [params["g1"], params["bn1"]],
         "bilstm": [params["Wf_x"], params["Wf_h"], params["bf"],
                    params["Wb_x"], params["Wb_h"], params["bb"]],
@@ -219,6 +212,91 @@ def keras_lstm_from_params(params: dict, horizons: tuple[int, ...]):
     return model
 
 
+def _mha_pack(params: dict, n_heads: int, dm: int) -> list[np.ndarray]:
+    """Keras MultiHeadAttention set_weights list from per-head Wq/Wk/Wv
+    + combined Wo/bo (shared by the lstm and transformer packs; layout
+    contract documented on lstm_keras_weight_pack)."""
+    dk = dm // n_heads
+    zeros_b = np.zeros((n_heads, dk))
+    return [
+        np.stack([params[f"Wq{h}"] for h in range(n_heads)], axis=1),
+        zeros_b,
+        np.stack([params[f"Wk{h}"] for h in range(n_heads)], axis=1),
+        zeros_b,
+        np.stack([params[f"Wv{h}"] for h in range(n_heads)], axis=1),
+        zeros_b,
+        params["Wo"].reshape(n_heads, dk, dm), params["bo"],
+    ]
+
+
+def transformer_keras_weight_pack(params: dict) -> dict[str,
+                                                         list[np.ndarray]]:
+    """Per-Keras-layer weight lists for the models/transformer.py encoder
+    block — embed + MHA + LN1 + position-wise FFN + LN2 + heads. Same
+    testable-without-TF contract as lstm_keras_weight_pack."""
+    input_dim, dm, H, dff = (int(v) for v in params["__meta"])
+    pack = {
+        "embed": [params["We"], params["be"]],
+        "mha": _mha_pack(params, H, dm),
+        "ln1": [params["g1"], params["bn1"]],
+        "ffn1": [params["W1"], params["b1"]],
+        "ffn2": [params["W2"], params["b2"]],
+        "ln2": [params["g2"], params["bn2"]],
+    }
+    for k in params:
+        if k.startswith("Wh"):
+            hz = k[2:]
+            pack[f"head_h{hz}"] = [params[k][:, None],
+                                   np.atleast_1d(params[f"ch{hz}"])]
+    return pack
+
+
+def keras_transformer_from_params(params: dict,
+                                  horizons: tuple[int, ...]):
+    """Rebuild the models/transformer.py encoder in Keras — posenc ->
+    MultiHeadAttention + residual + LayerNorm -> position-wise FFN
+    (Dense relu -> Dense) + residual + LayerNorm -> last-position
+    Dense(1) heads (reference
+    predictor_plugins/predictor_plugin_transformer.py:55-124). Same
+    semantics alignment as the LSTM bridge (score scaling, epsilon=1e-5
+    LayerNorm — NOT the Keras 1e-3 default); TimeDistributed wrappers
+    are unnecessary because Dense broadcasts over the time axis exactly
+    like the numpy position-wise matmul."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    from predictor_spark.models import layers as L
+
+    input_dim, dm, H, dff = (int(v) for v in params["__meta"])
+    dk = dm // H
+    T = input_dim
+    pe = L.positional_encoding(T, dm)
+    inp = tf.keras.Input(shape=(T, 1), dtype="float64")
+    e = tf.keras.layers.Dense(dm, name="embed")(inp)
+    e = tf.keras.layers.Lambda(
+        lambda t: t + tf.constant(pe, dtype=t.dtype),
+        output_shape=(T, dm), name="posenc")(e)
+    o = tf.keras.layers.MultiHeadAttention(
+        num_heads=H, key_dim=dk, name="mha")(e, e)
+    x = tf.keras.layers.Add(name="resid1")([e, o])
+    x = tf.keras.layers.LayerNormalization(epsilon=1e-5, name="ln1")(x)
+    f = tf.keras.layers.Dense(dff, activation="relu", name="ffn1")(x)
+    f = tf.keras.layers.Dense(dm, name="ffn2")(f)
+    x2 = tf.keras.layers.Add(name="resid2")([x, f])
+    x2 = tf.keras.layers.LayerNormalization(epsilon=1e-5, name="ln2")(x2)
+    last = tf.keras.layers.Lambda(lambda t: t[:, -1, :],
+                                  output_shape=(dm,), name="last_pos")(x2)
+    outs = [tf.keras.layers.Dense(1, name=f"head_h{hz}")(last)
+            for hz in horizons]
+    model = tf.keras.Model(inp, outs)
+    pack = transformer_keras_weight_pack(params)
+    for layer_name in ["embed", "mha", "ln1", "ffn1", "ffn2", "ln2"] + [
+            f"head_h{hz}" for hz in horizons]:
+        model.get_layer(layer_name).set_weights(pack[layer_name])
+    return model
+
+
 #: core name -> (Keras builder, expected feature-array rank); the numpy
 #: weight dicts self-describe via __meta, but dispatch stays EXPLICIT —
 #: meta lengths are an implementation detail, not a contract
@@ -226,6 +304,7 @@ _KERAS_BUILDERS = {
     "mlp": keras_model_from_params,
     "tcn": keras_tcn_from_params,
     "lstm": keras_lstm_from_params,
+    "transformer": keras_transformer_from_params,
 }
 
 
@@ -285,9 +364,9 @@ def tf_infer(
     schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in id_cols]
         + [f"pred_h{h} double" for h in hs])
-    # tcn consumes (N, window, channels) frames; lstm consumes the
-    # univariate (N, T, 1) sequence; mlp eats the flat row as-is
-    reshape_3d = core in ("tcn", "lstm")
+    # tcn consumes (N, window, channels) frames; lstm/transformer consume
+    # the univariate (N, T, 1) sequence; mlp eats the flat row as-is
+    reshape_3d = core in ("tcn", "lstm", "transformer")
     in_channels = int(params["__meta"][4]) if core == "tcn" else 1
 
     def run(batches):

@@ -308,3 +308,61 @@ def test_lstm_weight_pack_matches_keras_semantics():
         W, c = pack[f"head_h{hz}"]
         got = ctx @ W[:, 0] + c[0]
         np.testing.assert_allclose(got, want[hz], rtol=1e-12, atol=1e-12)
+
+
+@needs_tf
+def test_keras_transformer_matches_numpy_core():
+    """Keras rebuild (posenc + MHA + LN + FFN + LN + last-pos heads)
+    agrees with models/transformer.forward."""
+    from predictor_spark.models import transformer
+    from predictor_spark.models.tf_bridge import keras_model_for_core
+
+    rng = np.random.default_rng(19)
+    hs = (1, 2)
+    p = transformer.init_params(rng, 8, hs, d_model=6, n_heads=2, d_ff=10)
+    X = rng.normal(size=(9, 8))
+    want, _ = transformer.forward(p, X, hs)
+    model = keras_model_for_core("transformer", p, hs)
+    got = model(X[:, :, None], training=False)
+    for h, y in zip(hs, got):
+        np.testing.assert_allclose(np.asarray(y)[:, 0], want[h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_transformer_weight_pack_matches_keras_semantics():
+    """In-image (no TF) layout guard for the transformer bridge: numpy
+    simulation of each Keras layer's documented semantics fed with
+    transformer_keras_weight_pack's tensors must agree exactly with
+    models/transformer.forward."""
+    from predictor_spark.models import layers as L, transformer
+    from predictor_spark.models.tf_bridge import (
+        transformer_keras_weight_pack)
+
+    rng = np.random.default_rng(23)
+    hs = (1, 4)
+    T, dm, H, dff = 8, 6, 2, 10
+    p = transformer.init_params(rng, T, hs, d_model=dm, n_heads=H,
+                                d_ff=dff)
+    X = rng.normal(size=(7, T))
+    want, _ = transformer.forward(p, X, hs)
+
+    pack = transformer_keras_weight_pack(p)
+    We, be = pack["embed"]
+    E = X[:, :, None] @ We + be + L.positional_encoding(T, dm)
+    O = _keras_mha_sim(E, *pack["mha"])
+
+    def ln(x, g, b):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return g * (x - mu) / np.sqrt(var + 1e-5) + b
+
+    x = ln(E + O, *pack["ln1"])
+    W1, b1 = pack["ffn1"]
+    W2, b2 = pack["ffn2"]
+    f = np.maximum(x @ W1 + b1, 0.0) @ W2 + b2
+    x2 = ln(x + f, *pack["ln2"])
+    ctx = x2[:, -1, :]
+    for hz in hs:
+        W, c = pack[f"head_h{hz}"]
+        np.testing.assert_allclose(ctx @ W[:, 0] + c[0], want[hz],
+                                   rtol=1e-12, atol=1e-12)
