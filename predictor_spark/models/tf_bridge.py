@@ -297,6 +297,110 @@ def keras_transformer_from_params(params: dict,
     return model
 
 
+def keras_nbeats_from_params(params: dict, horizons: tuple[int, ...]):
+    """Rebuild the models/nbeats.py doubly-residual stack in Keras —
+    per block: Dense(units, swish) x layers, a backcast Dense subtracted
+    from the running residual and a forecast Dense accumulated; linear
+    heads on the forecast accumulator (reference
+    predictor_plugins/predictor_plugin_n_beats.py). Every layer is a
+    plain Dense with the numpy kernel loaded as-is — the only bridge
+    risk is graph WIRING (subtract/accumulate order), covered by the
+    env-gated parity test."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    blocks, layers, units, input_dim = (int(x) for x in params["__meta"])
+    inp = tf.keras.Input(shape=(input_dim,), dtype="float64")
+    r = inp
+    facc = None
+    for b in range(blocks):
+        h = r
+        for layer in range(layers):
+            h = tf.keras.layers.Dense(units, activation="swish",
+                                      name=f"b{b}_l{layer}")(h)
+        back = tf.keras.layers.Dense(input_dim, name=f"back_{b}")(h)
+        fore = tf.keras.layers.Dense(units, name=f"fore_{b}")(h)
+        facc = fore if facc is None else tf.keras.layers.Add(
+            name=f"facc_{b}")([facc, fore])
+        r = tf.keras.layers.Subtract(name=f"resid_{b}")([r, back])
+    outs = [tf.keras.layers.Dense(1, name=f"head_h{hz}")(facc)
+            for hz in horizons]
+    model = tf.keras.Model(inp, outs)
+    for b in range(blocks):
+        for layer in range(layers):
+            model.get_layer(f"b{b}_l{layer}").set_weights(
+                [params[f"W{b}_{layer}"], params[f"c{b}_{layer}"]])
+        model.get_layer(f"back_{b}").set_weights(
+            [params[f"Wb{b}"], params[f"cb{b}"]])
+        model.get_layer(f"fore_{b}").set_weights(
+            [params[f"Wf{b}"], params[f"cf{b}"]])
+    for hz in horizons:
+        model.get_layer(f"head_h{hz}").set_weights(
+            [params[f"Wh{hz}"][:, None], np.atleast_1d(params[f"ch{hz}"])])
+    return model
+
+
+def mimo_conv_kernel_for_keras(params: dict) -> np.ndarray:
+    """Stack the MIMO per-tap matrices Wc{k} (dm, dm) into the Conv1D
+    kernel Keras must be loaded with: (taps, dm, dm), TIME-REVERSED —
+    mimo.forward applies Wc[k] at lag k (a true convolution), Keras
+    Conv1D applies tap j at lag (K-1-j) under causal padding (the same
+    cross-correlation flip as conv1d_weights_for_keras; tested in-image
+    against a numpy causal-conv simulation)."""
+    taps = int(params["__meta"][2])
+    return np.stack([params[f"Wc{k}"] for k in range(taps)], axis=0)[::-1]
+
+
+def keras_mimo_from_params(params: dict, horizons: tuple[int, ...]):
+    """Rebuild the models/mimo.py shared-trunk attention-pooling net in
+    Keras: embed Dense -> causal tap Conv1D (ELU, time-reversed kernel)
+    -> shared K/V projections -> per-horizon attention pooling
+    (softmax((K·q_h)/sqrt(dm)) over time, context = Σ a_t V_t) -> SHARED
+    position-wise FFN -> per-horizon Dense(1) heads (reference
+    predictor_plugins/predictor_plugin_mimo.py analog). The per-horizon
+    query is a bias-free Dense(1) on K; pooling is einsum Lambdas."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    input_dim, dm, taps, dff = (int(v) for v in params["__meta"])
+    T = input_dim
+    inp = tf.keras.Input(shape=(T, 1), dtype="float64")
+    e = tf.keras.layers.Dense(dm, name="embed")(inp)
+    c = tf.keras.layers.Conv1D(dm, taps, padding="causal",
+                               activation="elu", name="conv")(e)
+    kt = tf.keras.layers.Dense(dm, use_bias=False, name="key")(c)
+    vt = tf.keras.layers.Dense(dm, use_bias=False, name="value")(c)
+    ffn = tf.keras.layers.Dense(dff, activation="relu", name="ffn")
+    scale = 1.0 / float(np.sqrt(dm))
+    outs = []
+    for hz in horizons:
+        s = tf.keras.layers.Dense(1, use_bias=False,
+                                  name=f"q_{hz}")(kt)
+        a = tf.keras.layers.Lambda(
+            lambda t, sc=scale: tf.nn.softmax(t[..., 0] * sc, axis=-1),
+            output_shape=(T,), name=f"attn_{hz}")(s)
+        ctx = tf.keras.layers.Lambda(
+            lambda ab: tf.einsum("nt,ntd->nd", ab[0], ab[1]),
+            output_shape=(dm,), name=f"ctx_{hz}")([a, vt])
+        outs.append(tf.keras.layers.Dense(
+            1, name=f"head_h{hz}")(ffn(ctx)))
+    model = tf.keras.Model(inp, outs)
+    model.get_layer("embed").set_weights([params["We"], params["be"]])
+    model.get_layer("conv").set_weights(
+        [mimo_conv_kernel_for_keras(params), params["bc"]])
+    model.get_layer("key").set_weights([params["Wk"]])
+    model.get_layer("value").set_weights([params["Wv"]])
+    model.get_layer("ffn").set_weights([params["W1"], params["b1"]])
+    for hz in horizons:
+        model.get_layer(f"q_{hz}").set_weights(
+            [params[f"q{hz}"][:, None]])
+        model.get_layer(f"head_h{hz}").set_weights(
+            [params[f"Wh{hz}"][:, None], np.atleast_1d(params[f"ch{hz}"])])
+    return model
+
+
 #: core name -> (Keras builder, expected feature-array rank); the numpy
 #: weight dicts self-describe via __meta, but dispatch stays EXPLICIT —
 #: meta lengths are an implementation detail, not a contract
@@ -305,6 +409,8 @@ _KERAS_BUILDERS = {
     "tcn": keras_tcn_from_params,
     "lstm": keras_lstm_from_params,
     "transformer": keras_transformer_from_params,
+    "nbeats": keras_nbeats_from_params,
+    "mimo": keras_mimo_from_params,
 }
 
 
@@ -364,9 +470,10 @@ def tf_infer(
     schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in id_cols]
         + [f"pred_h{h} double" for h in hs])
-    # tcn consumes (N, window, channels) frames; lstm/transformer consume
-    # the univariate (N, T, 1) sequence; mlp eats the flat row as-is
-    reshape_3d = core in ("tcn", "lstm", "transformer")
+    # tcn consumes (N, window, channels) frames; lstm/transformer/mimo
+    # consume the univariate (N, T, 1) sequence; mlp/nbeats eat the flat
+    # row as-is
+    reshape_3d = core in ("tcn", "lstm", "transformer", "mimo")
     in_channels = int(params["__meta"][4]) if core == "tcn" else 1
 
     def run(batches):

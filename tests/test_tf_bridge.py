@@ -366,3 +366,77 @@ def test_transformer_weight_pack_matches_keras_semantics():
         W, c = pack[f"head_h{hz}"]
         np.testing.assert_allclose(ctx @ W[:, 0] + c[0], want[hz],
                                    rtol=1e-12, atol=1e-12)
+
+
+@needs_tf
+def test_keras_nbeats_matches_numpy_core():
+    from predictor_spark.models import nbeats
+    from predictor_spark.models.tf_bridge import keras_model_for_core
+
+    rng = np.random.default_rng(29)
+    hs = (1, 3)
+    p = nbeats.init_params(rng, 10, hs, blocks=2, layers=2, units=6)
+    X = rng.normal(size=(9, 10))
+    want, _ = nbeats.forward(p, X, hs)
+    model = keras_model_for_core("nbeats", p, hs)
+    got = model(X, training=False)
+    for h, y in zip(hs, got):
+        np.testing.assert_allclose(np.asarray(y)[:, 0], want[h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+@needs_tf
+def test_keras_mimo_matches_numpy_core():
+    from predictor_spark.models import mimo
+    from predictor_spark.models.tf_bridge import keras_model_for_core
+
+    rng = np.random.default_rng(31)
+    hs = (1, 2)
+    p = mimo.init_params(rng, 9, hs, d_model=6, conv_taps=3, d_ff=8)
+    X = rng.normal(size=(7, 9))
+    want, _ = mimo.forward(p, X, hs)
+    model = keras_model_for_core("mimo", p, hs)
+    got = model(X[:, :, None], training=False)
+    for h, y in zip(hs, got):
+        np.testing.assert_allclose(np.asarray(y)[:, 0], want[h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_mimo_conv_flip_matches_keras_semantics():
+    """In-image guard for the MIMO tap-conv layout: simulate Keras
+    Conv1D(causal) cross-correlation with the flipped kernel and demand
+    agreement with mimo.forward's explicit tap sum end-to-end (and
+    disagreement unflipped)."""
+    from predictor_spark.models import layers as L, mimo
+    from predictor_spark.models.tf_bridge import mimo_conv_kernel_for_keras
+
+    rng = np.random.default_rng(37)
+    hs = (1, 5)
+    T, dm, taps, dff = 9, 6, 3, 8
+    p = mimo.init_params(rng, T, hs, d_model=dm, conv_taps=taps, d_ff=dff)
+    X = rng.normal(size=(7, T))
+    want, _ = mimo.forward(p, X, hs)
+
+    E = X[:, :, None] @ p["We"] + p["be"]
+
+    def run(Wk):
+        z = _keras_causal_conv1d_sim(E, Wk, p["bc"], dilation=1)
+        C = np.where(z > 0, z, np.expm1(z))  # ELU
+        K = C @ p["Wk"]
+        V = C @ p["Wv"]
+        outs = {}
+        for hz in hs:
+            s = (K @ p[f"q{hz}"]) / np.sqrt(dm)
+            a = np.exp(s - s.max(axis=-1, keepdims=True))
+            a = a / a.sum(axis=-1, keepdims=True)
+            ctx = np.einsum("nt,ntd->nd", a, V)
+            A1 = np.maximum(ctx @ p["W1"] + p["b1"], 0.0)
+            outs[hz] = A1 @ p[f"Wh{hz}"] + p[f"ch{hz}"]
+        return outs
+
+    good = run(mimo_conv_kernel_for_keras(p))
+    for hz in hs:
+        np.testing.assert_allclose(good[hz], want[hz],
+                                   rtol=1e-12, atol=1e-12)
+    bad = run(np.stack([p[f"Wc{k}"] for k in range(taps)], axis=0))
+    assert max(float(np.abs(bad[hz] - want[hz]).max()) for hz in hs) > 1e-3
