@@ -6,10 +6,14 @@ plugins, but the reference's deployment artifacts are ``.keras`` files
 runs through a Keras model. This module is the engine's bridge for
 images that DO ship TensorFlow:
 
-- ``keras_model_from_params``: rebuild the MLP core's architecture as a
-  Keras model and load the numpy weight dict into it — the same swish
-  Dense stack, so TF inference agrees with models/mlp.forward to float32
-  precision.
+- ``keras_*_from_params``: rebuild EVERY numpy family's architecture as
+  a Keras model and load its weight dict — mlp, tcn, lstm, transformer,
+  nbeats, mimo, tft, composite (dispatch via ``keras_model_for_core``).
+  Each risky tensor layout (Conv1D time-reversal, MultiHeadAttention
+  packing, identity output projections, the composite channel-split
+  fold) is factored into a standalone pack helper and pinned by an
+  in-image numpy simulation of the documented Keras semantics, so the
+  layout contract holds even where TF is absent.
 - ``tf_infer``: distributed inference via ``mapInPandas`` with the
   weight dict broadcast once (SURVEY §2.10: "predict_with_uncertainty →
   mapInPandas inference with broadcast model weights"): each partition
@@ -401,6 +405,165 @@ def keras_mimo_from_params(params: dict, horizons: tuple[int, ...]):
     return model
 
 
+def tft_attention_pack(params: dict) -> list[np.ndarray]:
+    """Keras MultiHeadAttention(num_heads=1, key_dim=dm) weight list for
+    the TFT's single-head attention — Q/K/V kernels reshaped (dm, 1, dm),
+    zero biases, and an IDENTITY output projection (1, dm, dm): the numpy
+    core emits A·V directly with no output dense, so the Keras layer's
+    mandatory attention_output projection is loaded as I/0. Score scaling
+    matches (1/sqrt(key_dim) = 1/sqrt(dm)). Factored out for the in-image
+    layout test."""
+    dm = int(params["__meta"][1])
+    z = np.zeros((1, dm))
+    return [
+        params["Wq"][:, None, :], z,
+        params["Wk"][:, None, :], z,
+        params["Wv_a"][:, None, :], z,
+        np.eye(dm)[None, :, :], np.zeros(dm),
+    ]
+
+
+def keras_tft_from_params(params: dict, horizons: tuple[int, ...]):
+    """Rebuild the models/tft.py temporal-fusion analog in Keras —
+    embed -> GRN -> causal tap Conv1D (ELU, time-reversed kernel, the
+    mimo_conv_kernel_for_keras flip) -> GRN -> single-head attention
+    (identity output projection) -> GRN gate -> fusion LayerNorm ->
+    last position -> per-horizon GRN + Dense(1) heads (reference
+    predictor_plugins/predictor_plugin_tft.py analog; GRN = LN(x +
+    sigmoid-gated value of a 2-Dense ELU trunk), every LayerNorm at
+    epsilon=1e-5)."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    input_dim, dm, taps = (int(v) for v in params["__meta"])
+    T = input_dim
+
+    def grn(x, prefix):
+        a1 = tf.keras.layers.Dense(dm, activation="elu",
+                                   name=f"{prefix}a")(x)
+        h2 = tf.keras.layers.Dense(dm, name=f"{prefix}b")(a1)
+        val = tf.keras.layers.Dense(dm, name=f"{prefix}v")(h2)
+        gt = tf.keras.layers.Dense(dm, activation="sigmoid",
+                                   name=f"{prefix}g")(h2)
+        gated = tf.keras.layers.Multiply(name=f"{prefix}mul")([val, gt])
+        res = tf.keras.layers.Add(name=f"{prefix}add")([x, gated])
+        return tf.keras.layers.LayerNormalization(
+            epsilon=1e-5, name=f"{prefix}ln")(res)
+
+    inp = tf.keras.Input(shape=(T, 1), dtype="float64")
+    e = tf.keras.layers.Dense(dm, name="embed")(inp)
+    g1 = grn(e, "g1_")
+    c = tf.keras.layers.Conv1D(dm, taps, padding="causal",
+                               activation="elu", name="conv")(g1)
+    g2 = grn(c, "g2_")
+    o = tf.keras.layers.MultiHeadAttention(
+        num_heads=1, key_dim=dm, name="attn")(g2, g2)
+    g3 = grn(o, "g3_")
+    r = tf.keras.layers.Add(name="fusion_add")([g2, g3])
+    r = tf.keras.layers.LayerNormalization(epsilon=1e-5,
+                                           name="fusion_ln")(r)
+    last = tf.keras.layers.Lambda(lambda t: t[:, -1, :],
+                                  output_shape=(dm,), name="last_pos")(r)
+    outs = []
+    for hz in horizons:
+        hh = grn(last, f"gh{hz}_")
+        outs.append(tf.keras.layers.Dense(1, name=f"head_h{hz}")(hh))
+    model = tf.keras.Model(inp, outs)
+
+    def load_grn(prefix):
+        for suffix, kernel, bias in (("a", "Wa", "ba"), ("b", "Wb", "bb"),
+                                     ("v", "Wv", "bv"), ("g", "Wg", "bg")):
+            model.get_layer(f"{prefix}{suffix}").set_weights(
+                [params[f"{prefix}{kernel}"], params[f"{prefix}{bias}"]])
+        model.get_layer(f"{prefix}ln").set_weights(
+            [params[f"{prefix}gm"], params[f"{prefix}bt"]])
+
+    model.get_layer("embed").set_weights([params["We"], params["be"]])
+    load_grn("g1_")
+    model.get_layer("conv").set_weights(
+        [mimo_conv_kernel_for_keras(params), params["bc"]])
+    load_grn("g2_")
+    model.get_layer("attn").set_weights(tft_attention_pack(params))
+    load_grn("g3_")
+    model.get_layer("fusion_ln").set_weights([params["ga"], params["ba_"]])
+    for hz in horizons:
+        load_grn(f"gh{hz}_")
+        model.get_layer(f"head_h{hz}").set_weights(
+            [params[f"Wh{hz}"][:, None], np.atleast_1d(params[f"ch{hz}"])])
+    return model
+
+
+def composite_channel_matrices(input_dim: int) -> dict[str, np.ndarray]:
+    """The composite core's channel split as explicit linear maps
+    (ch = X @ M.T): S = edge-clamped 3-tap moving average ("tr"),
+    D = zero-front first difference ("df"), I-S = residual ("rs").
+    The split being LINEAR is what lets the Keras rebuild fold it into
+    each branch's first Dense kernel — no custom layer needed."""
+    n = input_dim
+    S = np.zeros((n, n))
+    for t in range(1, n - 1):
+        S[t, t - 1: t + 2] = 1.0 / 3.0
+    S[0] = S[1]
+    S[n - 1] = S[n - 2]
+    D = np.zeros((n, n))
+    for t in range(1, n):
+        D[t, t] = 1.0
+        D[t, t - 1] = -1.0
+    return {"tr": S, "df": D, "rs": np.eye(n) - S}
+
+
+def composite_keras_weight_pack(params: dict) -> dict[str,
+                                                      list[np.ndarray]]:
+    """Per-layer weight lists for the composite rebuild: each branch's
+    first kernel is pre-multiplied by its channel matrix transpose
+    (Z0 = (X @ M.T) @ W0 = X @ (M.T @ W0)), so the Keras graph is plain
+    Dense stacks on the raw window. Testable in-image."""
+    input_dim, bu, mu = (int(v) for v in params["__meta"])
+    M = composite_channel_matrices(input_dim)
+    pack: dict[str, list[np.ndarray]] = {}
+    for b in ("tr", "df", "rs"):
+        pack[f"{b}_l0"] = [M[b].T @ params[f"{b}W0"], params[f"{b}b0"]]
+        pack[f"{b}_l1"] = [params[f"{b}W1"], params[f"{b}b1"]]
+    pack["merged"] = [params["Wm"], params["bm"]]
+    for k in params:
+        if k.startswith("Wh"):
+            hz = k[2:]
+            pack[f"head_h{hz}"] = [params[k][:, None],
+                                   np.atleast_1d(params[f"ch{hz}"])]
+    return pack
+
+
+def keras_composite_from_params(params: dict, horizons: tuple[int, ...]):
+    """Rebuild the models/composite.py multi-branch net in Keras
+    (reference predictor_plugins/predictor_plugin_composite.py:43-208):
+    three per-channel relu Dense branches -> concatenate -> merged relu
+    Dense -> per-horizon heads, with the trend/momentum/residual channel
+    split folded into the first kernels (composite_keras_weight_pack)."""
+    if not tf_available():  # pragma: no cover - exercised only with TF
+        raise ImportError("tensorflow is not installed in this image")
+    import tensorflow as tf  # noqa: PLC0415
+
+    input_dim, bu, mu = (int(v) for v in params["__meta"])
+    inp = tf.keras.Input(shape=(input_dim,), dtype="float64")
+    outs = []
+    for b in ("tr", "df", "rs"):
+        h = tf.keras.layers.Dense(bu, activation="relu",
+                                  name=f"{b}_l0")(inp)
+        outs.append(tf.keras.layers.Dense(bu, activation="relu",
+                                          name=f"{b}_l1")(h))
+    concat = tf.keras.layers.Concatenate(name="concat")(outs)
+    merged = tf.keras.layers.Dense(mu, activation="relu",
+                                   name="merged")(concat)
+    heads = [tf.keras.layers.Dense(1, name=f"head_h{hz}")(merged)
+             for hz in horizons]
+    model = tf.keras.Model(inp, heads)
+    pack = composite_keras_weight_pack(params)
+    for name, weights in pack.items():
+        model.get_layer(name).set_weights(weights)
+    return model
+
+
 #: core name -> (Keras builder, expected feature-array rank); the numpy
 #: weight dicts self-describe via __meta, but dispatch stays EXPLICIT —
 #: meta lengths are an implementation detail, not a contract
@@ -411,6 +574,8 @@ _KERAS_BUILDERS = {
     "transformer": keras_transformer_from_params,
     "nbeats": keras_nbeats_from_params,
     "mimo": keras_mimo_from_params,
+    "tft": keras_tft_from_params,
+    "composite": keras_composite_from_params,
 }
 
 
@@ -470,10 +635,10 @@ def tf_infer(
     schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in id_cols]
         + [f"pred_h{h} double" for h in hs])
-    # tcn consumes (N, window, channels) frames; lstm/transformer/mimo
-    # consume the univariate (N, T, 1) sequence; mlp/nbeats eat the flat
-    # row as-is
-    reshape_3d = core in ("tcn", "lstm", "transformer", "mimo")
+    # tcn consumes (N, window, channels) frames; lstm/transformer/mimo/
+    # tft consume the univariate (N, T, 1) sequence; mlp/nbeats eat the
+    # flat row as-is
+    reshape_3d = core in ("tcn", "lstm", "transformer", "mimo", "tft")
     in_channels = int(params["__meta"][4]) if core == "tcn" else 1
 
     def run(batches):

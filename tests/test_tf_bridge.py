@@ -440,3 +440,119 @@ def test_mimo_conv_flip_matches_keras_semantics():
                                    rtol=1e-12, atol=1e-12)
     bad = run(np.stack([p[f"Wc{k}"] for k in range(taps)], axis=0))
     assert max(float(np.abs(bad[hz] - want[hz]).max()) for hz in hs) > 1e-3
+
+
+@needs_tf
+def test_keras_tft_matches_numpy_core():
+    from predictor_spark.models import tft
+    from predictor_spark.models.tf_bridge import keras_model_for_core
+
+    rng = np.random.default_rng(41)
+    hs = (1, 2)
+    p = tft.init_params(rng, 8, hs, d_model=6, conv_taps=3)
+    X = rng.normal(size=(7, 8))
+    want, _ = tft.forward(p, X, hs)
+    model = keras_model_for_core("tft", p, hs)
+    got = model(X[:, :, None], training=False)
+    for h, y in zip(hs, got):
+        np.testing.assert_allclose(np.asarray(y)[:, 0], want[h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tft_packs_match_keras_semantics():
+    """In-image layout guard for the TFT bridge: numpy simulation of the
+    Keras pieces (causal Conv1D cross-correlation with the flipped
+    kernel, single-head MHA with the identity output projection, GRN
+    algebra, eps=1e-5 LayerNorms) fed with the packed tensors must agree
+    exactly with tft.forward."""
+    from predictor_spark.models import tft
+    from predictor_spark.models.tf_bridge import (
+        mimo_conv_kernel_for_keras, tft_attention_pack)
+
+    rng = np.random.default_rng(43)
+    hs = (1, 3)
+    T, dm, taps = 8, 6, 3
+    p = tft.init_params(rng, T, hs, d_model=dm, conv_taps=taps)
+    X = rng.normal(size=(7, T))
+    want, _ = tft.forward(p, X, hs)
+
+    def ln(x, g, b):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return g * (x - mu) / np.sqrt(var + 1e-5) + b
+
+    def grn(x, pfx):
+        z1 = x @ p[f"{pfx}Wa"] + p[f"{pfx}ba"]
+        a1 = np.where(z1 > 0, z1, np.expm1(z1))
+        h2 = a1 @ p[f"{pfx}Wb"] + p[f"{pfx}bb"]
+        val = h2 @ p[f"{pfx}Wv"] + p[f"{pfx}bv"]
+        gt = 1.0 / (1.0 + np.exp(-(h2 @ p[f"{pfx}Wg"] + p[f"{pfx}bg"])))
+        return ln(x + val * gt, p[f"{pfx}gm"], p[f"{pfx}bt"])
+
+    E = X[:, :, None] @ p["We"] + p["be"]
+    g1 = grn(E, "g1_")
+    z = _keras_causal_conv1d_sim(
+        g1, mimo_conv_kernel_for_keras(p), p["bc"], dilation=1)
+    c = np.where(z > 0, z, np.expm1(z))
+    g2 = grn(c, "g2_")
+    o = _keras_mha_sim(g2, *tft_attention_pack(p))
+    g3 = grn(o, "g3_")
+    r = ln(g2 + g3, p["ga"], p["ba_"])
+    ctx = r[:, -1, :]
+    for hz in hs:
+        y = grn(ctx, f"gh{hz}_") @ p[f"Wh{hz}"] + p[f"ch{hz}"]
+        np.testing.assert_allclose(y, want[hz], rtol=1e-12, atol=1e-12)
+
+
+@needs_tf
+def test_keras_composite_matches_numpy_core():
+    from predictor_spark.models import composite
+    from predictor_spark.models.tf_bridge import keras_model_for_core
+
+    rng = np.random.default_rng(47)
+    hs = (1, 2)
+    p = composite.init_params(rng, 10, hs, branch_units=5, merged_units=7)
+    X = rng.normal(size=(9, 10))
+    want, _ = composite.forward(p, X, hs)
+    model = keras_model_for_core("composite", p, hs)
+    got = model(X, training=False)
+    for h, y in zip(hs, got):
+        np.testing.assert_allclose(np.asarray(y)[:, 0], want[h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_composite_fold_matches_channel_split():
+    """In-image guard for the composite bridge: the channel split folded
+    into the first Dense kernels (plain matmuls on the RAW window) must
+    reproduce composite.forward exactly — validating both the channel
+    matrices and the fold."""
+    from predictor_spark.models import composite
+    from predictor_spark.models.tf_bridge import (
+        composite_channel_matrices, composite_keras_weight_pack)
+
+    rng = np.random.default_rng(53)
+    hs = (1, 4)
+    D = 10
+    p = composite.init_params(rng, D, hs, branch_units=5, merged_units=7)
+    X = rng.normal(size=(8, D))
+    want, _ = composite.forward(p, X, hs)
+
+    # channel matrices reproduce composite.channels exactly
+    M = composite_channel_matrices(D)
+    ch = composite.channels(X)
+    for b, m in M.items():
+        np.testing.assert_allclose(X @ m.T, ch[b], rtol=0, atol=1e-14)
+
+    pack = composite_keras_weight_pack(p)
+    outs = []
+    for b in ("tr", "df", "rs"):
+        W0, b0 = pack[f"{b}_l0"]
+        W1, b1 = pack[f"{b}_l1"]
+        h = np.maximum(X @ W0 + b0, 0.0)
+        outs.append(np.maximum(h @ W1 + b1, 0.0))
+    Wm, bm = pack["merged"]
+    Am = np.maximum(np.concatenate(outs, axis=1) @ Wm + bm, 0.0)
+    for hz in hs:
+        W, c = pack[f"head_h{hz}"]
+        np.testing.assert_allclose(Am @ W[:, 0] + c[0], want[hz],
+                                   rtol=1e-12, atol=1e-12)
