@@ -215,10 +215,30 @@ def _driver_grades() -> dict[str, dict]:
 
 
 #: Names forced to the head of the grading window regardless of grade
-#: history — for rows whose recorded driver grade was VACUOUS (e.g.
-#: drawdown_duration's r7 green compared 0 rows to 0 rows) and needs a
-#: re-grade that actually exercises values.  Remove once re-graded.
-_FORCE_WINDOW: tuple[str, ...] = ("drawdown_duration",)
+#: history — for rows whose driver evidence must refresh THIS round:
+#: either the recorded grade was vacuous/degenerate, or the row's
+#: semantics changed after its last grade.  Remove once re-graded.
+#: (drawdown_duration: re-graded green in r08, removed.)
+#: Current: the 8 rows VERDICT r8 flagged as stale-hash, pinned so the
+#: r9 module-closure churn can't crowd them out of the window, plus the
+#: 4 rows the r9 degeneracy gate re-parameterized (per-day keys / added
+#: varying columns — semantic changes needing fresh grades).
+_FORCE_WINDOW: tuple[str, ...] = (
+    # VERDICT r8 "what's wrong" #1 — stale grades to refresh
+    "flesch_reading_ease",
+    "type_token_ratio",
+    "trigram_hapax_share",
+    "pmi_collocations",
+    "sharpe_sortino_by_type",
+    "var_historical_95",
+    "capm_beta_by_type",
+    "pq_adc_topk",
+    # r9 degeneracy-gate re-parameterizations
+    "skewed_distinct_users",
+    "hll_distinct_users",
+    "ewma_control_chart",
+    "data_quality_report",
+)
 
 
 def _driver_green() -> frozenset[str]:
