@@ -102,6 +102,11 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r17_structbreak", 2, "chow_test_price_qty"),
     ("catalog_r17_wavelet", 2, "haar_energy_levels"),
     ("catalog_r17_stump", 2, "decision_stump_gain"),
+    ("catalog_r18_multipletest", 2, "pairwise_sign_tests_fdr"),
+    ("catalog_r18_resample", 2, "bootstrap_ci_mean_return"),
+    ("catalog_r18_ebayes", 2, "eb_shrunk_rates"),
+    ("catalog_r18_power", 2, "ab_sample_size_plan"),
+    ("catalog_r18_editdist", 2, "editdist_near_pairs"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -132,6 +137,12 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r17_structbreak",
     "catalog_r17_wavelet",
     "catalog_r17_stump",
+    # --- r18 families (built in round 9, fourth batch) ---
+    "catalog_r18_multipletest",
+    "catalog_r18_resample",
+    "catalog_r18_ebayes",
+    "catalog_r18_power",
+    "catalog_r18_editdist",
 )
 
 

@@ -1895,6 +1895,72 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin", "Join"],
         "max_scans": 1, "max_window_execs": 2,
     },
+    # --- r18 families (round 9, fourth batch) ---
+    # multipletest: cached return frame -> date-keyed self-join (10
+    # pairs); BH/Holm step windows run over 10 rows
+    "pairwise_sign_tests_fdr": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "holm_adjusted_sign_tests": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    # resample: cached indexed returns; the md5 spine joins back on
+    # (type, pos) — B·n rows, calendar-bounded
+    "bootstrap_ci_mean_return": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "signflip_permutation_test": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    # ebayes/power: cached cents frame (one orders/customer/nation scan
+    # each) -> exact-median rank window -> 25-row rates; the 1-row
+    # median/prior attaches are the blessed broadcast-scalar BNLJ
+    "beta_posterior_rates": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    "eb_shrunk_rates": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    "ab_sample_size_plan": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    "mde_at_current_n": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 3,
+    },
+    # editdist: cached 64-doc md5 sample; the 2016-pair frame is the
+    # broadcast candidates-only verify shape (the BNLJ IS the bounded
+    # pair join, never corpus-wide)
+    "editdist_near_pairs": {
+        "must": ["InMemoryTableScan", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1, "max_window_execs": 1,
+    },
+    "editdist_histogram": {
+        "must": ["partial_", "InMemoryTableScan",
+                 "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
 }
 
 
