@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
 
-#: (nation, n, k): orders per nation + count above the global median
+#: (nation, n, k): orders per nation + count above the global median.
+#: The EXACT global median comes from histogram refinement, not a
+#: global-order rank window (which sorts the whole fact into ONE
+#: partition — the classic scale killer; measured 3x at 10x data):
+#: $1000-bucket counts aggregate fully parallel, the cumulative pass
+#: runs over the tiny bucket frame, and only the median bucket's rows
+#: (~n/buckets) are ever rank-sorted. Identical element to the global
+#: (v, o_orderkey) order because bucket boundaries respect v order.
 _RATE_SQL = """
     cents AS (
         SELECT o.o_orderkey,
@@ -43,12 +50,26 @@ _RATE_SQL = """
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
     ),
+    bcum AS (
+        SELECT bkt, c, sum(c) OVER (ORDER BY bkt) AS cum
+        FROM (SELECT v // 100000 AS bkt, count(*) AS c
+              FROM cents GROUP BY 1)
+    ),
+    want AS (
+        SELECT CAST(ceil(0.5 * sum(c)) AS BIGINT) AS w FROM bcum
+    ),
+    target AS (
+        SELECT bkt, cum - c AS before_cnt FROM bcum, want
+        WHERE cum >= want.w AND cum - c < want.w
+    ),
     med AS (
         SELECT v AS thresh FROM (
-            SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
-                   count(*) OVER () AS n
-            FROM cents
-        ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+            SELECT c2.v,
+                   row_number() OVER (ORDER BY c2.v, c2.o_orderkey) AS rn,
+                   want.w - t.before_cnt AS need
+            FROM cents c2, target t, want
+            WHERE c2.v // 100000 = t.bkt
+        ) WHERE rn = need
     ),
     rates AS (
         SELECT nation, count(*) AS n,
@@ -68,11 +89,26 @@ def _rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("v"),
                      F.col("n_name").alias("nation"))
              .cache())
+    # exact global median via histogram refinement (see _RATE_SQL note):
+    # parallel bucket counts -> tiny cumulative frame -> rank ONLY the
+    # median bucket's rows, never a whole-fact single-partition sort
+    bcnt = (cents.groupBy((F.col("v") / 100000).cast("long").alias("bkt"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    wcum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bcnt.withColumn("cum", F.sum("c").over(wcum))
+    want = bcum.agg(F.ceil(0.5 * F.sum("c")).cast("long").alias("w"))
+    target = (bcum.crossJoin(F.broadcast(want))
+              .filter((F.col("cum") >= F.col("w"))
+                      & (F.col("cum") - F.col("c") < F.col("w")))
+              .select("bkt", (F.col("cum") - F.col("c"))
+                      .alias("before_cnt"), "w"))
+    in_bucket = (cents.join(
+        F.broadcast(target),
+        (F.col("v") / 100000).cast("long") == F.col("bkt")))
     wr = Window.orderBy("v", "o_orderkey")
-    wt = Window.partitionBy()
-    med = (cents.select("v", F.row_number().over(wr).alias("rn"),
-                        F.count(F.lit(1)).over(wt).alias("n"))
-           .filter(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"))
+    med = (in_bucket
+           .withColumn("rn", F.row_number().over(wr))
+           .filter(F.col("rn") == F.col("w") - F.col("before_cnt"))
            .select(F.col("v").alias("thresh")))
     return (cents.crossJoin(F.broadcast(med))
             .groupBy("nation")
