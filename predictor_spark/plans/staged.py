@@ -107,6 +107,10 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r18_ebayes", 2, "eb_shrunk_rates"),
     ("catalog_r18_power", 2, "ab_sample_size_plan"),
     ("catalog_r18_editdist", 2, "editdist_near_pairs"),
+    ("catalog_r19_graphqual", 2, "modularity_regions"),
+    ("catalog_r19_chainorder", 2, "markov_order_lr_test"),
+    ("catalog_r19_smoothing", 2, "good_turing_counts"),
+    ("catalog_r19_bradleyterry", 2, "bt_strengths"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -143,6 +147,11 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r18_ebayes",
     "catalog_r18_power",
     "catalog_r18_editdist",
+    # --- r19 families (built in round 9, fifth batch) ---
+    "catalog_r19_graphqual",
+    "catalog_r19_chainorder",
+    "catalog_r19_smoothing",
+    "catalog_r19_bradleyterry",
 )
 
 

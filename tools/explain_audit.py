@@ -1961,6 +1961,58 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1,
     },
+    # --- r19 families (round 9, fifth batch) ---
+    # graphqual: ONE pass through the 6-table fact join builds the
+    # cached ≤625-edge frame (large-large legs co-keyed — SMJ there is
+    # the correct plan); partition math reduces the edge list
+    "modularity_regions": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 6,
+    },
+    "degree_assortativity": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 6,
+    },
+    # chainorder: cached transition counts (one events scan) + tiny
+    # margin joins; the halves drift full-outer-joins two 25-row frames
+    # (SMJ is irrelevant at that size and unavoidable for full outer)
+    "markov_order_lr_test": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "chain_halves_drift": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 2,
+    },
+    # smoothing: one corpus scan -> cached count-of-counts; the offset
+    # lookup is a self-join on the tiny N_r frame
+    "good_turing_counts": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 1,
+    },
+    "unseen_mass_estimate": {
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
+        "max_scans": 1,
+    },
+    # bradleyterry: MM iterations run on COLLECTED 5-row state (the
+    # kmeans bounded-collect idiom), so the final plan is one events
+    # scan + constant-size joins
+    "bt_strengths": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
+    "bt_win_matrix": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 1,
+    },
 }
 
 
