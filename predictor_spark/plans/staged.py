@@ -111,6 +111,7 @@ FLIP_ORDER: tuple[tuple[str, int, str], ...] = (
     ("catalog_r19_chainorder", 2, "markov_order_lr_test"),
     ("catalog_r19_smoothing", 2, "good_turing_counts"),
     ("catalog_r19_bradleyterry", 2, "bt_strengths"),
+    ("catalog_r19_texteval", 2, "bleu_doc_pairs"),
 )
 
 STAGED_MODULES: tuple[str, ...] = (
@@ -152,6 +153,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "catalog_r19_chainorder",
     "catalog_r19_smoothing",
     "catalog_r19_bradleyterry",
+    "catalog_r19_texteval",
 )
 
 

@@ -244,3 +244,57 @@ class TestBradleyTerry:
                         p[i] / (p[i] + p[j]), abs=1e-5)
                     assert row["empirical_p_win"] == pytest.approx(
                         wins[(i, j)] / n, abs=1e-6)
+
+
+class TestTextEval:
+    def test_bleu_rouge_vs_counter(self, spark):
+        """Counter-based BLEU-2 / ROUGE-1/2 over the same md5-adjacent
+        pairing."""
+        import hashlib
+        from collections import Counter
+
+        from predictor_spark.plans.catalog_r19_texteval import (
+            _M, bleu_doc_pairs, rouge_doc_pairs)
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        md5 = docs["doc_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        sample = docs.loc[md5.sort_values().index[:_M]]
+        texts = sample["text"].to_numpy()
+        ids = sample["doc_id"].to_numpy()
+
+        def grams(text, n):
+            toks = [w for w in text.strip().split() if w]
+            if n == 1:
+                return Counter(toks)
+            return Counter(" ".join(toks[i:i + n])
+                           for i in range(len(toks) - n + 1))
+
+        got_r = (rouge_doc_pairs(spark, SF_DIR).toPandas()
+                 .set_index("doc_ref"))
+        got_b = (bleu_doc_pairs(spark, SF_DIR).toPandas()
+                 .set_index("doc_ref"))
+        assert len(got_r) == _M // 2 and len(got_b) == _M // 2
+        for k in range(0, _M, 2):
+            ref, cand = texts[k], texts[k + 1]
+            rid = ids[k]
+            fs = {}
+            ps = {}
+            for n in (1, 2):
+                cr, cc = grams(ref, n), grams(cand, n)
+                clip = sum(min(cr[g], cc[g]) for g in cr)
+                fs[n] = 2 * clip / (sum(cr.values()) + sum(cc.values()))
+                ps[n] = (clip, sum(cc.values()))
+            rr = got_r.loc[rid]
+            assert rr["rouge1_f1"] == pytest.approx(fs[1], abs=1e-6)
+            assert rr["rouge2_f1"] == pytest.approx(fs[2], abs=1e-6)
+            rb = got_b.loc[rid]
+            c1, t1 = ps[1]
+            c2, t2 = ps[2]
+            len_ref = sum(grams(ref, 1).values())
+            bp = min(1.0, math.exp(1 - len_ref / t1))
+            bleu = (bp * math.sqrt((c1 / t1) * (c2 / t2))
+                    if c1 > 0 and c2 > 0 else 0.0)
+            assert rb["p1"] == pytest.approx(c1 / t1, abs=1e-6)
+            assert rb["p2"] == pytest.approx(c2 / t2, abs=1e-6)
+            assert rb["bleu2"] == pytest.approx(bleu, abs=1e-6)

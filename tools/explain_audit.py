@@ -2013,6 +2013,20 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_scans": 1,
     },
+    # texteval: one corpus scan -> cached 64-doc sample -> rank-adjacent
+    # pairs; overlaps are grouped min-sums on (pair, gram)
+    "rouge_doc_pairs": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
+    "bleu_doc_pairs": {
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+        "max_scans": 1,
+    },
 }
 
 
