@@ -12,7 +12,10 @@ trade graph (edge weight = order-line count, an exact integer):
                          (kout_R·kin_R/m²) — Q = Σ contributions; Q>0
                          means intra-region trade beats the random
                          null
-- degree_assortativity   Newman (2002) degree assortativity: the
+- trade_assortativity    Newman (2002) degree assortativity of
+                         the TRADE graph (the r7 linkanalysis
+                         family already measures the user
+                         co-event graph's unweighted form): the
                          edge-weighted Pearson correlation between the
                          src nation's out-strength and the dst
                          nation's in-strength across edges — do
@@ -140,7 +143,7 @@ def modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "degree_assortativity",
+    "trade_assortativity",
     oracle=f"""
     WITH {_EDGE_SQL},
     strength AS (
@@ -177,7 +180,7 @@ def modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mom
     """,
 )
-def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted degree assortativity of the trade graph: the
     edge-weight-weighted Pearson correlation between the source's
     out-strength and the destination's in-strength. Negative =

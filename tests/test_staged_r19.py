@@ -69,7 +69,7 @@ class TestGraphQual:
 
     def test_assortativity(self, spark, trade_edges):
         from predictor_spark.plans.catalog_r19_graphqual import (
-            degree_assortativity)
+            trade_assortativity)
 
         e = trade_edges
         kout = e.groupby("src")["w"].sum()
@@ -82,7 +82,7 @@ class TestGraphQual:
         vx = (w * x * x).sum() * sw - (w * x).sum() ** 2
         vy = (w * y * y).sum() * sw - (w * y).sum() ** 2
         r = cov / math.sqrt(vx * vy)
-        row = degree_assortativity(spark, SF_DIR).toPandas().iloc[0]
+        row = trade_assortativity(spark, SF_DIR).toPandas().iloc[0]
         assert row["n_edges"] == len(e)
         assert row["total_weight"] == int(sw)
         assert row["assortativity"] == pytest.approx(r, abs=1e-5)

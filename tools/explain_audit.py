@@ -1970,7 +1970,7 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct"],
         "max_scans": 6,
     },
-    "degree_assortativity": {
+    "trade_assortativity": {
         "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
         "not": ["CartesianProduct"],
         "max_scans": 6,
