@@ -99,10 +99,22 @@ def _load_catalog():
                 "catalog_r13_grangerccf",
                 "catalog_r13_archtest",
     ):
+        n_before = len(catalog.QUERIES)
+        snap = dict(catalog.QUERIES)
         try:
             __import__(f"predictor_spark.plans.{mod}")
         except ImportError:
-            pass
+            continue
+        # shadow guard (shared with plans.staged.load_staged): a module
+        # that reuses an earlier registration's name silently overwrites
+        # it (the r19/r7 'degree_assortativity' collision). Lives HERE
+        # and in the staged loader, not in @query — catalog.py is in
+        # every module's closure hash, and editing it would mark every
+        # driver grade stale.
+        if len(catalog.QUERIES) != n_before:
+            from predictor_spark.plans.staged import assert_no_shadow
+
+            assert_no_shadow(snap, catalog.QUERIES)
     return catalog
 
 

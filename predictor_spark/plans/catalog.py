@@ -33,13 +33,6 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        if name in QUERIES:
-            # a silent overwrite once shadowed a REGISTERED row with a
-            # same-named staged one (r19 'degree_assortativity' vs the
-            # r7 linkanalysis row) and only an unrelated test caught it
-            raise ValueError(
-                f"duplicate query registration: {name!r} already "
-                f"defined in {QUERIES[name].__module__}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -180,11 +180,36 @@ def load_staged() -> list[str]:
     IDEMPOTENT: names are derived from each query function's defining
     module, not an import-time before/after diff — a second call (or a
     call after another harness already imported the modules) returns
-    the same full list."""
+    the same full list.
+
+    SHADOW GUARD: a staged module that reuses a REGISTERED query's name
+    silently overwrites it in catalog.QUERIES (the r19
+    'degree_assortativity' collision with the r7 linkanalysis row —
+    only an unrelated test caught the shadowing). Importing here fails
+    loudly if any pre-existing registration's function object changed.
+    The check lives in this loader (and __spark_entry__._load_catalog),
+    NOT in the @query decorator: catalog.py sits in every registered
+    module's closure hash, so editing it would mark all 381 driver
+    grades stale."""
     import predictor_spark.plans.catalog as catalog
 
+    before = dict(catalog.QUERIES)
     for mod in STAGED_MODULES:
         __import__(f"predictor_spark.plans.{mod}")
+    assert_no_shadow(before, catalog.QUERIES)
     staged_mods = {f"predictor_spark.plans.{m}" for m in STAGED_MODULES}
     return sorted(n for n, fn in catalog.QUERIES.items()
                   if fn.__module__ in staged_mods)
+
+
+def assert_no_shadow(before: dict, current: dict) -> None:
+    """Raise if any pre-existing registration's function object changed —
+    the shadow guard shared by load_staged and
+    __spark_entry__._load_catalog (unit-tested directly, since module
+    import caching makes the end-to-end path fire only on a genuinely
+    broken tree)."""
+    for name, fn in before.items():
+        if current.get(name) is not fn:
+            raise ValueError(
+                f"duplicate registration shadowed query {name!r} "
+                f"(now defined in {current[name].__module__})")

@@ -128,3 +128,26 @@ def test_every_catalog_module_imports_cleanly():
     assert len(names) >= 25
     for mod in names:
         importlib.import_module(f"predictor_spark.plans.{mod}")
+
+
+def test_shadow_guard_detects_duplicate_registration():
+    """assert_no_shadow (shared by load_staged and _load_catalog) must
+    fire when a later module overwrites an earlier registration's name
+    — the r19/r7 'degree_assortativity' collision class — and stay
+    silent on pure additions."""
+    import pytest
+
+    from predictor_spark.plans.staged import assert_no_shadow
+
+    def f1(spark, sf):  # pragma: no cover - identity only
+        pass
+
+    def f2(spark, sf):  # pragma: no cover - identity only
+        pass
+
+    before = {"a": f1}
+    # pure addition: fine
+    assert_no_shadow(before, {"a": f1, "b": f2})
+    # same-name overwrite: loud failure naming the shadowing module
+    with pytest.raises(ValueError, match="shadowed query 'a'"):
+        assert_no_shadow(before, {"a": f2, "b": f2})

@@ -54,8 +54,11 @@ def plan(budget: int):
 def apply(chosen) -> None:
     mods = [m for m, _, _ in chosen]
     entry = open(ENTRY).read()
+    # the tuple close is followed by the shadow-guard prologue lines
+    # before the try: — match any number of simple statements between
     m = re.search(
-        r'(for mod in \((?:[^()]|\([^()]*\))*?)(\):\n\s+try:)', entry)
+        r'(for mod in \((?:[^()]|\([^()]*\))*?)'
+        r'(\):\n(?:[ \t]+\w[^\n]*\n)*?[ \t]+try:)', entry)
     if not m:
         raise SystemExit("could not locate the _load_catalog tuple")
     inject = "".join(f'                "{name}",\n' for name in mods)
