@@ -98,8 +98,31 @@ def _load_catalog():
                 "catalog_r13_regdiag",
                 "catalog_r13_grangerccf",
                 "catalog_r13_archtest",
+                "catalog_r14_partialcorr",
+                "catalog_r14_pagehinkley",
+                "catalog_r14_reliability",
+                "catalog_r14_blockranks",
+                "catalog_r15_hjorth",
+                "catalog_r15_complexity",
+                "catalog_r15_spatial",
+                "catalog_r15_clusterval",
+                "catalog_r15_seqinfo",
+                "catalog_r16_perfratios",
+                "catalog_r16_spectral",
+                "catalog_r16_inequality",
+                "catalog_r16_sax",
+                "catalog_r16_hopkins",
+                "catalog_r17_riskmore",
+                "catalog_r17_structbreak",
+                "catalog_r17_wavelet",
+                "catalog_r17_stump",
+                "catalog_r18_multipletest",
+                "catalog_r18_resample",
+                "catalog_r18_ebayes",
+                "catalog_r18_power",
+                "catalog_r18_editdist",
+                "catalog_r19_graphqual",
     ):
-        n_before = len(catalog.QUERIES)
         snap = dict(catalog.QUERIES)
         try:
             __import__(f"predictor_spark.plans.{mod}")
@@ -110,11 +133,14 @@ def _load_catalog():
         # it (the r19/r7 'degree_assortativity' collision). Lives HERE
         # and in the staged loader, not in @query — catalog.py is in
         # every module's closure hash, and editing it would mark every
-        # driver grade stale.
-        if len(catalog.QUERIES) != n_before:
-            from predictor_spark.plans.staged import assert_no_shadow
+        # driver grade stale.  Runs UNCONDITIONALLY (ADVICE r9): a module
+        # whose registrations ALL collide leaves len(QUERIES) unchanged —
+        # exactly the silent-overwrite case — so gating on a length
+        # change skipped the guard when it mattered most.  On a cached
+        # re-import the dict is untouched and the check is a no-op scan.
+        from predictor_spark.plans.staged import assert_no_shadow
 
-            assert_no_shadow(snap, catalog.QUERIES)
+        assert_no_shadow(snap, catalog.QUERIES)
     return catalog
 
 
@@ -230,26 +256,15 @@ def _driver_grades() -> dict[str, dict]:
 #: history — for rows whose driver evidence must refresh THIS round:
 #: either the recorded grade was vacuous/degenerate, or the row's
 #: semantics changed after its last grade.  Remove once re-graded.
-#: (drawdown_duration: re-graded green in r08, removed.)
-#: Current: the 8 rows VERDICT r8 flagged as stale-hash, pinned so the
-#: r9 module-closure churn can't crowd them out of the window, plus the
-#: 4 rows the r9 degeneracy gate re-parameterized (per-day keys / added
-#: varying columns — semantic changes needing fresh grades).
+#: (drawdown_duration: re-graded green in r08, removed.  The 8 r8
+#: stale-hash rows and the 4 r9 degeneracy re-parameterizations: all
+#: re-graded green in r09, removed.)
+#: Current: squared_return_acf was the 51st candidate for r9's 50-slot
+#: window (VERDICT r9 "what's wrong" #1) — the only registered row with
+#: no driver grade; pinned at the window head so this round's ~48
+#: staged flips cannot crowd it out again.
 _FORCE_WINDOW: tuple[str, ...] = (
-    # VERDICT r8 "what's wrong" #1 — stale grades to refresh
-    "flesch_reading_ease",
-    "type_token_ratio",
-    "trigram_hapax_share",
-    "pmi_collocations",
-    "sharpe_sortino_by_type",
-    "var_historical_95",
-    "capm_beta_by_type",
-    "pq_adc_topk",
-    # r9 degeneracy-gate re-parameterizations
-    "skewed_distinct_users",
-    "hll_distinct_users",
-    "ewma_control_chart",
-    "data_quality_report",
+    "squared_return_acf",
 )
 
 

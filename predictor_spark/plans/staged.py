@@ -121,35 +121,11 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r12 families (built in round 8; flip AFTER the r11 families) ---
     # --- r13 families (built in round 8, second batch) ---
     # --- r14 families (built in round 8, third batch) ---
-    "catalog_r14_partialcorr",
-    "catalog_r14_pagehinkley",
-    "catalog_r14_reliability",
-    "catalog_r14_blockranks",
     # --- r15 families (built in round 9) ---
-    "catalog_r15_hjorth",
-    "catalog_r15_complexity",
-    "catalog_r15_spatial",
-    "catalog_r15_clusterval",
-    "catalog_r15_seqinfo",
     # --- r16 families (built in round 9, second batch) ---
-    "catalog_r16_perfratios",
-    "catalog_r16_spectral",
-    "catalog_r16_inequality",
-    "catalog_r16_sax",
-    "catalog_r16_hopkins",
     # --- r17 families (built in round 9, third batch) ---
-    "catalog_r17_riskmore",
-    "catalog_r17_structbreak",
-    "catalog_r17_wavelet",
-    "catalog_r17_stump",
     # --- r18 families (built in round 9, fourth batch) ---
-    "catalog_r18_multipletest",
-    "catalog_r18_resample",
-    "catalog_r18_ebayes",
-    "catalog_r18_power",
-    "catalog_r18_editdist",
     # --- r19 families (built in round 9, fifth batch) ---
-    "catalog_r19_graphqual",
     "catalog_r19_chainorder",
     "catalog_r19_smoothing",
     "catalog_r19_bradleyterry",
@@ -193,10 +169,15 @@ def load_staged() -> list[str]:
     grades stale."""
     import predictor_spark.plans.catalog as catalog
 
-    before = dict(catalog.QUERIES)
+    # per-module snapshot (ADVICE r9): one snapshot taken before the whole
+    # loop misses a collision BETWEEN two staged modules in the same batch
+    # (an r18 and an r19 file both registering 'foo') — the second import
+    # overwrites the first and the end-of-loop check compares only against
+    # the pre-loop state.  Mirror __spark_entry__._load_catalog instead.
     for mod in STAGED_MODULES:
+        snap = dict(catalog.QUERIES)
         __import__(f"predictor_spark.plans.{mod}")
-    assert_no_shadow(before, catalog.QUERIES)
+        assert_no_shadow(snap, catalog.QUERIES)
     staged_mods = {f"predictor_spark.plans.{m}" for m in STAGED_MODULES}
     return sorted(n for n, fn in catalog.QUERIES.items()
                   if fn.__module__ in staged_mods)

@@ -85,7 +85,7 @@ def view_purchase_attribution(
     sf_dir: str,
     horizon_hours: int = 2,
     watermark: str = "48 hours",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Inner stream-stream join: every (view, purchase) pair of the same
     user with the purchase inside (view.ts, view.ts + horizon].
@@ -103,11 +103,17 @@ def view_purchase_attribution(
     volume (|users inside the watermark|) — stream-stream state
     partitioning is captured at query START and a too-wide width pays
     per-batch state-store task overhead 2.5x (10.9 s -> 4.5 s at 8 on
-    the sf0.1 bench).  The whole query is planned on a CLONED session
-    (spark.newSession(): own SQLConf, shared SparkContext), so the
-    caller's batch spark.sql.shuffle.partitions is never touched and
-    concurrent planning in other threads cannot capture the reduced
-    width (ADVICE r5).
+    the sf0.1 bench), while a too-NARROW one serializes the per-batch
+    join at larger inputs (VERDICT r9 #4: the fixed 8 cost 3.94x wall
+    at 10x data).  Default None auto-sizes from the event count — one
+    state partition per ~50k events, clamped to [8, 32] — so sf0.1
+    keeps its tuned 8 and sf1 gets 20-way state parallelism; on a real
+    cluster the same rule tracks executor cores.  The whole query is
+    planned on a CLONED session (spark.newSession(): own SQLConf,
+    shared SparkContext), so the caller's batch
+    spark.sql.shuffle.partitions is never touched and concurrent
+    planning in other threads cannot capture the reduced width
+    (ADVICE r5).
     """
     from predictor_spark.sources.tables import canonical_ts
 
@@ -116,11 +122,15 @@ def view_purchase_attribution(
     d = _chronological_chunks(spark, sf_dir)
 
     ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover
         pass
+    if state_partitions is None:
+        # metadata-only count (parquet footers, no data scan)
+        n_events = ss.read.parquet(d).count()
+        state_partitions = min(32, max(8, n_events // 50_000))
+    ss.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     schema = ss.read.parquet(f"{d}/chunk_0.parquet").schema
 
     def side(kind: str, prefix: str) -> DataFrame:

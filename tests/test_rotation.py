@@ -130,6 +130,36 @@ def test_every_catalog_module_imports_cleanly():
         importlib.import_module(f"predictor_spark.plans.{mod}")
 
 
+def test_no_registered_row_is_both_ungraded_and_unqueued():
+    """VERDICT r9 #8 (the squared_return_acf class of gap): on the LIVE
+    registry, every query must be either already driver-graded (present
+    in tools/driver_grades.json) or inside the head of the current
+    ordering — the ~50-slot grading window the driver will actually
+    sweep next round.  A row failing both is registered yet invisible:
+    never graded, and positioned where the driver never looks."""
+    WINDOW = 50  # the driver's observed per-round grading budget
+    from predictor_spark.plans.staged import STAGED_MODULES
+
+    cat = entry._load_catalog()
+    # catalog.QUERIES is a shared registry: another test in the session
+    # may have run load_staged(), adding staged rows the DRIVER never
+    # sees (it imports only _load_catalog's tuple) — scope to the
+    # driver's view or the window arithmetic is off by |staged|
+    staged_mods = {f"predictor_spark.plans.{m}" for m in STAGED_MODULES}
+    queries = {n: fn for n, fn in cat.QUERIES.items()
+               if fn.__module__ not in staged_mods}
+    oracle = {n: s for n, s in cat.ORACLE.items() if n in queries}
+    ordered = entry._ordered(queries, oracle)
+    graded = set(entry._driver_grades())
+    head = set(ordered[:WINDOW])
+    orphans = [n for n in ordered if n not in graded and n not in head]
+    assert not orphans, (
+        f"{len(orphans)} registered rows are ungraded AND outside the "
+        f"{WINDOW}-slot window head: {orphans[:10]} — either pin them in "
+        "_FORCE_WINDOW, stage fewer flips, or wait a round before "
+        "registering more")
+
+
 def test_shadow_guard_detects_duplicate_registration():
     """assert_no_shadow (shared by load_staged and _load_catalog) must
     fire when a later module overwrites an earlier registration's name

