@@ -181,3 +181,54 @@ def test_shadow_guard_detects_duplicate_registration():
     # same-name overwrite: loud failure naming the shadowing module
     with pytest.raises(ValueError, match="shadowed query 'a'"):
         assert_no_shadow(before, {"a": f2, "b": f2})
+
+
+def test_rotation_priority_law_property(monkeypatch):
+    """Property form of the priority law: for ANY mix of graded /
+    stale-hash / oracle-less / force-pinned queries, _ordered must (a)
+    be a permutation of the registry, (b) respect the rank order
+    -1 < 0 < 1 < 2 < 3 < 4/5, and (c) keep registration order inside
+    each rank class (stability)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(
+        st.tuples(st.booleans(),   # has oracle
+                  st.sampled_from(["never", "stale", "ok"])),  # grade state
+        min_size=1, max_size=24),
+        st.data())
+    def check(specs, data):
+        queries = {f"q{i}": _fake_fn(f"q{i}") for i in range(len(specs))}
+        oracle = {f"q{i}": f"SELECT {i}" for i, (has_o, _) in
+                  enumerate(specs) if has_o}
+        grades = _grades_for(
+            queries, oracle,
+            [f"q{i}" for i, (_, g) in enumerate(specs) if g != "never"],
+            stale={f"q{i}" for i, (_, g) in enumerate(specs)
+                   if g == "stale"})
+        forced = tuple(data.draw(st.sets(
+            st.sampled_from(sorted(queries)), max_size=3)))
+        monkeypatch.setattr(entry, "_driver_grades", lambda: grades)
+        monkeypatch.setattr(entry, "_FORCE_WINDOW", forced)
+
+        got = entry._ordered(queries, oracle)
+        assert sorted(got) == sorted(queries)          # permutation
+
+        def rank(n):
+            if n in forced:
+                return -1
+            i = int(n[1:])
+            has_o, g = specs[i]
+            if g == "never":
+                return 0 if has_o else 2
+            if g == "stale":
+                return 1 if has_o else 3
+            return 4 if has_o else 5
+
+        ranks = [rank(n) for n in got]
+        assert ranks == sorted(ranks), (got, ranks)    # rank order
+        for r in set(ranks):                           # stability
+            cls = [int(n[1:]) for n, k in zip(got, ranks) if k == r]
+            assert cls == sorted(cls), (r, got)
+
+    check()

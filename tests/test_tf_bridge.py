@@ -688,3 +688,60 @@ def test_keras_archive_rejects_tampered_store(tmp_path):
         zf.writestr("config.json", json.dumps({}))
     with pytest.raises(ValueError, match="missing members"):
         load_keras_archive(partial)
+
+
+def test_keras_archive_property_random_architectures(tmp_path):
+    """Property form of the archive round-trip: random core, layer
+    sizes, and horizon sets — the manifest/archive contract must hold
+    for ANY architecture a search loop can emit, not just the fixture
+    shapes."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from predictor_spark.models import (composite, lstm, mimo, mlp, nbeats,
+                                        tcn, tft, transformer)
+    from predictor_spark.models.tf_bridge import (keras_weight_manifest,
+                                                  load_keras_archive,
+                                                  save_keras_archive)
+
+    cores = {
+        "mlp": lambda rng, T, hs, a, b: mlp.init_params(
+            rng, T, hs, layers=a, units=2 + b),
+        "tcn": lambda rng, T, hs, a, b: tcn.init_params(
+            rng, T, hs, layers=a, channels=2 + b, kernel=2),
+        "lstm": lambda rng, T, hs, a, b: lstm.init_params(
+            rng, T, hs, d_model=4 + 2 * (b % 2), n_heads=2, units=2 + b),
+        "transformer": lambda rng, T, hs, a, b: transformer.init_params(
+            rng, T, hs, d_model=4, n_heads=2, d_ff=3 + b),
+        "nbeats": lambda rng, T, hs, a, b: nbeats.init_params(
+            rng, T, hs, blocks=a, layers=a, units=2 + b),
+        "mimo": lambda rng, T, hs, a, b: mimo.init_params(
+            rng, T, hs, d_model=3 + b, conv_taps=2, d_ff=4),
+        "tft": lambda rng, T, hs, a, b: tft.init_params(
+            rng, T, hs, d_model=3 + b, conv_taps=2),
+        "composite": lambda rng, T, hs, a, b: composite.init_params(
+            rng, T, hs, branch_units=2 + b, merged_units=3 + b),
+    }
+
+    @settings(max_examples=24, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(core=st.sampled_from(sorted(cores)),
+           T=st.integers(4, 12),
+           hs=st.lists(st.integers(1, 8), min_size=1, max_size=3,
+                       unique=True).map(tuple),
+           a=st.integers(1, 3), b=st.integers(0, 3),
+           seed=st.integers(0, 2**16))
+    def check(core, T, hs, a, b, seed):
+        params = cores[core](np.random.default_rng(seed), T, hs, a, b)
+        path = str(tmp_path / f"prop_{core}.keras")
+        save_keras_archive(core, params, hs, path)
+        got_core, got_params, got_hs, manifest = load_keras_archive(path)
+        assert (got_core, got_hs) == (core, hs)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(params[k]),
+                                          got_params[k])
+        want = keras_weight_manifest(core, params, hs)
+        assert [m["layer"] for m in manifest] == [n for n, _ in want]
+        assert [m["shapes"] for m in manifest] == [
+            [list(w.shape) for w in ws] for _, ws in want]
+
+    check()
