@@ -1,10 +1,26 @@
 """STL-style seasonal-trend decomposition per series (SURVEY §2.3 W7/W8).
 
 The reference wraps statsmodels STL (target_plugins/stl_target.py:37-98).
-statsmodels is not in this image, so the engine ships a NumPy classical
-additive decomposition with the same output contract (trend/seasonal/
-resid + recomposition identity trend+seasonal+resid == value), gated so a
-real statsmodels STL drops in when available.
+statsmodels is not in this image, so the engine ships TWO in-house
+paths with the same output contract (trend/seasonal/resid + the
+recomposition identity trend+seasonal+resid == value):
+
+- ``method="classical"`` (default when statsmodels is absent): centered
+  moving-average trend + phase-mean seasonal.  The driver-graded
+  ``stl_per_series`` row replays THIS path in its SQL oracle, so its
+  contract is frozen.
+- ``method="loess"``: a faithful dependency-free implementation of the
+  actual STL algorithm (Cleveland, Cleveland, McRae & Terpenning 1990,
+  "STL: A Seasonal-Trend Decomposition Procedure Based on Loess",
+  J. Official Statistics 6(1)): the inner loop's cycle-subseries loess
+  + low-pass (MA(p)·MA(p)·MA(3)·loess) + trend loess, and the outer
+  bisquare robustness loop — the same recurrence statsmodels' STL
+  implements, with its default spans (seasonal=7, trend = smallest odd
+  >= 1.5p/(1-1.5/n_s), low-pass = smallest odd > p, all degree 1,
+  inner=2/outer=0, robust: inner=1/outer=15).  This upgrades the
+  engine's STL surface from parity-by-contract (classical stand-in) to
+  the published algorithm itself; where statsmodels IS installed, the
+  env-gated test pins the two against each other.
 
 Execution: applyInPandas per series — same topology as spectral.py (series
 = parallelism unit, one shuffle on the series key). A windows-only variant
@@ -47,6 +63,100 @@ def _classical_decompose(vals: np.ndarray, period: int) -> tuple[np.ndarray, np.
     return trend, seasonal, resid
 
 
+def _loess(y: np.ndarray, q: int, deg: int = 1,
+           rho: np.ndarray | None = None,
+           xeval: np.ndarray | None = None) -> np.ndarray:
+    """Loess smoothing of y (observed at positions 0..m-1) evaluated at
+    xeval (default: the observation positions): at each x, weighted
+    least squares of degree ``deg`` over the q nearest points with
+    tricube neighborhood weights, times the robustness weights ``rho``
+    when given.  For q > m the neighborhood radius is inflated by q/m
+    (Cleveland et al. 1990 §2, the lambda_q(x) rule)."""
+    m = len(y)
+    x = np.arange(m, dtype=np.float64)
+    if xeval is None:
+        xeval = x
+    q_eff = min(q, m)
+    out = np.empty(len(xeval))
+    for k, xv in enumerate(xeval):
+        d = np.abs(x - xv)
+        if q_eff < m:
+            idx = np.argpartition(d, q_eff - 1)[:q_eff]
+        else:
+            idx = np.arange(m)
+        dmax = d[idx].max()
+        if q > m:
+            dmax *= q / m
+        u = d[idx] / max(dmax, 1e-12)
+        w = np.clip(1.0 - u ** 3, 0.0, None) ** 3  # tricube
+        if rho is not None:
+            w = w * rho[idx]
+        sw = w.sum()
+        if sw <= 0.0:
+            out[k] = y[idx].mean()
+            continue
+        if deg == 0:
+            out[k] = (w * y[idx]).sum() / sw
+            continue
+        xi = x[idx] - xv  # evaluate at xi = 0
+        swx = (w * xi).sum()
+        swx2 = (w * xi * xi).sum()
+        swy = (w * y[idx]).sum()
+        swxy = (w * xi * y[idx]).sum()
+        denom = sw * swx2 - swx * swx
+        if abs(denom) < 1e-12 * max(sw * swx2, 1.0):
+            out[k] = swy / sw  # collinear neighborhood: fall back to mean
+        else:
+            b = (sw * swxy - swx * swy) / denom
+            out[k] = (swy - b * swx) / sw
+    return out
+
+
+def _stl_loess(vals: np.ndarray, period: int, seasonal: int = 7,
+               robust: bool = False) -> tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """The actual STL recurrence (Cleveland et al. 1990 §2-3; the same
+    parameter defaults statsmodels.tsa.seasonal.STL uses).  Returns
+    (trend, seasonal, resid) with vals == trend + seasonal + resid
+    exactly (resid is computed as the remainder)."""
+    n = len(vals)
+    p = int(period)
+    n_s = seasonal if seasonal % 2 == 1 else seasonal + 1
+    n_l = p + 1 if p % 2 == 0 else p + 2          # smallest odd > p
+    n_t = int(np.ceil(1.5 * p / (1.0 - 1.5 / n_s)))
+    n_t = n_t if n_t % 2 == 1 else n_t + 1        # smallest odd >= bound
+    inner, outer = (1, 15) if robust else (2, 0)
+
+    rho = np.ones(n)
+    T = np.zeros(n)
+    S = np.zeros(n)
+    for outer_it in range(outer + 1):
+        for _ in range(inner):
+            D = vals - T                                   # 1. detrend
+            C = np.empty(n + 2 * p)                        # 2. subseries
+            for ph in range(p):
+                sub_idx = np.arange(ph, n, p)
+                m = len(sub_idx)
+                ev = np.arange(-1, m + 1, dtype=np.float64)
+                sm = _loess(D[sub_idx], n_s, 1, rho=rho[sub_idx], xeval=ev)
+                C[ph + p + np.arange(-1, m + 1) * p] = sm
+            ma = np.convolve(C, np.ones(p) / p, "valid")   # 3. low-pass
+            ma = np.convolve(ma, np.ones(p) / p, "valid")
+            ma = np.convolve(ma, np.ones(3) / 3, "valid")  # -> length n
+            L = _loess(ma, n_l, 1)
+            S = C[p:n + p] - L                             # 4. seasonal
+            T = _loess(vals - S, n_t, 1, rho=rho)          # 5-6. trend
+        R = vals - T - S
+        if outer_it < outer:                               # bisquare rho
+            h = 6.0 * np.median(np.abs(R))
+            if h <= 0.0:
+                rho = np.ones(n)
+            else:
+                u = np.clip(np.abs(R) / h, 0.0, 1.0)
+                rho = (1.0 - u * u) ** 2
+    return T, S, vals - T - S
+
+
 def stl_decompose(
     df: DataFrame,
     value_col: str = "value",
@@ -54,14 +164,23 @@ def stl_decompose(
     series_col: str = "user_id",
     period: int = 24,
     robust: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
     """W7 — per-series decomposition into trend/seasonal/resid columns.
 
-    Uses statsmodels STL when installed (reference parity:
-    stl_target.py:61 STL(series, period=..., robust=...)), else the
-    classical fallback. Either way the output satisfies the W8
-    recomposition identity value == trend + seasonal + resid.
+    ``method``: "auto" (statsmodels STL when installed — reference
+    parity, stl_target.py:61 STL(series, period=..., robust=...) —
+    else the classical fallback, which the driver-graded row's SQL
+    oracle replays), "classical", "loess" (the in-house Cleveland-1990
+    STL, _stl_loess — real loess seasonal/trend smoothing with no
+    dependency), or "statsmodels" (fail if absent). Every method
+    satisfies the W8 recomposition identity value == trend + seasonal
+    + resid.
     """
+    if method not in ("auto", "classical", "loess", "statsmodels"):
+        raise ValueError(f"unknown STL method {method!r}")
+    if method == "statsmodels" and not HAVE_STATSMODELS:
+        raise ImportError("statsmodels is not installed in this image")
     schema = (f"{series_col} bigint, {ts_col} timestamp, {value_col} double, "
               "trend double, seasonal double, resid double")
 
@@ -72,7 +191,10 @@ def stl_decompose(
             t = np.full(len(vals), vals.mean() if len(vals) else 0.0)
             s = np.zeros(len(vals))
             r = vals - t
-        elif HAVE_STATSMODELS:  # pragma: no cover
+        elif method == "loess":
+            t, s, r = _stl_loess(vals, period, robust=robust)
+        elif method == "statsmodels" or (
+                method == "auto" and HAVE_STATSMODELS):  # pragma: no cover
             res = _STL(vals, period=period, robust=robust).fit()
             t, s, r = res.trend, res.seasonal, res.resid
         else:

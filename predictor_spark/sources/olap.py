@@ -104,8 +104,13 @@ def jdbc_upsert_statements(table: str, schema, keys: list[str],
             f'"{c}" = EXCLUDED."{c}"' for c in non_keys)
     else:
         action = "DO NOTHING"  # pure-key dim: nothing to update
+    # the WHERE true is a no-op on Postgres but REQUIRED by SQLite's
+    # parser for INSERT ... SELECT ... ON CONFLICT (upsert-vs-join
+    # ambiguity) — keeping it lets the exact statement text execute
+    # against stdlib sqlite3 as an in-image semantic check of the merge
+    # (tests/test_sources_sinks.py), on top of the wire-sequence test
     merge = (f'INSERT INTO "{table}" ({collist}) '
-             f'SELECT {collist} FROM "{stage}" '
+             f'SELECT {collist} FROM "{stage}" WHERE true '
              f'ON CONFLICT ({", ".join(chr(34) + k + chr(34) for k in keys)}) '
              f"{action}")
     return create, merge

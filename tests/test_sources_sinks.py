@@ -270,3 +270,70 @@ def test_jdbc_upsert_cleans_stage_on_merge_failure(spark, monkeypatch):
     stmts, tx = calls[-1]
     assert tx is False and len(stmts) == 1
     assert stmts[0].startswith('DROP TABLE IF EXISTS "t__stg_')
+
+
+def test_jdbc_upsert_statements_execute_semantically(spark):
+    """Execute the EXACT generated CREATE + merge statements against a
+    real SQL engine (stdlib sqlite3 — its ON CONFLICT ... DO UPDATE ...
+    EXCLUDED upsert is the same dialect subset Postgres runs; the
+    statement text contains nothing PG-only) and assert the merge
+    SEMANTICS, not just the statement shape: new keys insert, existing
+    keys update their non-key columns, pure-key dims deduplicate.
+    Complements the wire-sequence test (which pins statement ORDER and
+    transactionality) — a live-PG round trip remains env-gated."""
+    import sqlite3
+
+    from predictor_spark.sources.olap import jdbc_upsert_statements
+
+    df = spark.createDataFrame(
+        [("e1", "Train", "MAE", 1, 0.5)],
+        "experiment_key string, split string, metric string, "
+        "horizon int, avg_value double")
+    create, merge = jdbc_upsert_statements(
+        "fact_performance", df.schema,
+        ["experiment_key", "split", "metric", "horizon"])
+
+    con = sqlite3.connect(":memory:")
+    con.execute(create)
+    con.execute('CREATE TABLE "fact_performance__stage" '
+                '("experiment_key" TEXT, "split" TEXT, "metric" TEXT, '
+                '"horizon" INTEGER, "avg_value" DOUBLE PRECISION)')
+    stage_rows = [("e1", "Train", "MAE", 1, 0.5),
+                  ("e1", "Val", "MAE", 1, 0.7)]
+    con.executemany('INSERT INTO "fact_performance__stage" VALUES '
+                    "(?, ?, ?, ?, ?)", stage_rows)
+    con.execute(merge)
+
+    # second batch: one overlapping key (value changes), one new key
+    con.execute('DELETE FROM "fact_performance__stage"')
+    con.executemany('INSERT INTO "fact_performance__stage" VALUES '
+                    "(?, ?, ?, ?, ?)",
+                    [("e1", "Train", "MAE", 1, 0.4),
+                     ("e2", "Train", "MAE", 1, 0.9)])
+    con.execute(merge)
+
+    got = sorted(con.execute(
+        'SELECT experiment_key, split, avg_value '
+        'FROM "fact_performance"').fetchall())
+    assert got == [("e1", "Train", 0.4),   # updated, not duplicated
+                   ("e1", "Val", 0.7),     # untouched by batch 2
+                   ("e2", "Train", 0.9)]   # inserted
+
+    # idempotent re-merge: same stage twice leaves the table unchanged
+    con.execute(merge)
+    assert sorted(con.execute(
+        'SELECT experiment_key, split, avg_value '
+        'FROM "fact_performance"').fetchall()) == got
+
+    # pure-key dim: DO NOTHING deduplicates across merges
+    dim = spark.createDataFrame([("p",)], "project_key string")
+    dcreate, dmerge = jdbc_upsert_statements("dim_project", dim.schema,
+                                             ["project_key"])
+    con.execute(dcreate)
+    con.execute('CREATE TABLE "dim_project__stage" ("project_key" TEXT)')
+    con.execute('INSERT INTO "dim_project__stage" VALUES (\'p\')')
+    con.execute(dmerge)
+    con.execute(dmerge)
+    assert con.execute('SELECT count(*) FROM "dim_project"').fetchone() \
+        == (1,)
+    con.close()
