@@ -2047,6 +2047,20 @@ def main() -> int:
         load_staged()
         expect.update(EXPECT_STAGED)
     qs = catalog.QUERIES
+    # FLOOR audit for every registered row WITHOUT an explicit
+    # expectation (r10: 91 of 428 had none, so a catastrophic plan —
+    # cartesian product, row-at-a-time Python UDF, unbounded scan
+    # fan-out — in those rows was invisible to this tool).  The floor is
+    # deliberately loose: it exists to catch plan DISASTERS, not to
+    # pin design; rows wanting tighter pins get explicit entries.
+    # BatchEvalPython is the non-Arrow per-row Python UDF operator;
+    # Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas /
+    # MapInPandas) stay allowed.
+    floor = {"must": [], "not": ["CartesianProduct", "BatchEvalPython"],
+             "max_scans": 8}
+    for name in qs:
+        if name not in expect:
+            expect[name] = floor
     sf_dir = "/root/testdata/sf0.01"
     failures = 0
     for name, exp in expect.items():
