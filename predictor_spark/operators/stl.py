@@ -74,9 +74,68 @@ def _loess(y: np.ndarray, q: int, deg: int = 1,
     (Cleveland et al. 1990 §2, the lambda_q(x) rule)."""
     m = len(y)
     x = np.arange(m, dtype=np.float64)
+    q_eff = min(q, m)
+    if (xeval is None and rho is None and q_eff % 2 == 1 and q_eff >= 3
+            and m > q_eff):
+        # fast path for the trend/low-pass calls (evaluate at every
+        # observed position, no robustness weights): at an INTERIOR
+        # point the q nearest neighbors are symmetric, so the degree-1
+        # weighted fit's slope term is orthogonal to the intercept and
+        # the loess value reduces to the normalized tricube-weighted
+        # mean — one convolution instead of a per-point solve (O(n)
+        # numpy vs O(n·q) Python; boundaries fall through to the
+        # generic path below)
+        half = (q_eff - 1) // 2
+        u = np.abs(np.arange(-half, half + 1)) / max(float(half), 1e-12)
+        w = np.clip(1.0 - u ** 3, 0.0, None) ** 3
+        interior = np.convolve(y, w[::-1] / w.sum(), "valid")
+        out = np.empty(m)
+        out[half:m - half] = interior
+        edge_eval = np.concatenate([np.arange(half),
+                                    np.arange(m - half, m)]).astype(float)
+        edges = _loess(y, q, deg, rho=None, xeval=edge_eval)
+        out[:half] = edges[:half]
+        out[m - half:] = edges[half:]
+        return out
+    if (xeval is None and rho is not None and q_eff % 2 == 1
+            and q_eff >= 3 and m > q_eff and deg == 1):
+        # robust fast path (varying rho): interior neighborhoods are
+        # still the same sliding window, so the per-point weighted
+        # degree-1 solves batch into strided-view reductions — O(n·q)
+        # vectorized numpy instead of a Python loop per point
+        half = (q_eff - 1) // 2
+        xoff = np.arange(-half, half + 1, dtype=np.float64)
+        u = np.abs(xoff) / max(float(half), 1e-12)
+        wpat = np.clip(1.0 - u ** 3, 0.0, None) ** 3
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        W = sliding_window_view(rho, q_eff) * wpat
+        Y = sliding_window_view(y, q_eff)
+        WY = W * Y
+        sw = W.sum(1)
+        swx = W @ xoff
+        swx2 = W @ (xoff * xoff)
+        swy = WY.sum(1)
+        swxy = WY @ xoff
+        denom = sw * swx2 - swx * swx
+        safe = np.abs(denom) >= 1e-12 * np.maximum(sw * swx2, 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = np.where(safe, (sw * swxy - swx * swy) / denom, 0.0)
+            interior = np.where(
+                sw > 0.0,
+                np.where(safe, (swy - b * swx) / np.maximum(sw, 1e-300),
+                         swy / np.maximum(sw, 1e-300)),
+                Y.mean(axis=1))
+        out = np.empty(m)
+        out[half:m - half] = interior
+        edge_eval = np.concatenate([np.arange(half),
+                                    np.arange(m - half, m)]).astype(float)
+        edges = _loess(y, q, deg, rho=rho, xeval=edge_eval)
+        out[:half] = edges[:half]
+        out[m - half:] = edges[half:]
+        return out
     if xeval is None:
         xeval = x
-    q_eff = min(q, m)
     out = np.empty(len(xeval))
     for k, xv in enumerate(xeval):
         d = np.abs(x - xv)
@@ -131,21 +190,30 @@ def _stl_loess(vals: np.ndarray, period: int, seasonal: int = 7,
     T = np.zeros(n)
     S = np.zeros(n)
     for outer_it in range(outer + 1):
+        # rho is all-ones until the first outer update — pass None so
+        # every loess call below takes the O(n) convolution fast path
+        # on non-robust fits (the generic per-point path only runs once
+        # robustness weights actually vary)
+        use_rho = outer_it > 0
         for _ in range(inner):
             D = vals - T                                   # 1. detrend
             C = np.empty(n + 2 * p)                        # 2. subseries
             for ph in range(p):
                 sub_idx = np.arange(ph, n, p)
                 m = len(sub_idx)
-                ev = np.arange(-1, m + 1, dtype=np.float64)
-                sm = _loess(D[sub_idx], n_s, 1, rho=rho[sub_idx], xeval=ev)
-                C[ph + p + np.arange(-1, m + 1) * p] = sm
+                r_sub = rho[sub_idx] if use_rho else None
+                mid = _loess(D[sub_idx], n_s, 1, rho=r_sub)
+                ext = _loess(D[sub_idx], n_s, 1, rho=r_sub,
+                             xeval=np.array([-1.0, float(m)]))
+                C[ph + p + np.arange(-1, m + 1) * p] = np.concatenate(
+                    [ext[:1], mid, ext[1:]])
             ma = np.convolve(C, np.ones(p) / p, "valid")   # 3. low-pass
             ma = np.convolve(ma, np.ones(p) / p, "valid")
             ma = np.convolve(ma, np.ones(3) / 3, "valid")  # -> length n
             L = _loess(ma, n_l, 1)
             S = C[p:n + p] - L                             # 4. seasonal
-            T = _loess(vals - S, n_t, 1, rho=rho)          # 5-6. trend
+            T = _loess(vals - S, n_t, 1,                   # 5-6. trend
+                       rho=rho if use_rho else None)
         R = vals - T - S
         if outer_it < outer:                               # bisquare rho
             h = 6.0 * np.median(np.abs(R))

@@ -261,3 +261,21 @@ def test_loess_stl_matches_statsmodels():  # pragma: no cover - env-gated
     res = STL(vals, period=p).fit()
     assert float(np.sqrt(((t - res.trend) ** 2).mean())) < 0.1
     assert float(np.sqrt(((s - res.seasonal) ** 2).mean())) < 0.1
+
+
+def test_loess_fast_paths_match_generic():
+    """The two vectorized loess paths (symmetric-interior convolution
+    when rho is None; strided-view batch solve when rho varies) must
+    agree with the generic per-point solve to numerical precision —
+    forcing the generic path via an explicit xeval."""
+    rng = np.random.default_rng(4)
+    for m, q in [(60, 7), (200, 25), (33, 5), (40, 39)]:
+        y = rng.normal(size=m)
+        ev = np.arange(m, dtype=float)
+        np.testing.assert_allclose(
+            stl._loess(y, q, 1),
+            stl._loess(y, q, 1, xeval=ev), atol=1e-10)
+        rho = rng.uniform(0.1, 1.0, m)
+        np.testing.assert_allclose(
+            stl._loess(y, q, 1, rho=rho),
+            stl._loess(y, q, 1, rho=rho, xeval=ev), atol=1e-10)
