@@ -653,9 +653,11 @@ def keras_weight_manifest(core: str, params: dict,
                ("conv", [mimo_conv_kernel_for_keras(params), params["bc"]]),
                ("key", [params["Wk"]]), ("value", [params["Wv"]]),
                ("ffn", [params["W1"], params["b1"]])]
-        for hz in hs:
+        for hz in hs:  # interleaved q/head, matching the builder's loads
             out.append((f"q_{hz}", [params[f"q{hz}"][:, None]]))
-        return out + heads()
+            out.append((f"head_h{hz}", [params[f"Wh{hz}"][:, None],
+                                        np.atleast_1d(params[f"ch{hz}"])]))
+        return out
     if core == "tft":
         def grn(prefix):
             return [(f"{prefix}{s}", [params[f"{prefix}{kw}"],
@@ -671,9 +673,11 @@ def keras_weight_manifest(core: str, params: dict,
         out.append(("attn", tft_attention_pack(params)))
         out += grn("g3_")
         out.append(("fusion_ln", [params["ga"], params["ba_"]]))
-        for hz in hs:
+        for hz in hs:  # interleaved per-horizon GRN + head, like the builder
             out += grn(f"gh{hz}_")
-        return out + heads()
+            out.append((f"head_h{hz}", [params[f"Wh{hz}"][:, None],
+                                        np.atleast_1d(params[f"ch{hz}"])]))
+        return out
     if core == "composite":
         pack = composite_keras_weight_pack(params)
         names = [f"{b}_l{i}" for b in ("tr", "df", "rs") for i in (0, 1)]
