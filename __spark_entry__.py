@@ -122,6 +122,10 @@ def _load_catalog():
                 "catalog_r18_power",
                 "catalog_r18_editdist",
                 "catalog_r19_graphqual",
+                "catalog_r19_chainorder",
+                "catalog_r19_smoothing",
+                "catalog_r19_bradleyterry",
+                "catalog_r19_texteval",
     ):
         snap = dict(catalog.QUERIES)
         try:
@@ -141,7 +145,45 @@ def _load_catalog():
         from predictor_spark.plans.staged import assert_no_shadow
 
         assert_no_shadow(snap, catalog.QUERIES)
+    # the snapshot guard above is blind to a duplicate @query name
+    # registered twice WITHIN one module (ADVICE r10): the snapshot
+    # predates both registrations, so the first is silently overwritten
+    # and len/identity checks see nothing.  Close it statically: scan
+    # every plans/*.py source for registration names and reject
+    # intra-file duplicates.  Lives HERE (unhashed) so the guard costs
+    # no driver-grade invalidation.
+    _assert_no_intra_module_duplicates()
     return catalog
+
+
+def _intra_module_duplicates(src: str) -> list[str]:
+    """Names registered more than once within ONE module's source.
+    Static regex over both registration forms: `@query("name", ...)`
+    decorations and programmatic `query("name", ...)(fn)` calls
+    (catalog_models.py uses the latter); validated to recover all 436
+    registered names exactly (tests/test_query_name_uniqueness.py)."""
+    import re
+    from collections import Counter
+
+    pat = re.compile(r'(?<![\w.])query\(\s*\n?\s*(["\'])([^"\']+)\1')
+    return sorted(n for n, c in Counter(m[1] for m in pat.findall(src)).items()
+                  if c > 1)
+
+
+def _assert_no_intra_module_duplicates() -> None:
+    """Reject a query name registered twice inside ONE plans module —
+    the case the import-time snapshot guard cannot see."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "predictor_spark", "plans", "*.py")):
+        with open(path, errors="replace") as fh:
+            dups = _intra_module_duplicates(fh.read())
+        if dups:
+            raise ValueError(
+                f"intra-module duplicate query registration(s) {dups!r} "
+                f"in {os.path.basename(path)} — the later definition "
+                f"silently overwrites the earlier one")
 
 
 # The driver grades only the first ~50 registered queries per round, so
@@ -259,13 +301,9 @@ def _driver_grades() -> dict[str, dict]:
 #: (drawdown_duration: re-graded green in r08, removed.  The 8 r8
 #: stale-hash rows and the 4 r9 degeneracy re-parameterizations: all
 #: re-graded green in r09, removed.)
-#: Current: squared_return_acf was the 51st candidate for r9's 50-slot
-#: window (VERDICT r9 "what's wrong" #1) — the only registered row with
-#: no driver grade; pinned at the window head so this round's ~48
-#: staged flips cannot crowd it out again.
-_FORCE_WINDOW: tuple[str, ...] = (
-    "squared_return_acf",
-)
+#: Current: empty — squared_return_acf (the r9 orphan pinned through
+#: r10) got its driver grade in CORRECTNESS_r10 and rotated out.
+_FORCE_WINDOW: tuple[str, ...] = ()
 
 
 def _driver_green() -> frozenset[str]:

@@ -174,6 +174,19 @@ def main() -> None:
 
     HEADLINE[:] = registered_headlines(HEADLINE, qs)
 
+    # drift attribution (VERDICT r10 #5): SPARK_GRAFT_BENCH_SUBSET=<path
+    # to a prior BENCH_r*.json> restricts the sweep to that round's rows,
+    # so a per-row cost drift can be split into "sweep grew" (contention)
+    # vs "rows regressed" by comparing the same row set across trees.
+    # Subset runs write BENCH_SUBSET.json and never touch BENCH_FULL.json.
+    subset_src = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+    subset: set[str] | None = None
+    if subset_src:
+        with open(subset_src) as fh:
+            rec = json.load(fh)
+        subset = set((rec.get("parsed") or rec).get("queries", rec.get("queries", {})))
+        HEADLINE[:] = [n for n in HEADLINE if n in subset]
+
     # warm-up: every benched table's footer + ts-conversion path, then one
     # query for JVM/codegen
     for t in TABLES:
@@ -227,7 +240,9 @@ def main() -> None:
     # 2x "cold regressions" (r8 driver: champion cold 18.1 s contended
     # vs 8.2 s on the identical tree measured clean).
     cold_warm: dict[str, dict[str, float]] = {}
-    for name, fn in SINGLE_RUN.items():
+    single_run = {n: f for n, f in SINGLE_RUN.items()
+                  if subset is None or n in subset}
+    for name, fn in single_run.items():
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -265,14 +280,15 @@ def main() -> None:
     # FASTEST rows are dropped first (the heavy rows are the perf signal;
     # `value` stays the total over ALL rows either way).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+    out_name = "BENCH_SUBSET.json" if subset is not None else "BENCH_FULL.json"
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     line_budget = 1600
     emit = dict(full)
     emit["queries"] = dict(timings)
     emit["n_queries"] = len(timings)
-    emit["full"] = "BENCH_FULL.json"
+    emit["full"] = out_name
     by_speed = sorted(timings, key=lambda n: (timings[n], n))
     dropped = 0
     line = json.dumps(emit, separators=(",", ":"))

@@ -16,8 +16,12 @@ recomposition identity trend+seasonal+resid == value):
   + low-pass (MA(p)·MA(p)·MA(3)·loess) + trend loess, and the outer
   bisquare robustness loop — the same recurrence statsmodels' STL
   implements, with its default spans (seasonal=7, trend = smallest odd
-  >= 1.5p/(1-1.5/n_s), low-pass = smallest odd > p, all degree 1,
-  inner=2/outer=0, robust: inner=1/outer=15).  This upgrades the
+  >= 1.5p/(1-1.5/n_s), low-pass = smallest odd > p, all degree 1).
+  Iteration counts follow the PAPER's §4.2 recommendation
+  (inner=2/outer=0, robust: inner=1/outer=15), NOT statsmodels' .fit
+  defaults (inner=5/outer=0, robust: inner=2/outer=15) — both converge
+  to the same fixed point; the env-gated A/B tolerance absorbs the
+  small pre-convergence gap.  This upgrades the
   engine's STL surface from parity-by-contract (classical stand-in) to
   the published algorithm itself; where statsmodels IS installed, the
   env-gated test pins the two against each other.
@@ -145,6 +149,12 @@ def _loess(y: np.ndarray, q: int, deg: int = 1,
             idx = np.arange(m)
         dmax = d[idx].max()
         if q > m:
+            # paper's lambda_q rule: inflate the neighborhood radius
+            # MULTIPLICATIVELY by q/m.  statsmodels wraps netlib stl.f,
+            # which inflates ADDITIVELY (+(q-n)/2), so short
+            # cycle-subseries (m < 7) diverge slightly from a
+            # statsmodels baseline — a documented paper-vs-Fortran
+            # difference, not a bug.
             dmax *= q / m
         u = d[idx] / max(dmax, 1e-12)
         w = np.clip(1.0 - u ** 3, 0.0, None) ** 3  # tricube
@@ -174,10 +184,13 @@ def _loess(y: np.ndarray, q: int, deg: int = 1,
 def _stl_loess(vals: np.ndarray, period: int, seasonal: int = 7,
                robust: bool = False) -> tuple[np.ndarray, np.ndarray,
                                               np.ndarray]:
-    """The actual STL recurrence (Cleveland et al. 1990 §2-3; the same
-    parameter defaults statsmodels.tsa.seasonal.STL uses).  Returns
-    (trend, seasonal, resid) with vals == trend + seasonal + resid
-    exactly (resid is computed as the remainder)."""
+    """The actual STL recurrence (Cleveland et al. 1990 §2-3).  Spans
+    match statsmodels.tsa.seasonal.STL's defaults; the iteration counts
+    follow the paper's §4.2 recommendation — (inner=2, outer=0)
+    non-robust and (inner=1, outer=15) robust — where statsmodels' .fit
+    defaults to (5, 0) and (2, 15).  Returns (trend, seasonal, resid)
+    with vals == trend + seasonal + resid exactly (resid is computed as
+    the remainder)."""
     n = len(vals)
     p = int(period)
     n_s = seasonal if seasonal % 2 == 1 else seasonal + 1

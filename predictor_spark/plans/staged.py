@@ -126,10 +126,6 @@ STAGED_MODULES: tuple[str, ...] = (
     # --- r17 families (built in round 9, third batch) ---
     # --- r18 families (built in round 9, fourth batch) ---
     # --- r19 families (built in round 9, fifth batch) ---
-    "catalog_r19_chainorder",
-    "catalog_r19_smoothing",
-    "catalog_r19_bradleyterry",
-    "catalog_r19_texteval",
 )
 
 
@@ -174,6 +170,13 @@ def load_staged() -> list[str]:
     # (an r18 and an r19 file both registering 'foo') — the second import
     # overwrites the first and the end-of-loop check compares only against
     # the pre-loop state.  Mirror __spark_entry__._load_catalog instead.
+    # Known blind spot (ADVICE r10): a duplicate name registered twice
+    # WITHIN one module — the snapshot predates both registrations, so
+    # the first is silently overwritten.  That case is closed by the
+    # static source scan in
+    # __spark_entry__._assert_no_intra_module_duplicates(), which runs
+    # on every _load_catalog() and covers staged files too (it scans all
+    # of plans/*.py, imported or not).
     for mod in STAGED_MODULES:
         snap = dict(catalog.QUERIES)
         __import__(f"predictor_spark.plans.{mod}")

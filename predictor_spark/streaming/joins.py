@@ -127,7 +127,11 @@ def view_purchase_attribution(
     except Exception:  # pragma: no cover
         pass
     if state_partitions is None:
-        # metadata-only count (parquet footers, no data scan)
+        # cheap empty-schema count: count() over parquet prunes every
+        # column, but it is still a real Spark job over each chunk (row
+        # counts come from footer metadata only when aggregate pushdown
+        # is enabled) — fine here because it runs once per invocation on
+        # a bounded chunk set
         n_events = ss.read.parquet(d).count()
         state_partitions = min(32, max(8, n_events // 50_000))
     ss.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -42,3 +42,47 @@ def test_query_names_are_globally_unique():
     # a handful of rows register programmatically and are invisible to
     # the literal scan, so the floor sits slightly below the registry)
     assert len(counts) >= 340
+
+
+def test_intra_module_duplicate_guard():
+    """ADVICE r10: the import-time snapshot guard cannot see a name
+    registered twice WITHIN one module (the snapshot predates both
+    registrations).  _load_catalog closes that with a static per-file
+    scan; exercise its core on synthetic sources, both decorator and
+    programmatic registration forms."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _intra_module_duplicates
+
+    clean = '@query("a", oracle="SELECT 1")\ndef a(): ...\n' \
+            '@query(\n    "b",\n    oracle="SELECT 2")\ndef b(): ...\n' \
+            'query("c", oracle=sql)(fn)\n'
+    assert _intra_module_duplicates(clean) == []
+    dup_deco = clean + '@query("a")\ndef a2(): ...\n'
+    assert _intra_module_duplicates(dup_deco) == ["a"]
+    dup_prog = clean + 'query("c", oracle=other)(fn2)\n'
+    assert _intra_module_duplicates(dup_prog) == ["c"]
+    # attribute access named query( must NOT count as a registration
+    assert _intra_module_duplicates('df.query("a")\n' + clean) == []
+
+
+def test_registry_scan_recovers_every_registered_name():
+    """The guard's regex must see every registration form in use: the
+    combined pattern recovers the FULL registry (436 names), including
+    the programmatic query(...)(fn) rows the decorator-only scan above
+    misses — if a new registration style appears, this fails first."""
+    import re
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    pat = re.compile(r'(?<![\w.])query\(\s*\n?\s*(["\'])([^"\']+)\1')
+    names: Counter[str] = Counter()
+    for path in glob.glob("/root/repo/predictor_spark/plans/*.py"):
+        names.update(m[1] for m in pat.findall(open(path).read()))
+    cat = e._load_catalog()
+    missing = set(cat.QUERIES) - set(names)
+    assert not missing, f"registered names invisible to the static scan: {missing}"
