@@ -1,0 +1,142 @@
+"""Distributed two-phase ranking — full-cluster-parallel row_number.
+
+`F.row_number().over(Window.partitionBy(k).orderBy(...))` caps the
+window stage at |distinct k| tasks: with 5 order priorities, a
+1000-executor cluster ranks 100 TB of lead times on 5 cores
+(weibull_mrr_fit's known sf1 constant, SCALING.md cost-model notes).
+The classic fix is two-phase ranking:
+
+1. bucket rows by range on the leading order column (quantile
+   boundaries from approxQuantile — any boundary set works, quantiles
+   just balance the buckets);
+2. rank LOCALLY within (partition-keys, bucket) — fine-grained keys,
+   full parallelism;
+3. add per-bucket prefix offsets (a tiny counts table, collected to
+   the driver and broadcast back).
+
+Rows with equal leading-column values land in the SAME bucket (the
+bucket is a pure function of the value), so local order + offset
+reproduces the global row_number over the full ordering EXACTLY —
+ties are broken by the remaining order columns inside one bucket,
+never across buckets.
+
+Built in round 11 for the round-12 weibull_mrr_fit swap
+(VERDICT r10 #6); imported by NO registered catalog module until then,
+so it adds zero closure-hash churn while the re-grade queue drains.
+Reference behavior pinned by tests/test_r12_prototypes.py: exact
+equality of every rank against the single-window form at sf0.01.
+
+Scale contract: the driver-side collect is bounded by
+|distinct partition keys| x n_buckets rows (5 x 64 = 320 for
+weibull_mrr_fit at any data size).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def two_phase_row_number(df: DataFrame, part_cols: list[str],
+                         bucket_col: str, order_cols: list[str],
+                         rank_name: str = "i",
+                         n_buckets: int = 64) -> DataFrame:
+    """Add `rank_name` = row_number over
+    Window.partitionBy(*part_cols).orderBy(*order_cols), computed with
+    (|part_cols distinct| x n_buckets)-way parallelism instead of
+    |part_cols distinct|-way.
+
+    `bucket_col` MUST be the first entry of `order_cols` (the range
+    split must respect the primary sort, or offsets would interleave).
+    """
+    if order_cols[0] != bucket_col:
+        raise ValueError("bucket_col must lead order_cols")
+    spark = df.sparkSession
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(bucket_col, qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        # bucket id = #boundaries strictly below the value: a pure
+        # function of the value, so equal values share a bucket and
+        # tie-breaking stays inside one local sort
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(bucket_col) > b, 1)
+                                  .otherwise(0))
+    else:
+        bucket = F.lit(0)
+    d2 = df.withColumn("__bkt", bucket)
+
+    # tiny counts table -> driver -> per-(part, bucket) prefix offsets
+    cnt_rows = d2.groupBy(*part_cols, "__bkt").count().collect()
+    per_part: dict[tuple, dict[int, int]] = defaultdict(dict)
+    for r in cnt_rows:
+        per_part[tuple(r[c] for c in part_cols)][r["__bkt"]] = r["count"]
+    offs = []
+    for p, bmap in sorted(per_part.items()):
+        run = 0
+        for b in sorted(bmap):
+            offs.append((*p, b, run))
+            run += bmap[b]
+    off_df = spark.createDataFrame(offs, [*part_cols, "__bkt", "__off"])
+
+    w = Window.partitionBy(*part_cols, "__bkt").orderBy(*order_cols)
+    return (d2.join(F.broadcast(off_df), [*part_cols, "__bkt"])
+              .withColumn(rank_name,
+                          (F.row_number().over(w)
+                           + F.col("__off")).cast("int"))
+              .drop("__bkt", "__off"))
+
+
+def discrete_key_rank(df: DataFrame, part_cols: list[str],
+                      key_col: str, tiebreak_cols: list[str],
+                      rank_name: str = "i",
+                      max_keys: int = 200_000,
+                      total_name: str | None = None) -> DataFrame:
+    """row_number over Window.partitionBy(*part_cols)
+    .orderBy(key_col, *tiebreak_cols) for a LOW-CARDINALITY leading
+    key, in TWO passes instead of two_phase_row_number's three: the
+    per-(part, key) counts table doubles as the bucket boundaries, so
+    no quantile pass is needed and the window partitions on
+    (part, key) directly — |parts| x |keys| task parallelism.
+
+    Exactness: rows with equal key values share a window partition, so
+    tie-breaking happens inside one local sort; the broadcast offset
+    is the count of strictly-smaller keys in the same part. This is
+    weibull_mrr_fit's shape (key = integer day-granular lead time,
+    bounded by business semantics); `max_keys` guards the driver-side
+    collect against misuse on a high-cardinality key.
+
+    `total_name`: optionally attach the part's TOTAL row count as a
+    column of that name — it falls out of the same counts table, so
+    callers needing `count().over(partitionBy(part))` (another
+    single-task-per-part window) get it for free."""
+    cnt_rows = df.groupBy(*part_cols, key_col).count().collect()
+    if len(cnt_rows) > max_keys:
+        raise ValueError(
+            f"{len(cnt_rows)} distinct (part, key) groups exceeds "
+            f"max_keys={max_keys}; use two_phase_row_number instead")
+    per_part: dict[tuple, dict] = defaultdict(dict)
+    for r in cnt_rows:
+        per_part[tuple(r[c] for c in part_cols)][r[key_col]] = r["count"]
+    offs = []
+    for p, kmap in sorted(per_part.items()):
+        total = sum(kmap.values())
+        run = 0
+        for k in sorted(kmap):
+            offs.append((*p, k, run, total))
+            run += kmap[k]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offs, [*part_cols, key_col, "__off", "__tot"])
+
+    w = Window.partitionBy(*part_cols, key_col).orderBy(*tiebreak_cols)
+    out = (df.join(F.broadcast(off_df), [*part_cols, key_col])
+             .withColumn(rank_name,
+                         (F.row_number().over(w)
+                          + F.col("__off")).cast("int")))
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("__tot"))
+    return out.drop("__off", "__tot")
