@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 def two_phase_row_number(df: DataFrame, part_cols: list[str],
                          bucket_col: str, order_cols: list[str],
                          rank_name: str = "i",
-                         n_buckets: int = 64) -> DataFrame:
+                         n_buckets: int = 64,
+                         bounds: list | None = None) -> DataFrame:
     """Add `rank_name` = row_number over
     Window.partitionBy(*part_cols).orderBy(*order_cols), computed with
     (|part_cols distinct| x n_buckets)-way parallelism instead of
@@ -49,13 +50,24 @@ def two_phase_row_number(df: DataFrame, part_cols: list[str],
 
     `bucket_col` MUST be the first entry of `order_cols` (the range
     split must respect the primary sort, or offsets would interleave).
+
+    `bounds`: optional precomputed bucket boundaries. When the caller
+    knows the key domain (a bounded day count, a fixed score range),
+    passing boundaries skips the approxQuantile pass — which matters
+    when `df` is an UN-CACHED join/pipeline, because every extra
+    action recomputes it (measured: the 3-pass default was 2.7x
+    slower than the window it replaced on exactly such an input; see
+    plans/proto_r12.py). ANY boundary set is correct — boundaries
+    only balance bucket sizes, never affect rank values.
     """
     if order_cols[0] != bucket_col:
         raise ValueError("bucket_col must lead order_cols")
     spark = df.sparkSession
 
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(bucket_col, qs, 0.001)))
+    if bounds is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(bucket_col, qs, 0.001)
+    bounds = sorted(set(bounds))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         # bucket id = #boundaries strictly below the value: a pure

@@ -36,9 +36,15 @@ def test_two_phase_row_number_matches_window(spark):
     got = two_phase_row_number(base, ["k"], "t", ["t", "uid"],
                                rank_name="i", n_buckets=16)
     w = Window.partitionBy("k").orderBy("t", "uid")
-    want = base.withColumn("i", F.row_number().over(w))
-    assert sorted(_rows(got.select("k", "uid", "i"))) == \
-        sorted(_rows(want.select("k", "uid", "i")))
+    want = sorted(_rows(
+        base.withColumn("i", F.row_number().over(w))
+            .select("k", "uid", "i")))
+    assert sorted(_rows(got.select("k", "uid", "i"))) == want
+    # explicit-bounds path (skips the quantile pass); ANY boundary set
+    # must give identical ranks — here a deliberately lopsided one
+    got2 = two_phase_row_number(base, ["k"], "t", ["t", "uid"],
+                                rank_name="i", bounds=[5.0, 50.0, 90.0])
+    assert sorted(_rows(got2.select("k", "uid", "i"))) == want
 
 
 def test_discrete_key_rank_matches_window(spark):
