@@ -207,3 +207,49 @@ def hurst_rs_per_series_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rs32"), 6).alias("rs_32"),
         F.round(F.col("rs64"), 6).alias("rs_64"),
         F.round(num / F.lit(den), 6).alias("hurst")).orderBy("event_type")
+
+
+def hybrid_rrf_fusion_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_rrf_fusion with the BM25 leg's full-corpus unpartitioned
+    rank window (PARALLELISM_AUDIT.md Class C: |docs| rows through one
+    task) replaced by orderBy().limit(20) — Spark compiles that to
+    TakeOrderedAndProject, a per-partition partial top-k merged on k
+    heads, fully parallel. EXACT semantics: the registered row filters
+    to bm25_rank <= 20 immediately, so ranks beyond the cut never
+    matter, and the (rounded score desc, doc_id) ordering is a total
+    order — the surviving 20 rows and their ranks are identical. The
+    residual row_number window sorts 20 rows. Zero extra passes.
+
+    r12 swap cost: zero extra window slots — all 9 catalog_mlprep rows
+    are already among the 31 pending r12's grading window."""
+    from predictor_spark.operators import similarity
+    from predictor_spark.operators.retrieval import bm25_scores
+    from predictor_spark.plans.catalog_mlprep import _RRF_K
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    top = (bm25_scores(docs, ["hash", "join", "scan"])
+           .select("doc_id", F.round("score", 6).alias("s"))
+           .orderBy(F.col("s").desc(), "doc_id").limit(20))
+    bm = (top.withColumn(
+            "bm25_rank",
+            F.row_number().over(Window.orderBy(F.col("s").desc(),
+                                               "doc_id")))
+          .select("doc_id", "bm25_rank"))
+    co = (similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+          .select(F.col("neighbor_id").alias("doc_id"),
+                  F.col("rank").alias("cos_rank")))
+    rrf = (F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+           + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)))
+    return (
+        bm.join(co, "doc_id", "full_outer")
+        .select("doc_id",
+                F.coalesce("bm25_rank", F.lit(0)).cast("bigint")
+                .alias("bm25_rank"),
+                F.coalesce("cos_rank", F.lit(0)).cast("bigint")
+                .alias("cos_rank"),
+                F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

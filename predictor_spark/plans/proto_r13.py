@@ -1,0 +1,118 @@
+"""Round-13 perf prototype — NOT registered, NOT imported by any
+catalog module (zero closure-hash churn; same discipline as
+proto_r12.py).
+
+`mutual_info_value_type_v2` removes the engine's worst remaining
+single-task plan (PARALLELISM_AUDIT.md Class C #1): the registered row
+assigns value deciles with `ntile(10) OVER (ORDER BY value, event_id)`
+— the ENTIRE event stream through one sort task. The rewrite
+reproduces ntile's bucket arithmetic exactly without any global sort,
+via the histogram-refinement idiom (catalog_r18_ebayes.py is the
+in-house precedent):
+
+1. value-support histogram (groupBy value — 17.8k rows at sf1) with a
+   cumulative window ONLY over the support, giving each value group
+   its global rank span [lo, hi];
+2. ntile's closed form (rem = N mod 10, base = N div 10; group sizes
+   base+1 for the first rem groups) maps any global position to its
+   decile with pure integer arithmetic — ceil(a/b) computed as
+   (a+b-1) div b, so no float rounding anywhere;
+3. value groups entirely inside one decile contribute via a
+   (value, event_type) count histogram — no row-level work at all;
+4. ONLY the <=9 boundary-straddling value groups get row-level ranks,
+   via Window.partitionBy(value).orderBy(event_id) — fine-grained
+   keys, fully parallel, touching ~9 x (N / |support|) rows (~500 at
+   sf1) instead of N.
+
+The (event_type, decile) joint counts — and therefore the MI — are
+equal BY CONSTRUCTION, not approximately: step 2 is the same function
+ntile applies, evaluated on the same global positions.
+
+Swap cost (r13 window): catalog_drift.py has 19 registered dependent
+rows, all currently verified — schedule per PARALLELISM_AUDIT.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from predictor_spark.plans.catalog import _t
+
+
+def _idiv(a, b):
+    """Exact integer floor-division on long columns: (a - a%b) is an
+    exact multiple of b, and dividing an exact multiple stays exact in
+    double for magnitudes < 2^53 — no boundary-rounding risk the raw
+    double `/` would carry."""
+    return ((a - a % b) / b).cast("long")
+
+
+def _dec_of(p, base, rem):
+    """ntile(10) group of 1-based global position p — integer-exact
+    (ceil(a/b) spelled (a+b-1) div b). First `rem` groups hold base+1
+    rows, the rest hold base; with base = 0 the when-branch is always
+    taken (rem = N), so the otherwise-branch never divides by zero."""
+    head = rem * (base + 1)
+    return F.when(
+        p <= head, _idiv(p + base, base + 1)
+    ).otherwise(
+        rem + _idiv(p - head + base - 1, base)
+    ).cast("long")
+
+
+def mutual_info_value_type_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value",
+                                            "event_id")
+    # 1. value support with global rank spans (window over the SUPPORT,
+    #    never the stream)
+    sup = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    spans = sup.select(
+        "value", "c",
+        F.sum("c").over(wv).alias("hi")).withColumn(
+        "lo", F.col("hi") - F.col("c") + 1)
+    tot = spans.agg(F.sum("c").alias("n")).select(
+        (F.col("n") % 10).alias("rem"),
+        _idiv(F.col("n"), F.lit(10)).alias("base"))
+    spans = spans.crossJoin(F.broadcast(tot)).withColumn(
+        "dec_lo", _dec_of(F.col("lo"), F.col("base"), F.col("rem"))
+    ).withColumn(
+        "dec_hi", _dec_of(F.col("hi"), F.col("base"), F.col("rem")))
+
+    # 3. interior groups: whole span inside one decile — histogram-only
+    interior = (spans.where(F.col("dec_lo") == F.col("dec_hi"))
+                .select("value", F.col("dec_lo").alias("dec")))
+    per_vt = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    joint_int = (per_vt.join(F.broadcast(interior), "value")
+                 .groupBy("event_type", "dec")
+                 .agg(F.sum("c").alias("c")))
+
+    # 4. straddling groups: row-level ranks WITHIN each value group
+    #    (fine-grained window keys), global pos = lo - 1 + local rank
+    strad = (spans.where(F.col("dec_lo") != F.col("dec_hi"))
+             .select("value", "lo", "base", "rem"))
+    wrow = Window.partitionBy("value").orderBy("event_id")
+    rows = (ev.join(F.broadcast(strad), "value")
+            .withColumn("rn", F.row_number().over(wrow))
+            .withColumn("pos", F.col("lo") - 1 + F.col("rn"))
+            .withColumn("dec", _dec_of(F.col("pos"), F.col("base"),
+                                       F.col("rem"))))
+    joint_str = rows.groupBy("event_type", "dec").agg(
+        F.count(F.lit(1)).alias("c"))
+
+    joint = (joint_int.unionByName(joint_str)
+             .groupBy("event_type", "dec").agg(F.sum("c").alias("c")))
+
+    # identical MI tail to the registered row
+    n1 = joint.agg(F.sum("c").cast("double").alias("n"))
+    wx = Window.partitionBy("event_type")
+    wy = Window.partitionBy("dec")
+    m = (joint
+         .withColumn("cx", F.sum("c").over(wx))
+         .withColumn("cy", F.sum("c").over(wy))
+         .crossJoin(F.broadcast(n1)))
+    term = ((F.col("c") / F.col("n"))
+            * F.log((F.col("c") * F.col("n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))))
+    return m.agg(F.round(F.sum(term), 6).alias("mutual_info_nats"))

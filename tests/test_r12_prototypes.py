@@ -76,6 +76,15 @@ def test_weibull_mrr_fit_v2_v3_equal_registered(spark):
     assert _rows(weibull_mrr_fit_v2(spark, SF_DIR)) == live
 
 
+def test_hybrid_rrf_fusion_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_mlprep import hybrid_rrf_fusion
+    from predictor_spark.plans.proto_r12 import hybrid_rrf_fusion_v2
+
+    live = _rows(hybrid_rrf_fusion(spark, SF_DIR))
+    v2 = _rows(hybrid_rrf_fusion_v2(spark, SF_DIR))
+    assert v2 == live
+
+
 def test_hurst_rs_per_series_v2_equals_registered(spark):
     from predictor_spark.plans.catalog_r11_longmemory import \
         hurst_rs_per_series
