@@ -152,3 +152,75 @@ def discrete_key_rank(df: DataFrame, part_cols: list[str],
     if total_name is not None:
         out = out.withColumn(total_name, F.col("__tot"))
     return out.drop("__off", "__tot")
+
+
+def _tile_of(p, base, rem):
+    """ntile group of 1-based global position p — integer-exact
+    (ceil(a/b) spelled (a+b-1) div b, with the exact-multiple division
+    trick below so no double-rounding can move a boundary). First
+    `rem` groups hold base+1 rows, the rest hold base; with base = 0
+    the when-branch is always taken (rem = N), so the otherwise-branch
+    never divides by zero."""
+    def idiv(a, b):
+        # (a - a%b) is an exact multiple of b; dividing an exact
+        # multiple is exact in double below 2^53
+        return ((a - a % b) / b).cast("long")
+
+    head = rem * (base + 1)
+    return F.when(
+        p <= head, idiv(p + base, base + 1)
+    ).otherwise(
+        rem + idiv(p - head + base - 1, base)
+    ).cast("long")
+
+
+def exact_ntile(df: DataFrame, key_col: str, tiebreak_cols: list[str],
+                n_tiles: int, tile_name: str = "tile",
+                descending: bool = False) -> DataFrame:
+    """`ntile(n) OVER (ORDER BY key [DESC], *tiebreak)` WITHOUT the
+    global single-task sort (PARALLELISM_AUDIT.md Class C): a
+    key-support histogram gives every key group its global rank span
+    [lo, hi] via a window over the SUPPORT only; ntile's closed-form
+    bucket arithmetic (exact integer division) maps spans to tiles;
+    key groups entirely inside one tile are labeled by a support join
+    with zero row-level work, and ONLY the <= n_tiles-1
+    boundary-straddling groups get row-level ranks — through
+    fine-grained per-key windows, fully parallel.
+
+    Exact ntile semantics by construction (the closed form is pinned
+    against Spark's ntile in tests/test_r13_prototypes.py). For
+    descending=True the key must be numeric (it is negated to reuse
+    the ascending support order; LONG_MIN would overflow — none of the
+    engine's score/count keys can reach it). Ties beyond `key_col` are
+    broken by `tiebreak_cols` inside the straddling groups only,
+    exactly as the window form would."""
+    key = F.col(key_col)
+    d2 = df.withColumn("__k", (-key) if descending else key)
+    sup = d2.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+    spans = (sup.select("__k", "__c", F.sum("__c").over(wv).alias("__hi"))
+             .withColumn("__lo", F.col("__hi") - F.col("__c") + 1))
+    tot = spans.agg(F.sum("__c").alias("n")).select(
+        (F.col("n") % n_tiles).alias("__rem"),
+        ((F.col("n") - F.col("n") % n_tiles) / n_tiles).cast("long")
+        .alias("__base"))
+    spans = (spans.crossJoin(F.broadcast(tot))
+             .withColumn("__tlo", _tile_of(F.col("__lo"), F.col("__base"),
+                                           F.col("__rem")))
+             .withColumn("__thi", _tile_of(F.col("__hi"), F.col("__base"),
+                                           F.col("__rem"))))
+
+    interior = (spans.where(F.col("__tlo") == F.col("__thi"))
+                .select("__k", F.col("__tlo").alias(tile_name)))
+    inner = d2.join(interior, "__k").drop("__k")
+
+    strad = (spans.where(F.col("__tlo") != F.col("__thi"))
+             .select("__k", "__lo", "__base", "__rem"))
+    wrow = Window.partitionBy("__k").orderBy(*tiebreak_cols)
+    edge = (d2.join(F.broadcast(strad), "__k")
+            .withColumn("__rn", F.row_number().over(wrow))
+            .withColumn(tile_name,
+                        _tile_of(F.col("__lo") - 1 + F.col("__rn"),
+                                 F.col("__base"), F.col("__rem")))
+            .drop("__k", "__lo", "__base", "__rem", "__rn"))
+    return inner.unionByName(edge)

@@ -36,28 +36,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from predictor_spark.operators.ranking import _tile_of, exact_ntile
 from predictor_spark.plans.catalog import _t
 
-
-def _idiv(a, b):
-    """Exact integer floor-division on long columns: (a - a%b) is an
-    exact multiple of b, and dividing an exact multiple stays exact in
-    double for magnitudes < 2^53 — no boundary-rounding risk the raw
-    double `/` would carry."""
-    return ((a - a % b) / b).cast("long")
-
-
-def _dec_of(p, base, rem):
-    """ntile(10) group of 1-based global position p — integer-exact
-    (ceil(a/b) spelled (a+b-1) div b). First `rem` groups hold base+1
-    rows, the rest hold base; with base = 0 the when-branch is always
-    taken (rem = N), so the otherwise-branch never divides by zero."""
-    head = rem * (base + 1)
-    return F.when(
-        p <= head, _idiv(p + base, base + 1)
-    ).otherwise(
-        rem + _idiv(p - head + base - 1, base)
-    ).cast("long")
+#: ntile's closed-form bucket function — shared with the generic
+#: operators/ranking.exact_ntile so the two cannot drift apart
+_dec_of = _tile_of
 
 
 def mutual_info_value_type_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +57,7 @@ def mutual_info_value_type_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo", F.col("hi") - F.col("c") + 1)
     tot = spans.agg(F.sum("c").alias("n")).select(
         (F.col("n") % 10).alias("rem"),
-        _idiv(F.col("n"), F.lit(10)).alias("base"))
+        ((F.col("n") - F.col("n") % 10) / 10).cast("long").alias("base"))
     spans = spans.crossJoin(F.broadcast(tot)).withColumn(
         "dec_lo", _dec_of(F.col("lo"), F.col("base"), F.col("rem"))
     ).withColumn(
@@ -116,3 +100,58 @@ def mutual_info_value_type_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log((F.col("c") * F.col("n"))
                     / (F.col("cx").cast("double") * F.col("cy"))))
     return m.agg(F.round(F.sum(term), 6).alias("mutual_info_nats"))
+
+
+def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lift_gain_deciles with the unpartitioned ntile over the per-user
+    score frame (PARALLELISM_AUDIT.md Class C) replaced by
+    operators/ranking.exact_ntile — support spans + closed-form bucket
+    arithmetic, row-level ranks only inside the <=9 straddling score
+    groups. The decile assignment (and therefore every output value)
+    is equal by construction; everything from the decile column down
+    is the registered query's math verbatim. Swap cost: 5 verified
+    rows (catalog_eval module)."""
+    from predictor_spark.plans.catalog_eval import _eval_base
+
+    base = _eval_base(spark, sf_dir)
+    dec = exact_ntile(base, "score_int", ["user_id"], 10,
+                      tile_name="decile", descending=True)
+    agg = (dec.select("label", "decile")
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
+           .cache())
+    tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    cum = F.sum("pos").over(
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", cum)
+        .select(F.col("decile").cast("long").alias("decile"),
+                F.col("n").cast("long").alias("n_users"),
+                F.col("pos").cast("long").alias("n_pos"),
+                F.round((F.col("pos").cast("double") / F.col("n"))
+                        / (F.col("pt").cast("double") / F.col("nt")), 6)
+                .alias("lift"),
+                F.round(F.col("cum_pos").cast("double") / F.col("pt"), 6)
+                .alias("cum_gain"))
+    )
+
+
+def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """catalog_r7_causal._decile_agg (the shared 10-row reduction
+    behind the uplift and Qini rows) with the same exact_ntile swap;
+    pinning THIS frame pins every dependent row, since they consume
+    only its output. Swap cost: 4 verified rows (causal module)."""
+    from predictor_spark.plans.catalog_r7_causal import _user_base
+
+    base = _user_base(spark, sf_dir)
+    dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
+                      tile_name="decile", descending=True)
+    t = F.col("treat") == 1
+    return (dec.select("treat", "label", "decile")
+            .groupBy("decile")
+            .agg(F.sum(t.cast("int")).alias("nt"),
+                 F.sum((~t).cast("int")).alias("nc"),
+                 F.sum(F.when(t, F.col("label")).otherwise(0)).alias("pt"),
+                 F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc")))

@@ -43,6 +43,44 @@ def test_mutual_info_v2_equals_registered(spark):
     assert v2 == live
 
 
+def test_exact_ntile_matches_window(spark):
+    """The generic operator against Spark's ntile on a skewed frame
+    with heavy ties, ascending AND descending."""
+    from predictor_spark.operators.ranking import exact_ntile
+
+    base = (spark.range(3001)
+            .select((F.col("id") % 37).alias("s"),
+                    F.col("id").alias("uid"),
+                    (F.col("id") % 3).alias("lbl")))
+    for desc in (False, True):
+        order = [F.col("s").desc() if desc else F.col("s").asc(), "uid"]
+        want = sorted(_rows(base.select(
+            "uid", F.ntile(10).over(Window.orderBy(*order)).cast("long")
+            .alias("d"))))
+        got = sorted(_rows(
+            exact_ntile(base, "s", ["uid"], 10, tile_name="d",
+                        descending=desc).select("uid", "d")))
+        assert got == want, f"descending={desc}"
+
+
+def test_lift_gain_deciles_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_eval import lift_gain_deciles
+    from predictor_spark.plans.proto_r13 import lift_gain_deciles_v2
+
+    live = sorted(_rows(lift_gain_deciles(spark, SF_DIR)))
+    v2 = sorted(_rows(lift_gain_deciles_v2(spark, SF_DIR)))
+    assert v2 == live
+
+
+def test_causal_decile_agg_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_r7_causal import _decile_agg
+    from predictor_spark.plans.proto_r13 import causal_decile_agg_v2
+
+    live = sorted(_rows(_decile_agg(spark, SF_DIR)))
+    v2 = sorted(_rows(causal_decile_agg_v2(spark, SF_DIR)))
+    assert v2 == live
+
+
 @pytest.mark.skipif("RUN_SCALE" not in __import__("os").environ,
                     reason="sf0.1 probe; opt-in via RUN_SCALE=1")
 def test_mutual_info_v2_sf01_equality(spark):
