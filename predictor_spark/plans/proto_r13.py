@@ -155,3 +155,37 @@ def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((~t).cast("int")).alias("nc"),
                  F.sum(F.when(t, F.col("label")).otherwise(0)).alias("pt"),
                  F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc")))
+
+
+def funnel_latency_quantiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_latency_quantiles with the |converters|-row rank window
+    (PARALLELISM_AUDIT.md Class C) removed ENTIRELY: the row only
+    reads the order statistic at two positions (p50, p90), and ties on
+    lat_s share the value — so the smallest lat_s whose support span
+    [lo, hi] covers position k IS the ranked row's value, computed
+    from a latency-support histogram with a window over the SUPPORT
+    only. No row-level rank anywhere; exact by construction."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("mv")))
+    lat = (ev.where(F.col("event_type") == "purchase")
+           .join(mv, "user_id")
+           .where(F.col("ts") > F.col("mv"))
+           .groupBy("user_id", "mv")
+           .agg(F.min("ts").alias("mp"))
+           .select("user_id",
+                   F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
+                           / F.lit(1e6)).cast("long").alias("lat_s")))
+    sup = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+    spans = (sup.select("lat_s", "c", F.sum("c").over(wv).alias("hi"))
+             .withColumn("lo", F.col("hi") - F.col("c") + 1))
+    tot = spans.agg(F.sum("c").alias("n"))
+    k50 = F.expr("(n + 1) div 2")
+    k90 = F.expr("(9 * n + 9) div 10")
+    return (spans.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(F.when((F.col("lo") <= k50) & (k50 <= F.col("hi")),
+                     F.col("lat_s"))).alias("p50_latency_s"),
+        F.max(F.when((F.col("lo") <= k90) & (k90 <= F.col("hi")),
+                     F.col("lat_s"))).alias("p90_latency_s")))

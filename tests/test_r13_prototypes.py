@@ -90,3 +90,13 @@ def test_mutual_info_v2_sf01_equality(spark):
     sf = "/root/testdata/sf0.1"
     assert _rows(mutual_info_value_type_v2(spark, sf)) == \
         _rows(mutual_info_value_type(spark, sf))
+
+
+def test_funnel_latency_quantiles_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_r10_funnel import \
+        funnel_latency_quantiles
+    from predictor_spark.plans.proto_r13 import funnel_latency_quantiles_v2
+
+    live = _rows(funnel_latency_quantiles(spark, SF_DIR))
+    v2 = _rows(funnel_latency_quantiles_v2(spark, SF_DIR))
+    assert v2 == live
