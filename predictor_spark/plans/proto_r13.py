@@ -189,3 +189,105 @@ def funnel_latency_quantiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("lat_s"))).alias("p50_latency_s"),
         F.max(F.when((F.col("lo") <= k90) & (k90 <= F.col("hi")),
                      F.col("lat_s"))).alias("p90_latency_s")))
+
+
+def heaps_vocab_growth_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heaps_vocab_growth with the |docs|-row rank window removed: the
+    registered row only COMPARES ranks against four checkpoint
+    positions, and the rank order is exactly doc_id order — so each
+    checkpoint reduces to an order statistic of doc_id (the k-th
+    smallest), found by ebayes-style bucket refinement (bucket counts
+    -> tiny cumulative frame -> rank ONLY inside the one bucket
+    holding position k). Per-term first-occurrence rank becomes
+    min(doc_id); prefix token counts become doc_id <= threshold.
+    Exact by construction (rank r <= k  <=>  doc_id <= kth-smallest)."""
+    from predictor_spark.operators.text import tokens_col
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", tokens_col("text").alias("t")))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
+                                "frac double")
+          .crossJoin(F.broadcast(nd))
+          .select("frac", F.ceil(F.col("frac") * F.col("nd"))
+                  .cast("long").alias("k_docs")))
+    # order-statistic thresholds by bucket refinement
+    ids = docs.select("doc_id",
+                      (F.col("doc_id") - F.col("doc_id") % 1024)
+                      .alias("b"))
+    bcnt = ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bcnt.withColumn("cum", F.sum("c").over(wb))
+    target = (cp.join(F.broadcast(bcum),
+                      (F.col("cum") >= F.col("k_docs"))
+                      & (F.col("cum") - F.col("c") < F.col("k_docs")))
+              .select("frac", "k_docs", "b",
+                      (F.col("cum") - F.col("c")).alias("before")))
+    wrow = Window.partitionBy("frac").orderBy("doc_id")
+    thr = (ids.join(F.broadcast(target), "b")
+           .withColumn("rn", F.row_number().over(wrow))
+           .where(F.col("before") + F.col("rn") == F.col("k_docs"))
+           .select("frac", "k_docs", F.col("doc_id").alias("thr")))
+    # prefix token counts and vocab against the thresholds
+    tokcum = docs.select("doc_id", F.size("t").alias("ntok"))
+    toks_at = (thr.join(tokcum, tokcum.doc_id <= thr.thr)
+               .groupBy("frac", "k_docs")
+               .agg(F.sum("ntok").cast("long").alias("n_tokens")))
+    first_seen = (docs.select("doc_id", F.explode("t").alias("term"))
+                  .groupBy("term").agg(F.min("doc_id").alias("first_d")))
+    vocab_at = (thr.join(first_seen, first_seen.first_d <= thr.thr)
+                .groupBy("frac", "k_docs")
+                .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
+    return toks_at.join(F.broadcast(vocab_at), ["frac", "k_docs"]) \
+        .select("frac", "k_docs", "n_tokens", "vocab")
+
+
+def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kingman_wait_estimate with the |sessions|-row unpartitioned lag
+    window replaced by a two-phase rank (fixed-width bounds derived
+    from one min/max pull — any boundary set is rank-correct) and an
+    rn = rn+1 self-join for adjacent gaps. Exact: the rank order is
+    the same total order the lag window used. The session frame is
+    materialized once per pass like the live row's; the self-join is a
+    co-partitioned shuffle on rn instead of a single-task sort —
+    expected to be the 100 TB shape, measured either way."""
+    from predictor_spark.operators.ranking import two_phase_row_number
+    from predictor_spark.plans.catalog_r9_opsresearch import _sessions
+
+    sess, span = _sessions(spark, sf_dir)
+    lohi = sess.agg(F.min("start_ms").alias("lo"),
+                    F.max("start_ms").alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    step = max(1, (hi - lo) // 64)
+    bounds = [float(lo + i * step) for i in range(1, 64)]
+    ranked = two_phase_row_number(
+        sess.select("start_ms", "user_id", "session_id"), [],
+        "start_ms", ["start_ms", "user_id", "session_id"],
+        rank_name="rn", bounds=bounds)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    gaps = (a.join(b, F.col("a.rn") == F.col("b.rn") + 1)
+            .select((F.col("a.start_ms") - F.col("b.start_ms")).alias("g")))
+    mom = gaps.agg(F.count(F.lit(1)).alias("ng"),
+                   F.sum("g").alias("sg"),
+                   F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+                   .alias("sg2"))
+    smom = sess.agg(F.count(F.lit(1)).alias("ns"),
+                    F.sum("dur_ms").alias("ss"),
+                    F.sum(F.col("dur_ms").cast("decimal(38,0)")
+                          * F.col("dur_ms")).alias("ss2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ca2 = d("sg2") * F.col("ng") / (d("sg") * F.col("sg")) - 1
+    cs2 = d("ss2") * F.col("ns") / (d("ss") * F.col("ss")) - 1
+    a_ = d("ss") / F.col("span_ms")
+    tau = d("ss") / F.col("ns") / 60000.0
+    m = F.ceil(1.25 * a_)
+    rho = a_ / m
+    return (mom.crossJoin(F.broadcast(smom)).crossJoin(F.broadcast(span))
+            .select(
+                F.col("ns").cast("long").alias("n_sessions"),
+                F.round(ca2, 6).alias("ca_squared"),
+                F.round(cs2, 6).alias("cs_squared"),
+                m.cast("long").alias("m_servers"),
+                F.round(rho, 6).alias("utilization"),
+                F.round(rho / (1 - rho) * ((ca2 + cs2) / 2) * tau, 6)
+                .alias("kingman_wq_min")))

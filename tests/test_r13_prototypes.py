@@ -100,3 +100,22 @@ def test_funnel_latency_quantiles_v2_equals_registered(spark):
     live = _rows(funnel_latency_quantiles(spark, SF_DIR))
     v2 = _rows(funnel_latency_quantiles_v2(spark, SF_DIR))
     assert v2 == live
+
+
+def test_heaps_vocab_growth_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_textstats import heaps_vocab_growth
+    from predictor_spark.plans.proto_r13 import heaps_vocab_growth_v2
+
+    live = sorted(_rows(heaps_vocab_growth(spark, SF_DIR)))
+    v2 = sorted(_rows(heaps_vocab_growth_v2(spark, SF_DIR)))
+    assert v2 == live
+
+
+def test_kingman_wait_estimate_v2_equals_registered(spark):
+    from predictor_spark.plans.catalog_r9_opsresearch import \
+        kingman_wait_estimate
+    from predictor_spark.plans.proto_r13 import kingman_wait_estimate_v2
+
+    live = _rows(kingman_wait_estimate(spark, SF_DIR))
+    v2 = _rows(kingman_wait_estimate_v2(spark, SF_DIR))
+    assert v2 == live
