@@ -38,6 +38,23 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _assert_no_null_groups(cnt_rows, cols, op_name: str) -> None:
+    """NULL group keys break both offset operators (ADVICE r11): the
+    driver-side sorted() raises TypeError on None-vs-value, and even if
+    ordered, the non-null-safe equi-join back to the data would
+    silently DROP null-key rows where the window form ranks them
+    (nulls first, ascending). The counts table is collected anyway, so
+    the guard costs nothing and fails EARLY with the offending column
+    instead of a driver TypeError or silent row loss."""
+    for r in cnt_rows:
+        for c in cols:
+            if r[c] is None:
+                raise ValueError(
+                    f"{op_name}: NULL in {c!r} — the offset join would "
+                    f"silently drop null-key rows (the window form ranks "
+                    f"them nulls-first); filter or fill nulls upstream")
+
+
 def two_phase_row_number(df: DataFrame, part_cols: list[str],
                          bucket_col: str, order_cols: list[str],
                          rank_name: str = "i",
@@ -83,6 +100,16 @@ def two_phase_row_number(df: DataFrame, part_cols: list[str],
 
     # tiny counts table -> driver -> per-(part, bucket) prefix offsets
     cnt_rows = d2.groupBy(*part_cols, "__bkt").count().collect()
+    if not cnt_rows:
+        # empty input: createDataFrame([], [names]) cannot infer a
+        # schema, so short-circuit to the window form's result — an
+        # empty frame with the rank column attached (ADVICE r11)
+        return df.withColumn(rank_name, F.lit(None).cast("int"))
+    # nulls in bucket_col itself are SAFE here: the bucket expression
+    # maps them to bucket 0 (lowest) and the local ascending sort puts
+    # them first, matching the window form's nulls-first order — only
+    # part_cols nulls would be dropped by the offset join
+    _assert_no_null_groups(cnt_rows, part_cols, "two_phase_row_number")
     per_part: dict[tuple, dict[int, int]] = defaultdict(dict)
     for r in cnt_rows:
         per_part[tuple(r[c] for c in part_cols)][r["__bkt"]] = r["count"]
@@ -130,6 +157,16 @@ def discrete_key_rank(df: DataFrame, part_cols: list[str],
         raise ValueError(
             f"{len(cnt_rows)} distinct (part, key) groups exceeds "
             f"max_keys={max_keys}; use two_phase_row_number instead")
+    spark = df.sparkSession
+    if not cnt_rows:
+        # empty input: mirror the window form (empty frame + columns)
+        # instead of crashing in schema inference (ADVICE r11)
+        out = df.withColumn(rank_name, F.lit(None).cast("int"))
+        if total_name is not None:
+            out = out.withColumn(total_name, F.lit(None).cast("long"))
+        return out
+    _assert_no_null_groups(cnt_rows, [*part_cols, key_col],
+                           "discrete_key_rank")
     per_part: dict[tuple, dict] = defaultdict(dict)
     for r in cnt_rows:
         per_part[tuple(r[c] for c in part_cols)][r[key_col]] = r["count"]
@@ -140,7 +177,6 @@ def discrete_key_rank(df: DataFrame, part_cols: list[str],
         for k in sorted(kmap):
             offs.append((*p, k, run, total))
             run += kmap[k]
-    spark = df.sparkSession
     off_df = spark.createDataFrame(
         offs, [*part_cols, key_col, "__off", "__tot"])
 
@@ -191,9 +227,15 @@ def exact_ntile(df: DataFrame, key_col: str, tiebreak_cols: list[str],
     against Spark's ntile in tests/test_r13_prototypes.py). For
     descending=True the key must be numeric (it is negated to reuse
     the ascending support order; LONG_MIN would overflow — none of the
-    engine's score/count keys can reach it). Ties beyond `key_col` are
-    broken by `tiebreak_cols` inside the straddling groups only,
-    exactly as the window form would."""
+    engine's score/count keys can reach it). `key_col` must also be
+    NON-NULL (ADVICE r11): Spark's `ntile OVER (ORDER BY key DESC)`
+    puts nulls LAST, but negation keeps them null and the ascending
+    support order would put them FIRST — filter or sentinel-fill nulls
+    upstream (ascending null keys likewise diverge: the groupBy folds
+    them into one support row where the window orders them first but
+    tie-breaks them individually). Ties beyond `key_col` are broken by
+    `tiebreak_cols` inside the straddling groups only, exactly as the
+    window form would."""
     key = F.col(key_col)
     d2 = df.withColumn("__k", (-key) if descending else key)
     sup = d2.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))

@@ -23,14 +23,24 @@ PRODUCTS differently) so every moment sum is an exact integer; the fit
 is one closed-form double per group, rounded in-query (6 dp).
 
 Scale: one orders|x|lineitem join co-partitioned on the order key (the
-lead-time family's plan), one rank window per priority, map-side moment
-partials.  n per group is SF-linear but the state is O(groups).
+lead-time family's plan); the global per-priority rank comes from
+operators/ranking.discrete_key_rank — a 2-pass broadcast-offset rank
+keyed on the day-granular lead time (|priorities| x |distinct days|
+task parallelism) that replaced the r11 rank window, whose
+partitionBy(priority) capped the rank stage at 5 tasks at ANY cluster
+size (PARALLELISM_AUDIT.md; measured sf1 10.97 s -> 8.12 s, and the
+win grows with scale). The per-priority total n falls out of the same
+counts table, removing the second single-task count window too. Then
+map-side moment partials; n per group is SF-linear but the state is
+O(groups) and the driver-side counts collect is bounded by
+|priorities| x |distinct lead-time days| (~5 x 200 at any SF).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from predictor_spark.operators.ranking import discrete_key_rank
 from predictor_spark.plans.catalog import query, _t
 
 
@@ -103,10 +113,12 @@ def weibull_mrr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_orderkey").alias("ok"),
                   F.col("l_linenumber").alias("ln_"))
           .filter(F.col("t") > 0))
-    w = Window.partitionBy("pri").orderBy("t", "ok", "ln_")
-    wn = Window.partitionBy("pri")
-    ranked = (lt.withColumn("i", F.row_number().over(w))
-              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    # rank i = row_number over (t, ok, ln_) per priority and the
+    # per-priority total n, via the 2-pass discrete-key offset rank
+    # (see module docstring) — EXACTLY equal to the window form
+    # (tests/test_r12_prototypes.py pins it at sf0.01/0.1/1)
+    ranked = discrete_key_rank(lt, ["pri"], "t", ["ok", "ln_"],
+                               rank_name="i", total_name="n")
     x9 = F.round(F.lit(1e9) * F.log(F.col("t").cast("double")), 0) \
         .cast("long")
     y9 = F.round(F.lit(1e9) * F.log(-F.log(1.0 - (F.col("i") - 0.3)

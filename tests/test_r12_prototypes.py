@@ -65,6 +65,49 @@ def test_discrete_key_rank_matches_window(spark):
         sorted(_rows(want.select("k", "uid", "i", "n")))
 
 
+def test_rank_operators_empty_input(spark):
+    """Empty-input short-circuit (ADVICE r11): both offset operators
+    must return an empty frame with the rank column attached — the
+    window form's behavior — instead of crashing in createDataFrame
+    schema inference."""
+    from predictor_spark.operators.ranking import (discrete_key_rank,
+                                                   two_phase_row_number)
+
+    base = (spark.range(10)
+            .select(F.lit("k").alias("k"), F.col("id").alias("t"),
+                    F.col("id").alias("uid"))
+            .filter(F.col("t") < 0))
+    got = discrete_key_rank(base, ["k"], "t", ["uid"],
+                            rank_name="i", total_name="n")
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "t", "uid", "i", "n"}
+    got2 = two_phase_row_number(base, ["k"], "t", ["t", "uid"],
+                                rank_name="i", n_buckets=4)
+    assert got2.count() == 0
+    assert "i" in got2.columns
+
+
+def test_rank_operators_null_keys_raise(spark):
+    """NULL group keys fail EARLY with a clear error (ADVICE r11)
+    instead of a driver-side sorted() TypeError or silent row loss in
+    the offset equi-join."""
+    from predictor_spark.operators.ranking import (discrete_key_rank,
+                                                   two_phase_row_number)
+
+    base = (spark.range(20)
+            .select(F.lit("k").alias("k"),
+                    F.when(F.col("id") % 7 == 0, None)
+                    .otherwise(F.col("id") % 5).alias("t"),
+                    F.col("id").alias("uid")))
+    with pytest.raises(ValueError, match="NULL in 't'"):
+        discrete_key_rank(base, ["k"], "t", ["uid"], rank_name="i")
+    null_part = base.withColumn(
+        "k", F.when(F.col("uid") % 3 == 0, None).otherwise(F.col("k")))
+    with pytest.raises(ValueError, match="NULL in 'k'"):
+        two_phase_row_number(null_part, ["k"], "uid", ["uid", "t"],
+                             rank_name="i", n_buckets=4)
+
+
 def test_weibull_mrr_fit_v2_v3_equal_registered(spark):
     from predictor_spark.plans.catalog_r14_reliability import \
         weibull_mrr_fit
