@@ -626,6 +626,16 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, corpus streamed); the fusion join touches only the two
     top-k frames (≤20 rows each).  Ranks use rounded scores with id
     tie-breaks so both cut lines are engine-deterministic.
+
+    The BM25 cut is orderBy().limit(20) — Spark compiles it to
+    TakeOrderedAndProject, a per-partition partial top-k merged on the
+    k heads, fully parallel — instead of the r11 unpartitioned rank
+    window that pushed the whole scored corpus through ONE task
+    (PARALLELISM_AUDIT.md Class C; swapped r12, sf1 2.52 s → 2.00 s).
+    EXACT semantics: ranks beyond the cut never mattered (the row
+    filtered to rank ≤ 20 immediately) and the (rounded score desc,
+    doc_id) ordering is total, so the surviving 20 rows and their
+    ranks are identical; the residual row_number window sorts 20 rows.
     """
     from predictor_spark.operators import similarity
     from predictor_spark.operators.retrieval import bm25_scores
@@ -633,10 +643,13 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    wb = Window.orderBy(F.round("score", 6).desc(), "doc_id")
-    bm = (bm25_scores(docs, ["hash", "join", "scan"])
-          .withColumn("bm25_rank", F.row_number().over(wb))
-          .filter(F.col("bm25_rank") <= 20)
+    top = (bm25_scores(docs, ["hash", "join", "scan"])
+           .select("doc_id", F.round("score", 6).alias("s"))
+           .orderBy(F.col("s").desc(), "doc_id").limit(20))
+    bm = (top.withColumn(
+            "bm25_rank",
+            F.row_number().over(Window.orderBy(F.col("s").desc(),
+                                               "doc_id")))
           .select("doc_id", "bm25_rank"))
     co = (similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
           .select(F.col("neighbor_id").alias("doc_id"),

@@ -14,17 +14,27 @@ domain) runs before trusting a trend model:
                        > 1 momentum, < 1 mean reversion, with the
                        homoskedastic z statistic
 
-Determinism: block sums/squares are exact integer cents; within-block
-cumulative deviations ride ordered windows over exact partial sums;
-per-(series, n) R/S averages accumulate in explicit block order
-(never a blind float SUM); the VR's mean and q-period returns use the
-TELESCOPED forms μ = (ln c_N − ln c_1)/n and rq = ln c_t − ln c_{t−q}
-(single libm calls, no float addition chains), and the two squared
-sums accumulate in day order.
+Determinism: block sums/squares are exact integer cents; cumulative
+deviations are computed SCALED BY THE BLOCK SIZE in exact integers
+(devL = C·cnt − i·Σx, so the block range R = ΔdevL/n pays ONE float
+rounding instead of one per row — both engines evaluate the identical
+integer, then the identical double); per-(series, n) R/S averages
+accumulate in explicit block order (never a blind float SUM); the
+VR's mean and q-period returns use the TELESCOPED forms
+μ = (ln c_N − ln c_1)/n and rq = ln c_t − ln c_{t−q} (single libm
+calls, no float addition chains), and the two squared sums accumulate
+in day order.
 
-Scale: the R/S frame is one rank window per series + a block rollup
-(map-side combinable); everything after is ≤ |series|×|sizes| rows.
-The VR runs on the ≤30-row daily bar frame per series.
+Scale: ONE ordered window per series computes both the tick rank and
+the global running sum C (one exchange + one sort feed both window
+functions); the per-block cumulative-deviation window the r11 version
+ran over the 3×-expanded tick set is gone — the block-base offset
+cnt·C_base cancels exactly inside max−min, so an unordered block
+window + one hash rollup finish the job (swapped r12 from
+plans/proto_r12.py, measured sf1 4.81 s → 4.26 s; long-overflow
+headroom |C·cnt| stays under 2^63 up to ~10^10 ticks per series at
+|x| ≤ 10^5). Everything after is ≤ |series|×|sizes| rows. The VR runs
+on the ≤30-row daily bar frame per series.
 """
 
 from __future__ import annotations
@@ -59,23 +69,26 @@ _Q = 4
                        AS n) s
     ),
     devs AS (
+        -- exact-integer scaled deviation devL = cum*cnt - i*sum: the
+        -- block range R = (max - min) / n pays ONE float rounding, and
+        -- Spark evaluates the identical integer (catalog function)
         SELECT event_type, n, bid, x, i,
-               cumx - i * (CAST(sum(x) OVER wb AS DOUBLE)
-                           / count(*) OVER wb) AS dev
+               cumx * (count(*) OVER wb) - i * (sum(x) OVER wb) AS devl
         FROM sized
         WINDOW wb AS (PARTITION BY event_type, n, bid)
     ),
     blocks AS (
         SELECT event_type, n, bid,
                count(*) AS cnt, sum(x) AS sx, sum(x * x) AS sxx,
-               max(dev) - min(dev) AS r
+               max(devl) - min(devl) AS rl
         FROM devs GROUP BY event_type, n, bid
     ),
     rs AS (
         SELECT event_type, n, bid,
-               r / sqrt(greatest(CAST(sxx AS DOUBLE) / n
-                                 - (CAST(sx AS DOUBLE) / n)
-                                   * (CAST(sx AS DOUBLE) / n), 1e-12))
+               CAST(rl AS DOUBLE) / n
+               / sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                               - (CAST(sx AS DOUBLE) / n)
+                                 * (CAST(sx AS DOUBLE) / n), 1e-12))
                    AS rs
         FROM blocks WHERE cnt = n
     ),
@@ -126,41 +139,54 @@ def hurst_rs_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-point least squares. H ≈ 0.5 random walk, > 0.5 persistent
     (trending), < 0.5 anti-persistent.
 
-    Scale: one rank window per series, one block rollup, then
-    ≤|series|×3 rows; the slope is a closed form over 3 points."""
+    Scale: ONE ordered window per series (rank AND global running sum
+    from the same (partition, order) spec), an unordered block window,
+    one hash rollup, then ≤|series|×3 rows; the slope is a closed form
+    over 3 points. See the module docstring for the exact-integer devL
+    trick that removed the r11 per-block ordered window."""
     ev = _t(spark, sf_dir, "events")
     wrn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = wrn.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.round(F.col("value") * 100).cast("long")
+    # rank AND global running sum from the SAME (partition, order) spec:
+    # one exchange + one sort feed both window functions
     ticks = ev.select(
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        F.row_number().over(wrn).alias("rn"))
+        x.alias("x"),
+        F.row_number().over(wrn).alias("rn"),
+        F.sum(x).over(wrun).alias("c"))
     sizes = spark.range(len(_SIZES)).select(
         F.element_at(F.array(*[F.lit(s) for s in _SIZES]),
                      (F.col("id") + 1).cast("int")).alias("n"))
     sized = (ticks.crossJoin(F.broadcast(sizes))
-             .select("event_type", "n", "x", "rn",
+             .select("event_type", "n", "x", "rn", "c",
                      F.expr("(rn - 1) div n").alias("bid"),
                      ((F.col("rn") - 1) % F.col("n") + 1).alias("i")))
-    wcum = (Window.partitionBy("event_type", "n", "bid").orderBy("rn")
-            .rowsBetween(Window.unboundedPreceding, 0))
     wb = Window.partitionBy("event_type", "n", "bid")
-    sized = sized.withColumn("cumx", F.sum("x").over(wcum))
-    mean = F.sum("x").over(wb).cast("double") / F.count(F.lit(1)).over(wb)
-    dev = F.col("cumx") - F.col("i") * mean
+    cnt_w = F.count(F.lit(1)).over(wb)
+    sx_w = F.sum("x").over(wb)
+    # exact-integer scaled deviation: devL = C*cnt - i*sx
+    #   = cnt * ((C - C_base) - i*sx/cnt) + cnt*C_base
+    # the per-block constant cnt*C_base cancels in max-min, so the
+    # GLOBAL running sum C substitutes for the oracle's within-block
+    # cumx with bit-identical block ranges, and
+    # R = (max(devL) - min(devL)) / n pays ONE float rounding
+    dev_l = F.col("c") * cnt_w - F.col("i") * sx_w
     blocks = (sized
-              .withColumn("dev", dev)
+              .withColumn("devL", dev_l)
               .groupBy("event_type", "n", "bid")
               .agg(F.count(F.lit(1)).alias("cnt"),
                    F.sum("x").alias("sx"),
                    F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                   (F.max("dev") - F.min("dev")).alias("r")))
+                   (F.max("devL") - F.min("devL")).alias("rl")))
     sigma = F.sqrt(F.greatest(
         F.col("sxx").cast("double") / F.col("n")
         - (F.col("sx").cast("double") / F.col("n"))
         * (F.col("sx").cast("double") / F.col("n")), F.lit(1e-12)))
     rs = (blocks.where(F.col("cnt") == F.col("n"))
           .select("event_type", "n", "bid",
-                  (F.col("r") / sigma).alias("rs")))
+                  (F.col("rl").cast("double") / F.col("n") / sigma)
+                  .alias("rs")))
     wa = (Window.partitionBy("event_type", "n").orderBy("bid")
           .rowsBetween(Window.unboundedPreceding, 0))
     wdesc = Window.partitionBy("event_type", "n").orderBy(
