@@ -158,16 +158,27 @@ def _load_catalog():
 
 def _intra_module_duplicates(src: str) -> list[str]:
     """Names registered more than once within ONE module's source.
-    Static regex over both registration forms: `@query("name", ...)`
+    AST walk over Call nodes named `query` with a literal first
+    argument — covers both registration forms, `@query("name", ...)`
     decorations and programmatic `query("name", ...)(fn)` calls
-    (catalog_models.py uses the latter); validated to recover all 436
+    (catalog_models.py uses the latter), while a docstring or comment
+    that merely MENTIONS query("name") can never count (ADVICE r11:
+    the raw-source regex made such a mention a false-positive hard
+    failure of the whole catalog). Validated to recover all 436
     registered names exactly (tests/test_query_name_uniqueness.py)."""
-    import re
+    import ast
     from collections import Counter
 
-    pat = re.compile(r'(?<![\w.])query\(\s*\n?\s*(["\'])([^"\']+)\1')
-    return sorted(n for n, c in Counter(m[1] for m in pat.findall(src)).items()
-                  if c > 1)
+    names: list[str] = []
+    for node in ast.walk(ast.parse(src)):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "query"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)
+                and isinstance(node.args[0].value, str)):
+            names.append(node.args[0].value)
+    return sorted(n for n, c in Counter(names).items() if c > 1)
 
 
 def _assert_no_intra_module_duplicates() -> None:

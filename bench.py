@@ -184,7 +184,22 @@ def main() -> None:
     if subset_src:
         with open(subset_src) as fh:
             rec = json.load(fh)
-        subset = set((rec.get("parsed") or rec).get("queries", rec.get("queries", {})))
+        parsed = (rec.get("parsed") or rec)
+        subset = set(parsed.get("queries", rec.get("queries", {})))
+        # a driver-emitted BENCH_r*.json truncates its queries map to the
+        # slowest rows and records only a COUNT under queries_omitted (the
+        # omitted names live in that round's committed BENCH_FULL.json) —
+        # restricting to the truncated map would silently cover only the
+        # slowest ~30% of rows while reading as "same row set" (ADVICE
+        # r11: a silent cap the repo's own discipline says to surface)
+        omitted = parsed.get("queries_omitted") or rec.get("queries_omitted")
+        if omitted:
+            print(f"WARNING: subset source {subset_src} truncated its "
+                  f"queries map ({omitted} rows omitted; covering only "
+                  f"the {len(subset)} slowest). The attribution record "
+                  f"is PARTIAL — point SPARK_GRAFT_BENCH_SUBSET at that "
+                  f"round's BENCH_FULL.json for the complete row set.",
+                  file=sys.stderr)
         HEADLINE[:] = [n for n in HEADLINE if n in subset]
 
     # warm-up: every benched table's footer + ts-conversion path, then one

@@ -261,10 +261,17 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     screening model ships with.
 
     Scale: ntile needs a total order (score desc, user_id tie-break
-    makes it deterministic); at 100 TB the per-user frame is |users|
-    rows, orders of magnitude below the event stream, and the sort is
-    a range-partitioned exchange.  Counts per decile are exact ints;
-    the two divisions happen once per output row."""
+    makes it deterministic). The unpartitioned ntile window runs in
+    ONE task over the per-user frame — a measured trade-off, kept
+    because |users| is orders of magnitude below the event stream and
+    a 15k-row single-task sort beats the distributed form's extra
+    passes locally (sf1 1.0 vs 2.1 s; PARALLELISM_AUDIT.md). SWAP
+    TRIGGER: when the per-user frame exceeds ~10^7 rows (one task's
+    comfortable sort, ≈ sf 1000 here), replace the ntile with
+    operators/ranking.exact_ntile as in proto_r13.lift_gain_deciles_v2
+    — equality-pinned at sf0.01/0.1/1 by tests/test_r13_prototypes.py.
+    Counts per decile are exact ints; the two divisions happen once
+    per output row."""
     base = _eval_base(spark, sf_dir)
     dec = F.ntile(10).over(
         Window.orderBy(F.col("score_int").desc(), "user_id"))

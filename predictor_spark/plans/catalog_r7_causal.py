@@ -254,7 +254,16 @@ _DECILES = """
 def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-decile (treated, control) x (count, responders): users
     ranked by targeting score into 10 buckets, arms counted within
-    each — the shared reduction behind uplift and Qini."""
+    each — the shared reduction behind uplift and Qini.
+
+    The unpartitioned ntile is a measured trade-off (one task over
+    the ~15k-row user frame beats the distributed form's support
+    passes locally: sf1 0.7 vs 1.6 s; PARALLELISM_AUDIT.md). SWAP
+    TRIGGER: when the per-user frame exceeds ~10^7 rows (≈ sf 1000
+    here), replace with operators/ranking.exact_ntile as in
+    proto_r13.causal_decile_agg_v2 — equality-pinned at sf0.01/0.1/1
+    by tests/test_r13_prototypes.py; both uplift_by_decile and
+    qini_curve_points inherit the swap through this helper."""
     base = _user_base(spark, sf_dir)
     dec = F.ntile(10).over(
         Window.orderBy(F.col("pre_activity").desc(), F.col("user_id")))

@@ -250,7 +250,15 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     would cross ρ = 1 and the formula would stop meaning anything).
 
     Scale: one ordered window over |sessions| start times + two
-    moment aggregates; the formula is a 1-row expression."""
+    moment aggregates; the formula is a 1-row expression. The
+    unpartitioned lag window is a measured trade-off (one task over
+    the ~15k-row session frame beats the distributed form's
+    self-join + extra pass locally: sf1 3.25 vs 5.93 s;
+    PARALLELISM_AUDIT.md). SWAP TRIGGER: when |sessions| exceeds
+    ~10^7 rows (≈ sf 1000 here), replace the lag with the
+    fixed-bounds two_phase_row_number + rn+1 self-join form of
+    proto_r13.kingman_wait_estimate_v2 — equality-pinned at
+    sf0.01/0.1/1 by tests/test_r13_prototypes.py."""
     sess, span = _sessions(spark, sf_dir)
     wg = Window.orderBy("start_ms", "user_id", "session_id")
     gaps = (sess.select((F.col("start_ms")

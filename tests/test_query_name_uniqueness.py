@@ -65,6 +65,12 @@ def test_intra_module_duplicate_guard():
     assert _intra_module_duplicates(dup_prog) == ["c"]
     # attribute access named query( must NOT count as a registration
     assert _intra_module_duplicates('df.query("a")\n' + clean) == []
+    # a docstring or comment that MENTIONS query("a") must not count
+    # either (ADVICE r11: the raw-source regex counted it and hard-
+    # failed every _load_catalog on a documentation edit)
+    mention = ('"""swap plan: paste over query("a") next round."""\n'
+               "# see query(\"a\") for the live row\n" + clean)
+    assert _intra_module_duplicates(mention) == []
 
 
 def test_registry_scan_recovers_every_registered_name():
