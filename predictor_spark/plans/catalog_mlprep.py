@@ -635,22 +635,25 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT semantics: ranks beyond the cut never mattered (the row
     filtered to rank ≤ 20 immediately) and the (rounded score desc,
     doc_id) ordering is total, so the surviving 20 rows and their
-    ranks are identical; the residual row_number window sorts 20 rows.
+    ranks are identical. The residual ranking of the ≤20 survivors
+    happens DRIVER-SIDE on the collected cut (the same bounded-collect
+    idiom as operators/ranking.discrete_key_rank: one computation of
+    the BM25 subtree, a ≤20-row local relation back) — a 20-row
+    row_number window would re-log WindowExec's single-partition
+    warning on every AQE replan despite its constant bound.
     """
     from predictor_spark.operators import similarity
     from predictor_spark.operators.retrieval import bm25_scores
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     top = (bm25_scores(docs, ["hash", "join", "scan"])
            .select("doc_id", F.round("score", 6).alias("s"))
            .orderBy(F.col("s").desc(), "doc_id").limit(20))
-    bm = (top.withColumn(
-            "bm25_rank",
-            F.row_number().over(Window.orderBy(F.col("s").desc(),
-                                               "doc_id")))
-          .select("doc_id", "bm25_rank"))
+    cut = sorted(top.collect(), key=lambda r: (-r["s"], r["doc_id"]))
+    bm = spark.createDataFrame(
+        [(r["doc_id"], i + 1) for i, r in enumerate(cut)],
+        "doc_id long, bm25_rank int")
     co = (similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
           .select(F.col("neighbor_id").alias("doc_id"),
                   F.col("rank").alias("cos_rank")))

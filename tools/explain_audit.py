@@ -383,8 +383,17 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
     },
     "hybrid_rrf_fusion": {
-        "must": ["BroadcastHashJoin"],
+        # r12 shape: the BM25 leg's top-20 cut is TakeOrderedAndProject
+        # (parallel partial top-k) materialized by a bounded collect, so
+        # the leg's BroadcastHashJoins run in that job, not the final
+        # frame's plan; the final plan is the cosine leg's broadcast
+        # query join (its rank window is PARTITIONED, on query_id) + a
+        # ≤20x≤20 full-outer fusion. The r11 corpus-wide unpartitioned
+        # rank must not reappear — pinned by the single-WindowExec cap
+        # (the cosine leg's partitioned one), not a node ban.
+        "must": ["TakeOrderedAndProject"],
         "not": ["CartesianProduct"],
+        "max_window_execs": 1,
     },
     # sketches: fixed-width associative state, counter/bit tables
     # broadcast at probe time, token stream cached across the d hash rows

@@ -132,7 +132,7 @@ def main() -> None:
         "  inside max-min; the oracle mirrors the same integers).",
         "  Block rows shrink to N*(1/16+1/32+1/64) before anything",
         "  re-shuffles, and the 3-point log-log fit is closed-form",
-        "  column math.  sf1 wall 4.81 s (r11) -> 3.57 s (r12).",
+        "  column math.  sf1 wall 4.81 s (r11) -> 3.2-3.6 s (r12 sweeps).",
         "- **weibull_mrr_fit** (VERDICT r10 #6; SWAPPED r12): one",
         "  orders + one lineitem scan, one co-partitioned equi-join,",
         "  one rollup to 5 regression rows.  The r11 plan's rank window",
@@ -143,8 +143,8 @@ def main() -> None:
         "  (|priorities| x |days| task parallelism, driver-side counts",
         "  collect bounded by ~5 x 200 rows at any SF) that also yields",
         "  the per-priority total, removing the count window.  sf1 wall",
-        "  10.97 s (r11 live window) -> 4.43 s (r12), ratio 2.64 ->",
-        "  1.90; the join, now genuinely, is what remains.",
+        "  10.97 s (r11 live window) -> 4.3-4.4 s (r12 sweeps), ratio 2.64 ->",
+        "  ~1.5; the join, now genuinely, is what remains.",
     ]
     out = "\n".join(lines) + "\n"
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALING.md"
