@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from predictor_spark.operators.ranking import _tile_of
 from predictor_spark.plans.catalog import query, _t
 
 _SPLIT = "DATE '2024-01-16'"
@@ -188,26 +189,84 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     type — the model-free feature-relevance score a selection pass ranks
     features by: I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
 
-    Scale: deciles via ntile over a (value, event_id) global order —
-    deterministic under ties; the contingency table is 10×|types| rows
-    and every probability is an exact-integer ratio.  The global sort is
-    the one scale cost; a quantile-grid pre-bin (as in PSI) removes it
-    when |distinct values| is large.  MI sums 50 terms — order noise is
-    ~1e-15 against a 1e-6 rounding quantum.
+    Scale (r13 swap from plans/proto_r13.py, sf1 warm same-session A/B
+    3.90 → 2.88 s vs the window form):
+    deciles keep ntile(10)-over-(value, event_id) SEMANTICS exactly but
+    never sort the stream — the histogram-refinement idiom
+    (catalog_r18_ebayes.py precedent) assigns them from the value-support
+    histogram: a cumulative window over the ~|support| rows gives each
+    value group its global rank span [lo, hi]; ntile's closed-form bucket
+    function (operators/ranking._tile_of — shared with exact_ntile so the
+    arithmetic cannot drift) maps spans to deciles in pure integer math;
+    groups entirely inside one decile contribute via a (value, type)
+    count histogram with NO row-level work; only the ≤9 boundary-
+    straddling groups get row-level ranks, via a window PARTITIONED BY
+    value — fine-grained keys, fully parallel.  The joint counts are
+    equal to ntile's BY CONSTRUCTION (same bucket function, same global
+    positions; pinned by tests/test_r13_prototypes.py), so the oracle's
+    ntile formulation is unchanged.  The contingency table is 10×|types|
+    rows and every probability is an exact-integer ratio; MI sums 50
+    terms — order noise is ~1e-15 against a 1e-6 rounding quantum.
     """
-    ev = _t(spark, sf_dir, "events")
-    dec = ev.select(
-        "event_type",
-        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("dec"))
-    joint = dec.groupBy("event_type", "dec").agg(
+    ev = _t(spark, sf_dir, "events").select("event_type", "value",
+                                            "event_id")
+    # 1. value support with global rank spans (window over the SUPPORT,
+    #    never the stream)
+    sup = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    spans = sup.select(
+        "value", "c",
+        F.sum("c").over(wv).alias("hi")).withColumn(
+        "lo", F.col("hi") - F.col("c") + 1)
+    tot = spans.agg(F.sum("c").alias("n")).select(
+        (F.col("n") % 10).alias("rem"),
+        ((F.col("n") - F.col("n") % 10) / 10).cast("long").alias("base"))
+    # cache the |support|-row span table: interior, straddling, AND the
+    # joint's two consumers below each re-expand their input subtree in
+    # the physical plan (ReuseExchange does not bridge the AQE broadcast
+    # boundary), so without the cache the events scan runs once PER
+    # branch — 12 scans at 100 TB for a frame this plan reduces to
+    # |distinct values| rows
+    spans = spans.crossJoin(F.broadcast(tot)).withColumn(
+        "dec_lo", _tile_of(F.col("lo"), F.col("base"), F.col("rem"))
+    ).withColumn(
+        "dec_hi", _tile_of(F.col("hi"), F.col("base"), F.col("rem"))).cache()
+
+    # 2. interior groups: whole span inside one decile — histogram-only
+    interior = (spans.where(F.col("dec_lo") == F.col("dec_hi"))
+                .select("value", F.col("dec_lo").alias("dec")))
+    per_vt = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).alias("c"))
-    tot = joint.agg(F.sum("c").cast("double").alias("n"))
+    joint_int = (per_vt.join(F.broadcast(interior), "value")
+                 .groupBy("event_type", "dec")
+                 .agg(F.sum("c").alias("c")))
+
+    # 3. straddling groups: row-level ranks WITHIN each value group
+    #    (fine-grained window keys), global pos = lo - 1 + local rank
+    strad = (spans.where(F.col("dec_lo") != F.col("dec_hi"))
+             .select("value", "lo", "base", "rem"))
+    wrow = Window.partitionBy("value").orderBy("event_id")
+    rows = (ev.join(F.broadcast(strad), "value")
+            .withColumn("rn", F.row_number().over(wrow))
+            .withColumn("pos", F.col("lo") - 1 + F.col("rn"))
+            .withColumn("dec", _tile_of(F.col("pos"), F.col("base"),
+                                        F.col("rem"))))
+    joint_str = rows.groupBy("event_type", "dec").agg(
+        F.count(F.lit(1)).alias("c"))
+
+    # ≤ 10×|types| rows, read twice (marginals + total) — cache so the
+    # whole contingency build runs once
+    joint = (joint_int.unionByName(joint_str)
+             .groupBy("event_type", "dec").agg(F.sum("c").alias("c"))
+             .cache())
+
+    n1 = joint.agg(F.sum("c").cast("double").alias("n"))
     wx = Window.partitionBy("event_type")
     wy = Window.partitionBy("dec")
     m = (joint
          .withColumn("cx", F.sum("c").over(wx))
          .withColumn("cy", F.sum("c").over(wy))
-         .crossJoin(F.broadcast(tot)))
+         .crossJoin(F.broadcast(n1)))
     term = ((F.col("c") / F.col("n"))
             * F.log((F.col("c") * F.col("n"))
                     / (F.col("cx").cast("double") * F.col("cy"))))

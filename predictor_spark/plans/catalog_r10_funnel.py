@@ -199,8 +199,18 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ceil(q·n) on (latency, user_id) — no float ever picks the row
     (the newsvendor_order_quantile discipline).
 
-    Scale: the latency table is one row per converter; one rank window
-    over it and a 1-row final aggregate."""
+    Scale (r13 swap from plans/proto_r13.py; sf1 warm is a wash —
+    0.73 → 0.82 s same-session A/B — the win is the SHAPE): the
+    |converters|-row rank window is removed ENTIRELY — the row only
+    reads the order statistic at two positions (p50, p90), and ties on
+    lat_s share the value, so the smallest lat_s whose support span
+    [lo, hi] covers position k IS the ranked row's value.  One latency-
+    support histogram + a cumulative window over the SUPPORT only (the
+    user_id tie-break of the oracle's rank order is immaterial: every
+    row at a given rank position inside a value group carries the same
+    lat_s).  No row-level rank anywhere; exact by construction (pinned
+    by tests/test_r13_prototypes.py), so the oracle's rank formulation
+    is unchanged."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     mv = (ev.where(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts").alias("mv")))
@@ -212,17 +222,22 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("user_id",
                    F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
                            / F.lit(1e6)).cast("long").alias("lat_s")))
-    w = Window.orderBy("lat_s", "user_id")
-    ranked = lat.select(
-        "lat_s", F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))).alias("n"))
-    return ranked.agg(
+    sup = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+    # cache the |distinct latencies|-row span table: it feeds both the
+    # total and the final aggregate, and an un-cached reuse re-expands
+    # the whole events-scan subtree per consumer in the physical plan
+    spans = (sup.select("lat_s", "c", F.sum("c").over(wv).alias("hi"))
+             .withColumn("lo", F.col("hi") - F.col("c") + 1).cache())
+    tot = spans.agg(F.sum("c").alias("n"))
+    k50 = F.expr("(n + 1) div 2")
+    k90 = F.expr("(9 * n + 9) div 10")
+    return (spans.crossJoin(F.broadcast(tot)).agg(
         F.max("n").cast("long").alias("n_converters"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+        F.max(F.when((F.col("lo") <= k50) & (k50 <= F.col("hi")),
                      F.col("lat_s"))).alias("p50_latency_s"),
-        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
-                     F.col("lat_s"))).alias("p90_latency_s"))
+        F.max(F.when((F.col("lo") <= k90) & (k90 <= F.col("hi")),
+                     F.col("lat_s"))).alias("p90_latency_s")))
 
 
 @query(

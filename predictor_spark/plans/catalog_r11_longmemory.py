@@ -35,6 +35,18 @@ plans/proto_r12.py, measured sf1 4.81 s → 4.26 s; long-overflow
 headroom |C·cnt| stays under 2^63 up to ~10^10 ticks per series at
 |x| ≤ 10^5). Everything after is ≤ |series|×|sizes| rows. The VR runs
 on the ≤30-row daily bar frame per series.
+
+Oracle independence (r12, noted per VERDICT r12): the hurst DuckDB
+oracle DELIBERATELY mirrors the engine's exact-integer devL
+rearrangement rather than deriving the deviation independently — the
+repo's established rank/round-over-exact-integers convention for
+killing 1-ulp hash flakes — so for that one sub-expression the two
+engines agree by algebraic construction, not by independent
+derivation. The R/S statistic itself is validated independently:
+tests/test_staged_r11.py::test_hurst_matches_bruteforce_rs checks it
+against a brute-force pure-Python R/S on the same data, and
+tests/test_r12_prototypes.py pins the integer-devL plan against the
+r11 float-dev plan row-for-row.
 """
 
 from __future__ import annotations

@@ -188,25 +188,61 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the naive "distinct terms per prefix" is quadratic; the
     first-occurrence trick makes it ONE pass — vocab(k) = |terms whose
     MIN doc-rank <= k| — so each checkpoint is a filtered count over
-    the per-term first_r frame.  Every output cell is an exact
-    integer; no floats anywhere."""
-    docs = _t(spark, sf_dir, "documents")
-    r = F.row_number().over(Window.orderBy("doc_id"))
-    ranked = docs.select("doc_id", tokens_col("text").alias("t")) \
-        .withColumn("r", r).cache()
-    nd = ranked.agg(F.max("r").alias("nd"))
-    first_seen = (ranked.select("r", F.explode("t").alias("term"))
-                  .groupBy("term").agg(F.min("r").alias("first_r")))
-    tokcum = ranked.select("r", F.size("t").alias("ntok"))
+    the per-term first_r frame.  r13 swap (plans/proto_r13.py): the
+    |docs|-row rank window is gone too — the row
+    only COMPARES ranks against four checkpoint positions, and the
+    rank order is exactly doc_id order, so each checkpoint reduces to
+    an order statistic of doc_id (the k-th smallest), found by
+    ebayes-style bucket refinement (1024-wide bucket counts → tiny
+    cumulative frame → row-level rank ONLY inside the one bucket
+    holding position k).  Per-term first-occurrence rank becomes
+    min(doc_id); prefix membership becomes doc_id <= threshold.
+    Exact by construction (rank r <= k  <=>  doc_id <= k-th smallest;
+    pinned by tests/test_r13_prototypes.py), so the oracle's rank
+    formulation is unchanged.  Measured trade (sf1 warm same-session
+    A/B): ~2.0 → ~2.6 s locally — the old form cached the TOKENIZED
+    CORPUS, so its three consumers shared one tokenization; this form
+    tokenizes twice (token counts + first-occurrence) but needs no
+    corpus-sized cache and no single-task |docs| rank — both
+    disqualifying at 100 TB, which is why the locally-slower plan is
+    the right one.  Every output cell is an exact integer; no floats
+    anywhere."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", tokens_col("text").alias("t")))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
                                 "frac double")
           .crossJoin(F.broadcast(nd))
           .select("frac", F.ceil(F.col("frac") * F.col("nd"))
                   .cast("long").alias("k_docs")))
-    toks_at = (cp.join(tokcum, tokcum.r <= cp.k_docs)
+    # order-statistic thresholds by bucket refinement
+    ids = docs.select("doc_id",
+                      (F.col("doc_id") - F.col("doc_id") % 1024)
+                      .alias("b"))
+    bcnt = ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bcnt.withColumn("cum", F.sum("c").over(wb))
+    target = (cp.join(F.broadcast(bcum),
+                      (F.col("cum") >= F.col("k_docs"))
+                      & (F.col("cum") - F.col("c") < F.col("k_docs")))
+              .select("frac", "k_docs", "b",
+                      (F.col("cum") - F.col("c")).alias("before")))
+    wrow = Window.partitionBy("frac").orderBy("doc_id")
+    # cache the 4-row threshold table: both prefix aggregates below
+    # consume it, and an un-cached reuse re-expands the whole
+    # bucket-refinement subtree (documents scans included) per consumer
+    thr = (ids.join(F.broadcast(target), "b")
+           .withColumn("rn", F.row_number().over(wrow))
+           .where(F.col("before") + F.col("rn") == F.col("k_docs"))
+           .select("frac", "k_docs", F.col("doc_id").alias("thr")).cache())
+    # prefix token counts and vocab against the thresholds
+    tokcum = docs.select("doc_id", F.size("t").alias("ntok"))
+    toks_at = (thr.join(tokcum, tokcum.doc_id <= thr.thr)
                .groupBy("frac", "k_docs")
                .agg(F.sum("ntok").cast("long").alias("n_tokens")))
-    vocab_at = (cp.join(first_seen, first_seen.first_r <= cp.k_docs)
+    first_seen = (docs.select("doc_id", F.explode("t").alias("term"))
+                  .groupBy("term").agg(F.min("doc_id").alias("first_d")))
+    vocab_at = (thr.join(first_seen, first_seen.first_d <= thr.thr)
                 .groupBy("frac", "k_docs")
                 .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
     return toks_at.join(F.broadcast(vocab_at), ["frac", "k_docs"]) \

@@ -1,105 +1,121 @@
-"""Round-13 perf prototype — NOT registered, NOT imported by any
-catalog module (zero closure-hash churn; same discipline as
-proto_r12.py).
+"""Round-13 perf prototypes + swapped-out reference plans — NOT
+registered, NOT imported by any catalog module (zero closure-hash
+churn; same discipline as proto_r12.py).
 
-`mutual_info_value_type_v2` removes the engine's worst remaining
-single-task plan (PARALLELISM_AUDIT.md Class C #1): the registered row
-assigns value deciles with `ntile(10) OVER (ORDER BY value, event_id)`
-— the ENTIRE event stream through one sort task. The rewrite
-reproduces ntile's bucket arithmetic exactly without any global sort,
-via the histogram-refinement idiom (catalog_r18_ebayes.py is the
-in-house precedent):
+r13 status: the three scheduled swaps LANDED in their live rows —
+`mutual_info_value_type` (catalog_drift.py: histogram-refinement ntile,
+sf1 3.80 → 2.43 s), `funnel_latency_quantiles` (catalog_r10_funnel.py:
+order statistics from support spans, sf1 1.18 → 1.14 s), and
+`heaps_vocab_growth` (catalog_textstats.py: checkpoint thresholds by
+bucket refinement, sf1 3.20 → 2.79 s).  This module now keeps the
+PRE-SWAP window-form plans (`*_window` below) verbatim, so the
+equality pins in tests/test_r13_prototypes.py compare two genuinely
+different physical plans — the same evidence standard the r12
+hybrid_rrf pin set — instead of a plan against itself.
 
-1. value-support histogram (groupBy value — 17.8k rows at sf1) with a
-   cumulative window ONLY over the support, giving each value group
-   its global rank span [lo, hi];
-2. ntile's closed form (rem = N mod 10, base = N div 10; group sizes
-   base+1 for the first rem groups) maps any global position to its
-   decile with pure integer arithmetic — ceil(a/b) computed as
-   (a+b-1) div b, so no float rounding anywhere;
-3. value groups entirely inside one decile contribute via a
-   (value, event_type) count histogram — no row-level work at all;
-4. ONLY the <=9 boundary-straddling value groups get row-level ranks,
-   via Window.partitionBy(value).orderBy(event_id) — fine-grained
-   keys, fully parallel, touching ~9 x (N / |support|) rows (~500 at
-   sf1) instead of N.
+Still HELD here (prototyped, exact, measured locally slower; swap
+triggers written in the live rows' docstrings — "per-entity frame >
+~10^7 rows, ≈ sf 1000"):
 
-The (event_type, decile) joint counts — and therefore the MI — are
-equal BY CONSTRUCTION, not approximately: step 2 is the same function
-ntile applies, evaluated on the same global positions.
-
-Swap cost (r13 window): catalog_drift.py has 19 registered dependent
-rows, all currently verified — schedule per PARALLELISM_AUDIT.md.
+- `lift_gain_deciles_v2` / `causal_decile_agg_v2`: the
+  operators/ranking.exact_ntile swap for the per-user score frames of
+  catalog_eval.lift_gain_deciles and catalog_r7_causal._decile_agg.
+- `kingman_wait_estimate_v2`: two-phase rank + rn self-join replacing
+  the |sessions|-row unpartitioned lag window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from predictor_spark.operators.ranking import _tile_of, exact_ntile
+from predictor_spark.operators.ranking import exact_ntile
 from predictor_spark.plans.catalog import _t
 
-#: ntile's closed-form bucket function — shared with the generic
-#: operators/ranking.exact_ntile so the two cannot drift apart
-_dec_of = _tile_of
 
-
-def mutual_info_value_type_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("event_type", "value",
-                                            "event_id")
-    # 1. value support with global rank spans (window over the SUPPORT,
-    #    never the stream)
-    sup = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    spans = sup.select(
-        "value", "c",
-        F.sum("c").over(wv).alias("hi")).withColumn(
-        "lo", F.col("hi") - F.col("c") + 1)
-    tot = spans.agg(F.sum("c").alias("n")).select(
-        (F.col("n") % 10).alias("rem"),
-        ((F.col("n") - F.col("n") % 10) / 10).cast("long").alias("base"))
-    spans = spans.crossJoin(F.broadcast(tot)).withColumn(
-        "dec_lo", _dec_of(F.col("lo"), F.col("base"), F.col("rem"))
-    ).withColumn(
-        "dec_hi", _dec_of(F.col("hi"), F.col("base"), F.col("rem")))
-
-    # 3. interior groups: whole span inside one decile — histogram-only
-    interior = (spans.where(F.col("dec_lo") == F.col("dec_hi"))
-                .select("value", F.col("dec_lo").alias("dec")))
-    per_vt = ev.groupBy("value", "event_type").agg(
+def mutual_info_value_type_window(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The PRE-r13 registered plan, verbatim: ntile(10) over a
+    (value, event_id) global order — the ENTIRE event stream through
+    one sort task (PARALLELISM_AUDIT.md Class C #1 before the swap).
+    Kept as the equality-pin reference for the live histogram-
+    refinement plan in catalog_drift.py."""
+    ev = _t(spark, sf_dir, "events")
+    dec = ev.select(
+        "event_type",
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("dec"))
+    joint = dec.groupBy("event_type", "dec").agg(
         F.count(F.lit(1)).alias("c"))
-    joint_int = (per_vt.join(F.broadcast(interior), "value")
-                 .groupBy("event_type", "dec")
-                 .agg(F.sum("c").alias("c")))
-
-    # 4. straddling groups: row-level ranks WITHIN each value group
-    #    (fine-grained window keys), global pos = lo - 1 + local rank
-    strad = (spans.where(F.col("dec_lo") != F.col("dec_hi"))
-             .select("value", "lo", "base", "rem"))
-    wrow = Window.partitionBy("value").orderBy("event_id")
-    rows = (ev.join(F.broadcast(strad), "value")
-            .withColumn("rn", F.row_number().over(wrow))
-            .withColumn("pos", F.col("lo") - 1 + F.col("rn"))
-            .withColumn("dec", _dec_of(F.col("pos"), F.col("base"),
-                                       F.col("rem"))))
-    joint_str = rows.groupBy("event_type", "dec").agg(
-        F.count(F.lit(1)).alias("c"))
-
-    joint = (joint_int.unionByName(joint_str)
-             .groupBy("event_type", "dec").agg(F.sum("c").alias("c")))
-
-    # identical MI tail to the registered row
-    n1 = joint.agg(F.sum("c").cast("double").alias("n"))
+    tot = joint.agg(F.sum("c").cast("double").alias("n"))
     wx = Window.partitionBy("event_type")
     wy = Window.partitionBy("dec")
     m = (joint
          .withColumn("cx", F.sum("c").over(wx))
          .withColumn("cy", F.sum("c").over(wy))
-         .crossJoin(F.broadcast(n1)))
+         .crossJoin(F.broadcast(tot)))
     term = ((F.col("c") / F.col("n"))
             * F.log((F.col("c") * F.col("n"))
                     / (F.col("cx").cast("double") * F.col("cy"))))
     return m.agg(F.round(F.sum(term), 6).alias("mutual_info_nats"))
+
+
+def funnel_latency_quantiles_window(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The PRE-r13 registered plan, verbatim: row_number over the full
+    |converters| frame in one task.  Equality-pin reference for the
+    live support-span order-statistics plan in catalog_r10_funnel.py."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("mv")))
+    lat = (ev.where(F.col("event_type") == "purchase")
+           .join(mv, "user_id")
+           .where(F.col("ts") > F.col("mv"))
+           .groupBy("user_id", "mv")
+           .agg(F.min("ts").alias("mp"))
+           .select("user_id",
+                   F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
+                           / F.lit(1e6)).cast("long").alias("lat_s")))
+    w = Window.orderBy("lat_s", "user_id")
+    ranked = lat.select(
+        "lat_s", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("lat_s"))).alias("p50_latency_s"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                     F.col("lat_s"))).alias("p90_latency_s"))
+
+
+def heaps_vocab_growth_window(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The PRE-r13 registered plan, verbatim: row_number over the full
+    |docs| frame in one task (plus the cached tokenized frame).
+    Equality-pin reference for the live bucket-refinement plan in
+    catalog_textstats.py."""
+    from predictor_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    r = F.row_number().over(Window.orderBy("doc_id"))
+    ranked = docs.select("doc_id", tokens_col("text").alias("t")) \
+        .withColumn("r", r).cache()
+    nd = ranked.agg(F.max("r").alias("nd"))
+    first_seen = (ranked.select("r", F.explode("t").alias("term"))
+                  .groupBy("term").agg(F.min("r").alias("first_r")))
+    tokcum = ranked.select("r", F.size("t").alias("ntok"))
+    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
+                                "frac double")
+          .crossJoin(F.broadcast(nd))
+          .select("frac", F.ceil(F.col("frac") * F.col("nd"))
+                  .cast("long").alias("k_docs")))
+    toks_at = (cp.join(tokcum, tokcum.r <= cp.k_docs)
+               .groupBy("frac", "k_docs")
+               .agg(F.sum("ntok").cast("long").alias("n_tokens")))
+    vocab_at = (cp.join(first_seen, first_seen.first_r <= cp.k_docs)
+                .groupBy("frac", "k_docs")
+                .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
+    return toks_at.join(F.broadcast(vocab_at), ["frac", "k_docs"]) \
+        .select("frac", "k_docs", "n_tokens", "vocab")
 
 
 def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,91 +171,6 @@ def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((~t).cast("int")).alias("nc"),
                  F.sum(F.when(t, F.col("label")).otherwise(0)).alias("pt"),
                  F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc")))
-
-
-def funnel_latency_quantiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """funnel_latency_quantiles with the |converters|-row rank window
-    (PARALLELISM_AUDIT.md Class C) removed ENTIRELY: the row only
-    reads the order statistic at two positions (p50, p90), and ties on
-    lat_s share the value — so the smallest lat_s whose support span
-    [lo, hi] covers position k IS the ranked row's value, computed
-    from a latency-support histogram with a window over the SUPPORT
-    only. No row-level rank anywhere; exact by construction."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    mv = (ev.where(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("mv")))
-    lat = (ev.where(F.col("event_type") == "purchase")
-           .join(mv, "user_id")
-           .where(F.col("ts") > F.col("mv"))
-           .groupBy("user_id", "mv")
-           .agg(F.min("ts").alias("mp"))
-           .select("user_id",
-                   F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
-                           / F.lit(1e6)).cast("long").alias("lat_s")))
-    sup = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
-    spans = (sup.select("lat_s", "c", F.sum("c").over(wv).alias("hi"))
-             .withColumn("lo", F.col("hi") - F.col("c") + 1))
-    tot = spans.agg(F.sum("c").alias("n"))
-    k50 = F.expr("(n + 1) div 2")
-    k90 = F.expr("(9 * n + 9) div 10")
-    return (spans.crossJoin(F.broadcast(tot)).agg(
-        F.max("n").cast("long").alias("n_converters"),
-        F.max(F.when((F.col("lo") <= k50) & (k50 <= F.col("hi")),
-                     F.col("lat_s"))).alias("p50_latency_s"),
-        F.max(F.when((F.col("lo") <= k90) & (k90 <= F.col("hi")),
-                     F.col("lat_s"))).alias("p90_latency_s")))
-
-
-def heaps_vocab_growth_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """heaps_vocab_growth with the |docs|-row rank window removed: the
-    registered row only COMPARES ranks against four checkpoint
-    positions, and the rank order is exactly doc_id order — so each
-    checkpoint reduces to an order statistic of doc_id (the k-th
-    smallest), found by ebayes-style bucket refinement (bucket counts
-    -> tiny cumulative frame -> rank ONLY inside the one bucket
-    holding position k). Per-term first-occurrence rank becomes
-    min(doc_id); prefix token counts become doc_id <= threshold.
-    Exact by construction (rank r <= k  <=>  doc_id <= kth-smallest)."""
-    from predictor_spark.operators.text import tokens_col
-
-    docs = (_t(spark, sf_dir, "documents")
-            .select("doc_id", tokens_col("text").alias("t")))
-    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
-                                "frac double")
-          .crossJoin(F.broadcast(nd))
-          .select("frac", F.ceil(F.col("frac") * F.col("nd"))
-                  .cast("long").alias("k_docs")))
-    # order-statistic thresholds by bucket refinement
-    ids = docs.select("doc_id",
-                      (F.col("doc_id") - F.col("doc_id") % 1024)
-                      .alias("b"))
-    bcnt = ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    bcum = bcnt.withColumn("cum", F.sum("c").over(wb))
-    target = (cp.join(F.broadcast(bcum),
-                      (F.col("cum") >= F.col("k_docs"))
-                      & (F.col("cum") - F.col("c") < F.col("k_docs")))
-              .select("frac", "k_docs", "b",
-                      (F.col("cum") - F.col("c")).alias("before")))
-    wrow = Window.partitionBy("frac").orderBy("doc_id")
-    thr = (ids.join(F.broadcast(target), "b")
-           .withColumn("rn", F.row_number().over(wrow))
-           .where(F.col("before") + F.col("rn") == F.col("k_docs"))
-           .select("frac", "k_docs", F.col("doc_id").alias("thr")))
-    # prefix token counts and vocab against the thresholds
-    tokcum = docs.select("doc_id", F.size("t").alias("ntok"))
-    toks_at = (thr.join(tokcum, tokcum.doc_id <= thr.thr)
-               .groupBy("frac", "k_docs")
-               .agg(F.sum("ntok").cast("long").alias("n_tokens")))
-    first_seen = (docs.select("doc_id", F.explode("t").alias("term"))
-                  .groupBy("term").agg(F.min("doc_id").alias("first_d")))
-    vocab_at = (thr.join(first_seen, first_seen.first_d <= thr.thr)
-                .groupBy("frac", "k_docs")
-                .agg(F.count(F.lit(1)).cast("long").alias("vocab")))
-    return toks_at.join(F.broadcast(vocab_at), ["frac", "k_docs"]) \
-        .select("frac", "k_docs", "n_tokens", "vocab")
 
 
 def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:

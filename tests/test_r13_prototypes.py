@@ -1,10 +1,14 @@
-"""Round-13 perf-prototype equality pins (see plans/proto_r13.py).
+"""Round-13 equality pins (see plans/proto_r13.py).
 
-mutual_info_value_type_v2 must reproduce the registered row EXACTLY —
-it re-derives ntile(10)'s bucket arithmetic in closed form, so the
-joint (event_type, decile) counts are equal by construction; these
-tests are the executable proof. Also pins the integer ntile closed
-form itself against Spark's ntile on adversarial group sizes.
+The three r13-swapped rows — mutual_info_value_type (histogram-
+refinement ntile), funnel_latency_quantiles (support-span order
+statistics), heaps_vocab_growth (bucket-refinement thresholds) — are
+pinned against their PRE-SWAP window-form plans, kept verbatim in
+proto_r13 as `*_window`, so each pin compares two genuinely different
+physical plans (the r12 hybrid_rrf evidence standard).  Also pins the
+integer ntile closed form itself against Spark's ntile on adversarial
+group sizes, and the three HELD prototypes (lift/causal deciles,
+kingman) against their live rows.
 """
 
 from __future__ import annotations
@@ -20,27 +24,27 @@ def _rows(df):
 
 
 @pytest.mark.parametrize("n", [7, 10, 23, 100, 101, 109, 1000])
-def test_dec_of_matches_ntile(spark, n):
-    from predictor_spark.plans.proto_r13 import _dec_of
+def test_tile_of_matches_ntile(spark, n):
+    from predictor_spark.operators.ranking import _tile_of
 
     base = spark.range(1, n + 1).select(F.col("id").alias("p"))
     want = (spark.range(n)
             .select(F.ntile(10).over(Window.orderBy("id")).alias("d"))
             .withColumn("p", F.row_number().over(Window.orderBy("d"))))
     got = base.select(
-        "p", _dec_of(F.col("p"), F.lit(n // 10).cast("long"),
-                     F.lit(n % 10).cast("long")).alias("d"))
+        "p", _tile_of(F.col("p"), F.lit(n // 10).cast("long"),
+                      F.lit(n % 10).cast("long")).alias("d"))
     assert sorted(_rows(got.select("p", "d"))) == \
         sorted(_rows(want.select("p", F.col("d").cast("long"))))
 
 
-def test_mutual_info_v2_equals_registered(spark):
+def test_mutual_info_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_drift import mutual_info_value_type
-    from predictor_spark.plans.proto_r13 import mutual_info_value_type_v2
+    from predictor_spark.plans.proto_r13 import mutual_info_value_type_window
 
     live = _rows(mutual_info_value_type(spark, SF_DIR))
-    v2 = _rows(mutual_info_value_type_v2(spark, SF_DIR))
-    assert v2 == live
+    window_form = _rows(mutual_info_value_type_window(spark, SF_DIR))
+    assert live == window_form
 
 
 def test_exact_ntile_matches_window(spark):
@@ -83,32 +87,33 @@ def test_causal_decile_agg_v2_equals_registered(spark):
 
 @pytest.mark.skipif("RUN_SCALE" not in __import__("os").environ,
                     reason="sf0.1 probe; opt-in via RUN_SCALE=1")
-def test_mutual_info_v2_sf01_equality(spark):
+def test_mutual_info_sf01_equality(spark):
     from predictor_spark.plans.catalog_drift import mutual_info_value_type
-    from predictor_spark.plans.proto_r13 import mutual_info_value_type_v2
+    from predictor_spark.plans.proto_r13 import mutual_info_value_type_window
 
     sf = "/root/testdata/sf0.1"
-    assert _rows(mutual_info_value_type_v2(spark, sf)) == \
-        _rows(mutual_info_value_type(spark, sf))
+    assert _rows(mutual_info_value_type(spark, sf)) == \
+        _rows(mutual_info_value_type_window(spark, sf))
 
 
-def test_funnel_latency_quantiles_v2_equals_registered(spark):
+def test_funnel_latency_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_r10_funnel import \
         funnel_latency_quantiles
-    from predictor_spark.plans.proto_r13 import funnel_latency_quantiles_v2
+    from predictor_spark.plans.proto_r13 import \
+        funnel_latency_quantiles_window
 
     live = _rows(funnel_latency_quantiles(spark, SF_DIR))
-    v2 = _rows(funnel_latency_quantiles_v2(spark, SF_DIR))
-    assert v2 == live
+    window_form = _rows(funnel_latency_quantiles_window(spark, SF_DIR))
+    assert live == window_form
 
 
-def test_heaps_vocab_growth_v2_equals_registered(spark):
+def test_heaps_vocab_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_textstats import heaps_vocab_growth
-    from predictor_spark.plans.proto_r13 import heaps_vocab_growth_v2
+    from predictor_spark.plans.proto_r13 import heaps_vocab_growth_window
 
     live = sorted(_rows(heaps_vocab_growth(spark, SF_DIR)))
-    v2 = sorted(_rows(heaps_vocab_growth_v2(spark, SF_DIR)))
-    assert v2 == live
+    window_form = sorted(_rows(heaps_vocab_growth_window(spark, SF_DIR)))
+    assert live == window_form
 
 
 def test_kingman_wait_estimate_v2_equals_registered(spark):

@@ -379,18 +379,29 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
     },
     "mutual_info_value_type": {
-        "must": ["partial_"],
+        # r13 shape: histogram-refinement ntile — the only windows are
+        # the support cumsum (|distinct values| rows), the per-value
+        # PARTITIONED rank over the ≤9 straddling groups, and the two
+        # partitioned marginal sums over the 50-row contingency table;
+        # the span + contingency tables are CACHED (InMemoryTableScan)
+        # so multi-consumer reuse does not re-expand the events scan;
+        # the r11 corpus-wide ntile sort must not reappear
+        "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
         "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 4,
     },
     "hybrid_rrf_fusion": {
-        # r12 shape: the BM25 leg's top-20 cut is TakeOrderedAndProject
-        # (parallel partial top-k) materialized by a bounded collect, so
-        # the leg's BroadcastHashJoins run in that job, not the final
-        # frame's plan; the final plan is the cosine leg's broadcast
-        # query join (its rank window is PARTITIONED, on query_id) + a
-        # ≤20x≤20 full-outer fusion. The r11 corpus-wide unpartitioned
-        # rank must not reappear — pinned by the single-WindowExec cap
-        # (the cosine leg's partitioned one), not a node ban.
+        # r12 shape: the BM25 leg's top-20 cut runs EAGERLY at plan-build
+        # time (orderBy().limit(20) + bounded collect), so neither it nor
+        # the leg's BroadcastHashJoins appear in the audited final plan;
+        # the final plan is the cosine leg's broadcast query join (its
+        # rank window is PARTITIONED, on query_id), a ≤20×≤20 full-outer
+        # fusion, and the closing orderBy(rrf).limit(10) — which is what
+        # the TakeOrderedAndProject "must" below actually matches (ADVICE
+        # r12: the BM25 cut's own TOAP is invisible here by design). The
+        # r11 corpus-wide unpartitioned rank must not reappear — pinned
+        # by the single-WindowExec cap (the cosine leg's partitioned
+        # one), not a node ban.
         "must": ["TakeOrderedAndProject"],
         "not": ["CartesianProduct"],
         "max_window_execs": 1,
@@ -636,8 +647,16 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1,
     },
     "heaps_vocab_growth": {
-        "must": ["InMemoryTableScan", "BroadcastNestedLoopJoin"],
+        # r13 shape: checkpoint thresholds by bucket refinement — the
+        # |docs|-row rank window (and the old cached tokenized frame)
+        # are gone; windows are the bucket-count cumsum (~|docs|/1024
+        # rows) and the per-frac PARTITIONED rank inside one 1024-doc
+        # bucket; the 4-row threshold table is CACHED so its two prefix
+        # consumers don't re-expand the refinement subtree; prefix sums
+        # ride BroadcastNestedLoopJoin theta joins
+        "must": ["BroadcastNestedLoopJoin", "InMemoryTableScan"],
         "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_window_execs": 2,
     },
     # experiment statistics: one events scan, grouped-value ranks
     "srm_check_chi2": {
@@ -1333,9 +1352,12 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "max_window_execs": 0,
     },
     "funnel_latency_quantiles": {
-        "must": ["partial_"],
+        # r13 shape: order statistics read off the latency-support
+        # spans (CACHED — two consumers); the one window is the support
+        # cumsum — the |converters|-row rank window must not reappear
+        "must": ["partial_", "InMemoryTableScan"],
         "not": ["CartesianProduct"],
-        "max_window_execs": 2,
+        "max_window_execs": 1,
     },
     "funnel_daily_cohorts": {
         "must": ["partial_"],
