@@ -107,12 +107,19 @@ def weibull_mrr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate")
+    # cache the lead-time frame: discrete_key_rank reads it twice (the
+    # counts collect, then the offset join), and un-cached the
+    # orders|x|lineitem join recomputed per pass — the documented r12
+    # sf0.1 crossover where two passes cost more than the 5-task window
+    # until data outweighs the second scan. Cached, the crossover is
+    # gone (sf0.1 warm 3.13 -> 2.76 s, cold 9.25 -> 3.69 s); the frame
+    # is 4 narrow columns and spills via MEMORY_AND_DISK at scale.
     lt = (li.join(o, li.l_orderkey == o.o_orderkey)
           .select(F.col("o_orderpriority").alias("pri"),
                   F.datediff("l_shipdate", "o_orderdate").alias("t"),
                   F.col("l_orderkey").alias("ok"),
                   F.col("l_linenumber").alias("ln_"))
-          .filter(F.col("t") > 0))
+          .filter(F.col("t") > 0).cache())
     # rank i = row_number over (t, ok, ln_) per priority and the
     # per-priority total n, via the 2-pass discrete-key offset rank
     # (see module docstring) — EXACTLY equal to the window form
