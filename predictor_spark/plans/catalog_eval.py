@@ -265,9 +265,11 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE task over the per-user frame — a measured trade-off, kept
     because |users| is orders of magnitude below the event stream and
     a 15k-row single-task sort beats the distributed form's extra
-    passes locally (sf1 1.0 vs 2.1 s; PARALLELISM_AUDIT.md). SWAP
+    passes locally (sf1 1.0 vs 2.1 s; PARALLELISM_AUDIT.md). Frame
+    size, measured r13: 15,000 distinct users at sf1 (events 1.0 M),
+    so the trigger sits at ≈ sf 700. SWAP
     TRIGGER: when the per-user frame exceeds ~10^7 rows (one task's
-    comfortable sort, ≈ sf 1000 here), replace the ntile with
+    comfortable sort), replace the ntile with
     operators/ranking.exact_ntile as in proto_r13.lift_gain_deciles_v2
     — equality-pinned at sf0.01/0.1/1 by tests/test_r13_prototypes.py.
     Counts per decile are exact ints; the two divisions happen once

@@ -258,9 +258,11 @@ def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The unpartitioned ntile is a measured trade-off (one task over
     the ~15k-row user frame beats the distributed form's support
-    passes locally: sf1 0.7 vs 1.6 s; PARALLELISM_AUDIT.md). SWAP
-    TRIGGER: when the per-user frame exceeds ~10^7 rows (≈ sf 1000
-    here), replace with operators/ranking.exact_ntile as in
+    passes locally: sf1 0.7 vs 1.6 s; PARALLELISM_AUDIT.md). Frame
+    size, measured r13: 15,000 distinct users at sf1, so the trigger
+    sits at ≈ sf 700. SWAP
+    TRIGGER: when the per-user frame exceeds ~10^7 rows, replace
+    with operators/ranking.exact_ntile as in
     proto_r13.causal_decile_agg_v2 — equality-pinned at sf0.01/0.1/1
     by tests/test_r13_prototypes.py; both uplift_by_decile and
     qini_curve_points inherit the swap through this helper."""

@@ -251,14 +251,20 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one ordered window over |sessions| start times + two
     moment aggregates; the formula is a 1-row expression. The
-    unpartitioned lag window is a measured trade-off (one task over
-    the ~15k-row session frame beats the distributed form's
-    self-join + extra pass locally: sf1 3.25 vs 5.93 s;
-    PARALLELISM_AUDIT.md). SWAP TRIGGER: when |sessions| exceeds
-    ~10^7 rows (≈ sf 1000 here), replace the lag with the
+    unpartitioned lag window is a measured trade-off — one task
+    beats the distributed form's self-join + extra pass locally
+    (r13 same-session sf1 A/B: live 2.2–3.0 s vs the prototype with
+    cached session/rank frames 4.2 s). Frame size, measured r13: the
+    30-minute gap rule makes nearly every event its own session, so
+    |sessions| = 954,650 at sf1 (≈ |events|, NOT the ~15k-per-entity
+    shape of the other held rows) — the ~10^7-row trigger therefore
+    sits at ≈ SF 10, not sf 1000; this is the FIRST held row to swap
+    if the data grows. SWAP TRIGGER: when |sessions| exceeds
+    ~10^7 rows, replace the lag with the
     fixed-bounds two_phase_row_number + rn+1 self-join form of
-    proto_r13.kingman_wait_estimate_v2 — equality-pinned at
-    sf0.01/0.1/1 by tests/test_r13_prototypes.py."""
+    proto_r13.kingman_wait_estimate_v2 (cache `sess` and the ranked
+    frame when swapping — each is consumed twice) — equality-pinned
+    at sf0.01/0.1/1 by tests/test_r13_prototypes.py."""
     sess, span = _sessions(spark, sf_dir)
     wg = Window.orderBy("start_ms", "user_id", "session_id")
     gaps = (sess.select((F.col("start_ms")

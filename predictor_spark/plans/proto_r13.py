@@ -178,14 +178,21 @@ def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     window replaced by a two-phase rank (fixed-width bounds derived
     from one min/max pull — any boundary set is rank-correct) and an
     rn = rn+1 self-join for adjacent gaps. Exact: the rank order is
-    the same total order the lag window used. The session frame is
-    materialized once per pass like the live row's; the self-join is a
-    co-partitioned shuffle on rn instead of a single-task sort —
-    expected to be the 100 TB shape, measured either way."""
+    the same total order the lag window used; the self-join is a
+    co-partitioned shuffle on rn instead of a single-task sort — the
+    100 TB shape. The session and ranked frames are CACHED, each
+    being consumed twice (r13 finding: un-cached, the sessionization
+    window recomputed per consumer — 5.3 s at sf1 vs 4.2 s cached).
+    Still HELD: the live lag form runs 2.2–3.0 s on the same data,
+    BUT the r13 measurement corrected the frame-size assumption —
+    |sessions| = 954,650 at sf1 (≈ |events|, the 30-min gap rule
+    makes nearly every event its own session), so the ~10^7-row swap
+    trigger sits at ≈ SF 10, first of the held rows to fire."""
     from predictor_spark.operators.ranking import two_phase_row_number
     from predictor_spark.plans.catalog_r9_opsresearch import _sessions
 
     sess, span = _sessions(spark, sf_dir)
+    sess = sess.cache()
     lohi = sess.agg(F.min("start_ms").alias("lo"),
                     F.max("start_ms").alias("hi")).collect()[0]
     lo, hi = lohi["lo"], lohi["hi"]
@@ -194,7 +201,7 @@ def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_phase_row_number(
         sess.select("start_ms", "user_id", "session_id"), [],
         "start_ms", ["start_ms", "user_id", "session_id"],
-        rank_name="rn", bounds=bounds)
+        rank_name="rn", bounds=bounds).cache()
     a, b = ranked.alias("a"), ranked.alias("b")
     gaps = (a.join(b, F.col("a.rn") == F.col("b.rn") + 1)
             .select((F.col("a.start_ms") - F.col("b.start_ms")).alias("g")))
