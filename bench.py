@@ -278,6 +278,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # machine-speed yardstick, independent of Spark: r13 settled a
+    # "+15 % bench regression" as machine-state drift between grading
+    # windows (per-row median ratio vs the driver's own numbers was
+    # 1.002 on an idle VM) — recording these two numbers per run makes
+    # the next drift attribution a one-line comparison instead of a
+    # controlled experiment. Reference point (r13, VERIFICATION_r13
+    # §4): matmul ~0.70-0.94 s, loop ~2.1 s.
+    try:
+        import numpy as _np
+        _rng = _np.random.default_rng(0)
+        _a, _b = _rng.random((2048, 2048)), _rng.random((2048, 2048))
+        _a @ _b  # BLAS warm-up
+        _t0 = time.perf_counter()
+        _a @ _b
+        _mm = round(time.perf_counter() - _t0, 3)
+        _t0 = time.perf_counter()
+        _s = 0
+        for _i in range(5_000_000):
+            _s += _i
+        _loop = round(time.perf_counter() - _t0, 3)
+        yardstick = {"matmul2048_s": _mm, "pyloop5e6_s": _loop}
+    except Exception:
+        yardstick = {}
+
     full = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -285,6 +310,7 @@ def main() -> None:
         "queries": timings,
         "single_run_cold_warm": cold_warm,
         "sf": sf,
+        "machine_yardstick": yardstick,
     }
     # The driver captures only the LAST ~2000 chars of stdout and parses
     # the JSON line found there. Round 6's line (80+ rows, pretty

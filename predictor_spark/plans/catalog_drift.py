@@ -207,6 +207,16 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile formulation is unchanged.  The contingency table is 10×|types|
     rows and every probability is an exact-integer ratio; MI sums 50
     terms — order noise is ~1e-15 against a 1e-6 rounding quantum.
+
+    Skew caveat: a straddling VALUE GROUP is ranked in one task (the
+    window partitions by value), so a single value covering a large
+    share of the stream would concentrate that share into one task.
+    Here value is a cents-quantized price with ~17.8k-value support at
+    sf1 (largest group ~N/10^4), so the bound is comfortable; if a
+    future dataset has a dominant tie value, rank the straddling rows
+    with operators/ranking.two_phase_row_number(part_cols=["value"])
+    instead — same output, quantile-bucketed parallelism inside the
+    group.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "value",
                                             "event_id")
