@@ -190,6 +190,61 @@ def discrete_key_rank(df: DataFrame, part_cols: list[str],
     return out.drop("__off", "__tot")
 
 
+def _tile_of_py(p: int, base: int, rem: int) -> int:
+    """Driver-side mirror of `_tile_of` — same closed form in exact
+    Python integers (pinned against Spark's ntile alongside _tile_of
+    in tests/test_r13_prototypes.py). Used by `ntile_spans`."""
+    head = rem * (base + 1)
+    if p <= head:
+        return (p + base) // (base + 1)
+    return rem + (p - head + base - 1) // base
+
+
+def ntile_spans(counts, n_tiles: int, *, op_name: str = "ntile_spans",
+                max_keys: int = 200_000):
+    """Driver-side span/tile assignment from a COLLECTED (key, count)
+    histogram — the bounded-collect idiom (r12 hybrid_rrf /
+    discrete_key_rank precedent) applied to the support-histogram
+    ntile: computing the prefix sums here instead of in an
+    unpartitioned support window removes the last `WindowExec: No
+    Partition Defined` source from the plan (the warning re-fires on
+    every AQE replan however small the support frame is).
+
+    `counts`: iterable of (key, count) pairs (any orderable non-null
+    key). Returns (interior, strad, base, rem, total) where
+    interior = [(key, tile)] for key groups entirely inside one tile,
+    strad = [(key, lo)] for the <= n_tiles-1 boundary-straddling
+    groups (lo = the group's 1-based global start position), and
+    base/rem parameterize `_tile_of` for the straddling rows'
+    row-level ranks. Exact ntile semantics by construction — the same
+    closed form the in-plan `_tile_of` evaluates."""
+    pairs = list(counts)
+    if len(pairs) > max_keys:
+        raise ValueError(
+            f"{op_name}: {len(pairs)} distinct keys exceeds "
+            f"max_keys={max_keys}; the support no longer fits the "
+            f"bounded-collect contract — use exact_ntile instead")
+    for k, _ in pairs:
+        if k is None:
+            raise ValueError(
+                f"{op_name}: NULL key in the support histogram — the "
+                f"local-relation join back would silently drop null-key "
+                f"rows; filter or fill nulls upstream")
+    pairs.sort(key=lambda kv: kv[0])
+    total = sum(c for _, c in pairs)
+    base, rem = total // n_tiles, total % n_tiles
+    interior, strad = [], []
+    lo = 1
+    for k, c in pairs:
+        hi = lo + c - 1
+        if _tile_of_py(lo, base, rem) == _tile_of_py(hi, base, rem):
+            interior.append((k, _tile_of_py(lo, base, rem)))
+        else:
+            strad.append((k, lo))
+        lo = hi + 1
+    return interior, strad, base, rem, total
+
+
 def _tile_of(p, base, rem):
     """ntile group of 1-based global position p — integer-exact
     (ceil(a/b) spelled (a+b-1) div b, with the exact-multiple division

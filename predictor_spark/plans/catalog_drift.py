@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from predictor_spark.operators.ranking import _tile_of
+from predictor_spark.operators.ranking import _tile_of, ntile_spans
 from predictor_spark.plans.catalog import query, _t
 
 _SPLIT = "DATE '2024-01-16'"
@@ -194,10 +194,15 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles keep ntile(10)-over-(value, event_id) SEMANTICS exactly but
     never sort the stream — the histogram-refinement idiom
     (catalog_r18_ebayes.py precedent) assigns them from the value-support
-    histogram: a cumulative window over the ~|support| rows gives each
-    value group its global rank span [lo, hi]; ntile's closed-form bucket
-    function (operators/ranking._tile_of — shared with exact_ntile so the
-    arithmetic cannot drift) maps spans to deciles in pure integer math;
+    histogram: the support's global rank spans [lo, hi] are computed
+    DRIVER-SIDE from the collected (value, count) histogram
+    (operators/ranking.ntile_spans — the bounded-collect idiom,
+    max_keys-guarded; ~17.8k rows at sf1, price-range-bounded at any
+    SF), which also removes the unpartitioned support-window's
+    `No Partition Defined` log noise; ntile's closed-form bucket
+    function (operators/ranking._tile_of / _tile_of_py — shared with
+    exact_ntile so the arithmetic cannot drift) maps spans to deciles
+    in pure integer math;
     groups entirely inside one decile contribute via a (value, type)
     count histogram with NO row-level work; only the ≤9 boundary-
     straddling groups get row-level ranks, via a window PARTITIONED BY
@@ -220,47 +225,37 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "value",
                                             "event_id")
-    # 1. value support with global rank spans (window over the SUPPORT,
-    #    never the stream)
-    sup = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    spans = sup.select(
-        "value", "c",
-        F.sum("c").over(wv).alias("hi")).withColumn(
-        "lo", F.col("hi") - F.col("c") + 1)
-    tot = spans.agg(F.sum("c").alias("n")).select(
-        (F.col("n") % 10).alias("rem"),
-        ((F.col("n") - F.col("n") % 10) / 10).cast("long").alias("base"))
-    # cache the |support|-row span table: interior, straddling, AND the
-    # joint's two consumers below each re-expand their input subtree in
-    # the physical plan (ReuseExchange does not bridge the AQE broadcast
-    # boundary), so without the cache the events scan runs once PER
-    # branch — 12 scans at 100 TB for a frame this plan reduces to
-    # |distinct values| rows
-    spans = spans.crossJoin(F.broadcast(tot)).withColumn(
-        "dec_lo", _tile_of(F.col("lo"), F.col("base"), F.col("rem"))
-    ).withColumn(
-        "dec_hi", _tile_of(F.col("hi"), F.col("base"), F.col("rem"))).cache()
+    # 1. value-support histogram, collected and turned into global rank
+    #    spans DRIVER-SIDE (operators/ranking.ntile_spans — the
+    #    bounded-collect idiom): the support is |distinct quantized
+    #    values| rows (~17.8k at sf1, price-range-bounded at any SF,
+    #    max_keys-guarded), and computing the prefix sums here instead
+    #    of in an unpartitioned support window removes the plan's last
+    #    `No Partition Defined` WindowExec
+    sup_rows = [(r["value"], r["c"]) for r in
+                ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+                .collect()]
+    int_rows, strad_rows, base, rem, _n = ntile_spans(
+        sup_rows, 10, op_name="mutual_info_value_type")
 
     # 2. interior groups: whole span inside one decile — histogram-only
-    interior = (spans.where(F.col("dec_lo") == F.col("dec_hi"))
-                .select("value", F.col("dec_lo").alias("dec")))
     per_vt = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).alias("c"))
+    interior = spark.createDataFrame(int_rows, "value double, dec long")
     joint_int = (per_vt.join(F.broadcast(interior), "value")
                  .groupBy("event_type", "dec")
                  .agg(F.sum("c").alias("c")))
 
-    # 3. straddling groups: row-level ranks WITHIN each value group
-    #    (fine-grained window keys), global pos = lo - 1 + local rank
-    strad = (spans.where(F.col("dec_lo") != F.col("dec_hi"))
-             .select("value", "lo", "base", "rem"))
+    # 3. straddling groups (≤9): row-level ranks WITHIN each value
+    #    group (fine-grained window keys), global pos = lo - 1 + rank
+    strad = spark.createDataFrame(strad_rows, "value double, lo long")
     wrow = Window.partitionBy("value").orderBy("event_id")
     rows = (ev.join(F.broadcast(strad), "value")
             .withColumn("rn", F.row_number().over(wrow))
             .withColumn("pos", F.col("lo") - 1 + F.col("rn"))
-            .withColumn("dec", _tile_of(F.col("pos"), F.col("base"),
-                                        F.col("rem"))))
+            .withColumn("dec", _tile_of(F.col("pos"),
+                                        F.lit(base).cast("long"),
+                                        F.lit(rem).cast("long"))))
     joint_str = rows.groupBy("event_type", "dec").agg(
         F.count(F.lit(1)).alias("c"))
 

@@ -204,13 +204,16 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     |converters|-row rank window is removed ENTIRELY — the row only
     reads the order statistic at two positions (p50, p90), and ties on
     lat_s share the value, so the smallest lat_s whose support span
-    [lo, hi] covers position k IS the ranked row's value.  One latency-
-    support histogram + a cumulative window over the SUPPORT only (the
-    user_id tie-break of the oracle's rank order is immaterial: every
-    row at a given rank position inside a value group carries the same
-    lat_s).  No row-level rank anywhere; exact by construction (pinned
-    by tests/test_r13_prototypes.py), so the oracle's rank formulation
-    is unchanged."""
+    covers position k IS the ranked row's value (the user_id tie-break
+    of the oracle's rank order is immaterial: every row at a given
+    rank position inside a value group carries the same lat_s).  ONE
+    distributed pass reduces the stream to the |distinct whole-second
+    latencies| histogram (bounded by the latency range, not by N); the
+    two order statistics are then read off the COLLECTED histogram
+    driver-side — the bounded-collect idiom, which also keeps the plan
+    free of unpartitioned windows.  Exact by construction (pinned by
+    tests/test_r13_prototypes.py), so the oracle's rank formulation is
+    unchanged."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     mv = (ev.where(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts").alias("mv")))
@@ -222,22 +225,24 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("user_id",
                    F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
                            / F.lit(1e6)).cast("long").alias("lat_s")))
-    sup = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
-    # cache the |distinct latencies|-row span table: it feeds both the
-    # total and the final aggregate, and an un-cached reuse re-expands
-    # the whole events-scan subtree per consumer in the physical plan
-    spans = (sup.select("lat_s", "c", F.sum("c").over(wv).alias("hi"))
-             .withColumn("lo", F.col("hi") - F.col("c") + 1).cache())
-    tot = spans.agg(F.sum("c").alias("n"))
-    k50 = F.expr("(n + 1) div 2")
-    k90 = F.expr("(9 * n + 9) div 10")
-    return (spans.crossJoin(F.broadcast(tot)).agg(
-        F.max("n").cast("long").alias("n_converters"),
-        F.max(F.when((F.col("lo") <= k50) & (k50 <= F.col("hi")),
-                     F.col("lat_s"))).alias("p50_latency_s"),
-        F.max(F.when((F.col("lo") <= k90) & (k90 <= F.col("hi")),
-                     F.col("lat_s"))).alias("p90_latency_s")))
+    sup = sorted((r["lat_s"], r["c"]) for r in
+                 lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+                 .collect())
+    n = sum(c for _, c in sup)
+    k50, k90 = (n + 1) // 2, (9 * n + 9) // 10
+    p50 = p90 = None
+    hi = 0
+    for lat_s, c in sup:
+        lo, hi = hi + 1, hi + c
+        if lo <= k50 <= hi:
+            p50 = lat_s
+        if lo <= k90 <= hi:
+            p90 = lat_s
+    # empty-input mirror: the window form's agg over an empty frame
+    # returns one all-NULL row, so n_converters is NULL there (not 0)
+    return spark.createDataFrame(
+        [(n if sup else None, p50, p90)],
+        "n_converters long, p50_latency_s long, p90_latency_s long")
 
 
 @query(

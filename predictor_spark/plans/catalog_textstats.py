@@ -193,8 +193,9 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     only COMPARES ranks against four checkpoint positions, and the
     rank order is exactly doc_id order, so each checkpoint reduces to
     an order statistic of doc_id (the k-th smallest), found by
-    ebayes-style bucket refinement (1024-wide bucket counts → tiny
-    cumulative frame → row-level rank ONLY inside the one bucket
+    ebayes-style bucket refinement (1024-wide bucket counts → the
+    cumulative walk on the COLLECTED counts driver-side, the
+    bounded-collect idiom → row-level rank ONLY inside the one bucket
     holding position k).  Per-term first-occurrence rank becomes
     min(doc_id); prefix membership becomes doc_id <= threshold.
     Exact by construction (rank r <= k  <=>  doc_id <= k-th smallest;
@@ -207,26 +208,34 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     disqualifying at 100 TB, which is why the locally-slower plan is
     the right one.  Every output cell is an exact integer; no floats
     anywhere."""
+    import math
+
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", tokens_col("text").alias("t")))
-    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
-                                "frac double")
-          .crossJoin(F.broadcast(nd))
-          .select("frac", F.ceil(F.col("frac") * F.col("nd"))
-                  .cast("long").alias("k_docs")))
-    # order-statistic thresholds by bucket refinement
+    # order-statistic thresholds by bucket refinement: ONE distributed
+    # pass reduces doc_ids to 1024-wide bucket counts (~|docs|/1024
+    # rows — 49 at sf1, still tiny at any realistic SF); the cumulative
+    # walk and the checkpoint→bucket assignment run DRIVER-SIDE on the
+    # collected counts (bounded-collect idiom, which also keeps the
+    # plan free of unpartitioned windows)
     ids = docs.select("doc_id",
                       (F.col("doc_id") - F.col("doc_id") % 1024)
                       .alias("b"))
-    bcnt = ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    bcum = bcnt.withColumn("cum", F.sum("c").over(wb))
-    target = (cp.join(F.broadcast(bcum),
-                      (F.col("cum") >= F.col("k_docs"))
-                      & (F.col("cum") - F.col("c") < F.col("k_docs")))
-              .select("frac", "k_docs", "b",
-                      (F.col("cum") - F.col("c")).alias("before")))
+    bcnt = sorted((r["b"], r["c"]) for r in
+                  ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+                  .collect())
+    nd = sum(c for _, c in bcnt)
+    target_rows = []
+    for frac in (0.1, 0.25, 0.5, 1.0):
+        k_docs = math.ceil(frac * nd)
+        cum = 0
+        for b, c in bcnt:
+            if cum + c >= k_docs > cum:
+                target_rows.append((frac, k_docs, b, cum))
+                break
+            cum += c
+    target = spark.createDataFrame(
+        target_rows, "frac double, k_docs long, b long, before long")
     wrow = Window.partitionBy("frac").orderBy("doc_id")
     # cache the 4-row threshold table: both prefix aggregates below
     # consume it, and an un-cached reuse re-expands the whole

@@ -25,7 +25,7 @@ def _rows(df):
 
 @pytest.mark.parametrize("n", [7, 10, 23, 100, 101, 109, 1000])
 def test_tile_of_matches_ntile(spark, n):
-    from predictor_spark.operators.ranking import _tile_of
+    from predictor_spark.operators.ranking import _tile_of, _tile_of_py
 
     base = spark.range(1, n + 1).select(F.col("id").alias("p"))
     want = (spark.range(n)
@@ -34,8 +34,45 @@ def test_tile_of_matches_ntile(spark, n):
     got = base.select(
         "p", _tile_of(F.col("p"), F.lit(n // 10).cast("long"),
                       F.lit(n % 10).cast("long")).alias("d"))
-    assert sorted(_rows(got.select("p", "d"))) == \
-        sorted(_rows(want.select("p", F.col("d").cast("long"))))
+    expected = sorted(_rows(want.select("p", F.col("d").cast("long"))))
+    assert sorted(_rows(got.select("p", "d"))) == expected
+    # the driver-side mirror computes the identical mapping
+    py = sorted((p, _tile_of_py(p, n // 10, n % 10))
+                for p in range(1, n + 1))
+    assert py == expected
+
+
+def test_ntile_spans_matches_window_spans():
+    """Driver-side span/tile assignment vs a brute-force recomputation
+    over a tied, skewed histogram — including the guards."""
+    import pytest as _pytest
+
+    from predictor_spark.operators.ranking import _tile_of_py, ntile_spans
+
+    counts = [(5, 7), (1, 3), (9, 1), (2, 40), (7, 12)]
+    interior, strad, base, rem, total = ntile_spans(counts, 10)
+    assert total == 63 and (base, rem) == (6, 3)
+    # brute force: positions of each key under the sorted-key order
+    lo = 1
+    expect_int, expect_strad = [], []
+    for k, c in sorted(counts):
+        hi = lo + c - 1
+        tiles = {_tile_of_py(p, base, rem) for p in range(lo, hi + 1)}
+        if len(tiles) == 1:
+            expect_int.append((k, tiles.pop()))
+        else:
+            expect_strad.append((k, lo))
+        lo = hi + 1
+    assert interior == expect_int and strad == expect_strad
+    # every key lands in exactly one list, straddlers < n_tiles
+    assert len(interior) + len(strad) == len(counts)
+    assert len(strad) <= 9
+    # guards
+    assert ntile_spans([], 10) == ([], [], 0, 0, 0)
+    with _pytest.raises(ValueError, match="NULL key"):
+        ntile_spans([(None, 3)], 10)
+    with _pytest.raises(ValueError, match="max_keys"):
+        ntile_spans([(i, 1) for i in range(11)], 10, max_keys=10)
 
 
 def test_mutual_info_live_equals_window_form(spark):

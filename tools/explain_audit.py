@@ -379,16 +379,18 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
     },
     "mutual_info_value_type": {
-        # r13 shape: histogram-refinement ntile — the only windows are
-        # the support cumsum (|distinct values| rows), the per-value
-        # PARTITIONED rank over the ≤9 straddling groups, and the two
-        # partitioned marginal sums over the 50-row contingency table;
-        # the span + contingency tables are CACHED (InMemoryTableScan)
-        # so multi-consumer reuse does not re-expand the events scan;
-        # the r11 corpus-wide ntile sort must not reappear
+        # r13 shape: histogram-refinement ntile — the support spans are
+        # computed DRIVER-SIDE from the collected histogram
+        # (ntile_spans, bounded-collect), so the only windows are the
+        # per-value PARTITIONED rank over the ≤9 straddling groups and
+        # the two partitioned marginal sums over the 50-row contingency
+        # table (ZERO unpartitioned windows); the contingency table is
+        # CACHED (InMemoryTableScan) so its two consumers don't
+        # re-expand the events scan; the r11 corpus-wide ntile sort
+        # must not reappear
         "must": ["partial_", "BroadcastHashJoin", "InMemoryTableScan"],
         "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_window_execs": 4,
+        "max_window_execs": 3,
     },
     "hybrid_rrf_fusion": {
         # r12 shape: the BM25 leg's top-20 cut runs EAGERLY at plan-build
@@ -649,14 +651,15 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "heaps_vocab_growth": {
         # r13 shape: checkpoint thresholds by bucket refinement — the
         # |docs|-row rank window (and the old cached tokenized frame)
-        # are gone; windows are the bucket-count cumsum (~|docs|/1024
-        # rows) and the per-frac PARTITIONED rank inside one 1024-doc
-        # bucket; the 4-row threshold table is CACHED so its two prefix
-        # consumers don't re-expand the refinement subtree; prefix sums
-        # ride BroadcastNestedLoopJoin theta joins
+        # are gone; the bucket-count cumulative walk runs DRIVER-SIDE
+        # on the collected ~|docs|/1024-row counts (bounded-collect),
+        # so the only window is the per-frac PARTITIONED rank inside
+        # one 1024-doc bucket; the 4-row threshold table is CACHED so
+        # its two prefix consumers don't re-expand the refinement
+        # subtree; prefix sums ride BroadcastNestedLoopJoin theta joins
         "must": ["BroadcastNestedLoopJoin", "InMemoryTableScan"],
         "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_window_execs": 2,
+        "max_window_execs": 1,
     },
     # experiment statistics: one events scan, grouped-value ranks
     "srm_check_chi2": {
@@ -1352,12 +1355,16 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "max_window_execs": 0,
     },
     "funnel_latency_quantiles": {
-        # r13 shape: order statistics read off the latency-support
-        # spans (CACHED — two consumers); the one window is the support
-        # cumsum — the |converters|-row rank window must not reappear
-        "must": ["partial_", "InMemoryTableScan"],
-        "not": ["CartesianProduct"],
-        "max_window_execs": 1,
+        # r13 shape: ONE distributed pass reduces the stream to the
+        # |distinct whole-second latencies| histogram; the two order
+        # statistics are read off the COLLECTED histogram driver-side
+        # (bounded-collect idiom) — ZERO windows; the |converters|-row
+        # rank window must not reappear. The audited plan is the final
+        # 1-row local relation (the histogram job runs eagerly at
+        # build time, like hybrid_rrf's BM25 cut).
+        "must": [],
+        "not": ["CartesianProduct", "Window"],
+        "max_window_execs": 0,
     },
     "funnel_daily_cohorts": {
         "must": ["partial_"],
