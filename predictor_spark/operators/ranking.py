@@ -267,7 +267,8 @@ def _tile_of(p, base, rem):
 
 def exact_ntile(df: DataFrame, key_col: str, tiebreak_cols: list[str],
                 n_tiles: int, tile_name: str = "tile",
-                descending: bool = False) -> DataFrame:
+                descending: bool = False,
+                collect_spans: bool = False) -> DataFrame:
     """`ntile(n) OVER (ORDER BY key [DESC], *tiebreak)` WITHOUT the
     global single-task sort (PARALLELISM_AUDIT.md Class C): a
     key-support histogram gives every key group its global rank span
@@ -290,10 +291,46 @@ def exact_ntile(df: DataFrame, key_col: str, tiebreak_cols: list[str],
     them into one support row where the window orders them first but
     tie-breaks them individually). Ties beyond `key_col` are broken by
     `tiebreak_cols` inside the straddling groups only, exactly as the
-    window form would."""
+    window form would.
+
+    `collect_spans=True` computes the span/tile assignment DRIVER-SIDE
+    from the collected support histogram (`ntile_spans` — the
+    bounded-collect idiom, max_keys-guarded): the plan then contains
+    ZERO unpartitioned windows (the support cumsum below, however
+    small its frame, re-logs `WindowExec: No Partition Defined` on
+    every AQE replan — the r13 finding that moved the three swapped
+    catalog rows driver-side). Same output by construction (both paths
+    share the `_tile_of`/`_tile_of_py` closed form); use it whenever
+    the support fits the collect contract."""
     key = F.col(key_col)
     d2 = df.withColumn("__k", (-key) if descending else key)
     sup = d2.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
+
+    if collect_spans:
+        from pyspark.sql import types as T
+
+        k_type = d2.schema["__k"].dataType
+        counts = [(r["__k"], r["__c"]) for r in sup.collect()]
+        int_rows, strad_rows, base, rem, _tot = ntile_spans(
+            counts, n_tiles, op_name="exact_ntile")
+        spark = df.sparkSession
+        interior = spark.createDataFrame(
+            int_rows, T.StructType([T.StructField("__k", k_type),
+                                    T.StructField(tile_name, T.LongType())]))
+        inner = d2.join(F.broadcast(interior), "__k").drop("__k")
+        strad = spark.createDataFrame(
+            strad_rows, T.StructType([T.StructField("__k", k_type),
+                                      T.StructField("__lo", T.LongType())]))
+        wrow = Window.partitionBy("__k").orderBy(*tiebreak_cols)
+        edge = (d2.join(F.broadcast(strad), "__k")
+                .withColumn("__rn", F.row_number().over(wrow))
+                .withColumn(tile_name,
+                            _tile_of(F.col("__lo") - 1 + F.col("__rn"),
+                                     F.lit(base).cast("long"),
+                                     F.lit(rem).cast("long")))
+                .drop("__k", "__lo", "__rn"))
+        return inner.unionByName(edge)
+
     wv = Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
     spans = (sup.select("__k", "__c", F.sum("__c").over(wv).alias("__hi"))
              .withColumn("__lo", F.col("__hi") - F.col("__c") + 1))

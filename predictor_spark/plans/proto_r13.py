@@ -2,24 +2,27 @@
 registered, NOT imported by any catalog module (zero closure-hash
 churn; same discipline as proto_r12.py).
 
-r13 status: the three scheduled swaps LANDED in their live rows —
-`mutual_info_value_type` (catalog_drift.py: histogram-refinement ntile,
-sf1 3.80 → 2.43 s), `funnel_latency_quantiles` (catalog_r10_funnel.py:
-order statistics from support spans, sf1 1.18 → 1.14 s), and
-`heaps_vocab_growth` (catalog_textstats.py: checkpoint thresholds by
-bucket refinement, sf1 3.20 → 2.79 s).  This module now keeps the
-PRE-SWAP window-form plans (`*_window` below) verbatim, so the
-equality pins in tests/test_r13_prototypes.py compare two genuinely
-different physical plans — the same evidence standard the r12
-hybrid_rrf pin set — instead of a plan against itself.
+r13 status: the three scheduled swaps LANDED in their live rows, in
+their final driver-side-prefix-sum form (zero unpartitioned windows;
+sf1 warm vs the window forms kept below: mutual_info 3.90 → 1.86 s,
+funnel 0.73 → 0.77 s, heaps ~2.0 → 1.92 s) — see the live docstrings
+in catalog_drift / catalog_r10_funnel / catalog_textstats.  This
+module keeps the PRE-SWAP window-form plans (`*_window` below)
+verbatim, so the equality pins in tests/test_r13_prototypes.py
+compare two genuinely different physical plans — the same evidence
+standard the r12 hybrid_rrf pin set — instead of a plan against
+itself.
 
 Still HELD here (prototyped, exact, measured locally slower; swap
-triggers written in the live rows' docstrings — "per-entity frame >
-~10^7 rows, ≈ sf 1000"):
+triggers with r13-measured sf1 frame sizes in the live rows'
+docstrings — deciles ≈ sf 700, kingman ≈ sf 10):
 
 - `lift_gain_deciles_v2` / `causal_decile_agg_v2`: the
-  operators/ranking.exact_ntile swap for the per-user score frames of
+  operators/ranking.exact_ntile swap (collect_spans=True — the
+  zero-unpartitioned-window mode) for the per-user score frames of
   catalog_eval.lift_gain_deciles and catalog_r7_causal._decile_agg.
+  (lift's own 10-row decile cumsum window would remain; collect it
+  at swap time the same way if the zero-warning bar applies.)
 - `kingman_wait_estimate_v2`: two-phase rank + rn self-join replacing
   the |sessions|-row unpartitioned lag window.
 """
@@ -131,7 +134,8 @@ def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _eval_base(spark, sf_dir)
     dec = exact_ntile(base, "score_int", ["user_id"], 10,
-                      tile_name="decile", descending=True)
+                      tile_name="decile", descending=True,
+                      collect_spans=True)
     agg = (dec.select("label", "decile")
            .groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
@@ -163,7 +167,8 @@ def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _user_base(spark, sf_dir)
     dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
-                      tile_name="decile", descending=True)
+                      tile_name="decile", descending=True,
+                      collect_spans=True)
     t = F.col("treat") == 1
     return (dec.select("treat", "label", "decile")
             .groupBy("decile")

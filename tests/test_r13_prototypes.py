@@ -86,7 +86,8 @@ def test_mutual_info_live_equals_window_form(spark):
 
 def test_exact_ntile_matches_window(spark):
     """The generic operator against Spark's ntile on a skewed frame
-    with heavy ties, ascending AND descending."""
+    with heavy ties, ascending AND descending, window-spans AND
+    collected-spans modes."""
     from predictor_spark.operators.ranking import exact_ntile
 
     base = (spark.range(3001)
@@ -98,10 +99,12 @@ def test_exact_ntile_matches_window(spark):
         want = sorted(_rows(base.select(
             "uid", F.ntile(10).over(Window.orderBy(*order)).cast("long")
             .alias("d"))))
-        got = sorted(_rows(
-            exact_ntile(base, "s", ["uid"], 10, tile_name="d",
-                        descending=desc).select("uid", "d")))
-        assert got == want, f"descending={desc}"
+        for collected in (False, True):
+            got = sorted(_rows(
+                exact_ntile(base, "s", ["uid"], 10, tile_name="d",
+                            descending=desc, collect_spans=collected)
+                .select("uid", "d")))
+            assert got == want, f"descending={desc} collected={collected}"
 
 
 def test_lift_gain_deciles_v2_equals_registered(spark):
