@@ -75,6 +75,39 @@ def test_ntile_spans_matches_window_spans():
         ntile_spans([(i, 1) for i in range(11)], 10, max_keys=10)
 
 
+def test_ntile_spans_fuzz_against_bruteforce():
+    """Hypothesis fuzz: arbitrary histograms (including n < n_tiles,
+    single giant groups, all-singletons) against a per-position
+    brute-force recomputation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from predictor_spark.operators.ranking import _tile_of_py, ntile_spans
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(st.integers(-50, 50), st.integers(1, 40),
+                           min_size=0, max_size=30),
+           st.integers(2, 12))
+    def run(hist, n_tiles):
+        counts = list(hist.items())
+        interior, strad, base, rem, total = ntile_spans(counts, n_tiles)
+        assert total == sum(hist.values())
+        assert len(strad) <= n_tiles - 1
+        # reconstruct per-key tile sets brute-force
+        got = dict(interior)
+        lo = 1
+        for k, c in sorted(counts):
+            hi = lo + c - 1
+            tiles = {_tile_of_py(p, base, rem) for p in range(lo, hi + 1)}
+            if len(tiles) == 1:
+                assert got[k] == tiles.pop()
+            else:
+                assert (k, lo) in strad
+            lo = hi + 1
+
+    run()
+
+
 def test_mutual_info_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_drift import mutual_info_value_type
     from predictor_spark.plans.proto_r13 import mutual_info_value_type_window
