@@ -21,8 +21,9 @@ docstrings — deciles ≈ sf 700, kingman ≈ sf 10):
   operators/ranking.exact_ntile swap (collect_spans=True — the
   zero-unpartitioned-window mode) for the per-user score frames of
   catalog_eval.lift_gain_deciles and catalog_r7_causal._decile_agg.
-  (lift's own 10-row decile cumsum window would remain; collect it
-  at swap time the same way if the zero-warning bar applies.)
+  (lift's own 10-row decile cumsum now also runs driver-side on the
+  collected agg frame — the full prototype is zero-unpartitioned-
+  window, swap-ready as-is.)
 - `kingman_wait_estimate_v2`: two-phase rank + rn self-join replacing
   the |sessions|-row unpartitioned lag window.
 """
@@ -141,12 +142,23 @@ def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
            .cache())
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
-    cum = F.sum("pos").over(
-        Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # The decile cumulative sum runs DRIVER-SIDE on the collected
+    # <=10-row agg frame (the r13 funnel/heaps idiom) — an
+    # unpartitioned window here, however small, re-logs
+    # "No Partition Defined" per AQE replan.  Mirrors window-sum null
+    # semantics: nulls skipped, prefix stays null until the first
+    # non-null.
+    acc, cum_rows = None, []
+    for r in sorted(agg.select("decile", "pos").collect(),
+                    key=lambda r: r["decile"]):
+        if r["pos"] is not None:
+            acc = (acc or 0) + int(r["pos"])
+        cum_rows.append((r["decile"], acc))
+    cum_df = spark.createDataFrame(
+        cum_rows, "decile bigint, cum_pos bigint")
     return (
         agg.crossJoin(F.broadcast(tot))
-        .withColumn("cum_pos", cum)
+        .join(F.broadcast(cum_df), "decile")
         .select(F.col("decile").cast("long").alias("decile"),
                 F.col("n").cast("long").alias("n_users"),
                 F.col("pos").cast("long").alias("n_pos"),
