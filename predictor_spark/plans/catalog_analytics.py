@@ -173,11 +173,22 @@ def a8_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions (losses.py:42-58; subsampled like the reference's
     sample_size=256). Deterministic subsample via event_id % 97; the
     pairwise kernel runs on the subsample only (crossJoin of two small
-    broadcastable sides, never the full table)."""
+    broadcastable sides, never the full table).
+
+    The two subsample frames are CACHED (r14 swap from
+    plans/proto_r14.py): event_id % 97 is not a pushable predicate,
+    so un-cached, the three pairwise-kernel aggregates each re-expand
+    both sides — SIX full events scans at runtime for a <=1 % frame.
+    Cached state is <= |events|/97 rows of one double column per side
+    — bounded the way the reference's sample_size=256 subsample is.
+    sf1 cold 3.12 -> 1.39 s; equality-pinned by
+    tests/test_r14_prototypes.py against the archived uncached form."""
     ev = _t(spark, sf_dir, "events")
     sub = ev.filter(F.col("event_id") % 97 == 0)
-    x = sub.filter(F.col("event_type") == "click").select(F.col("value").alias("xv"))
-    y = sub.filter(F.col("event_type") == "purchase").select(F.col("value").alias("yv"))
+    x = (sub.filter(F.col("event_type") == "click")
+         .select(F.col("value").alias("xv")).cache())
+    y = (sub.filter(F.col("event_type") == "purchase")
+         .select(F.col("value").alias("yv")).cache())
 
     def k(a, b):
         return F.exp(-((a - b) * (a - b)) / F.lit(200.0))

@@ -260,36 +260,52 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall (gain) — the targeting-efficiency readout every campaign /
     screening model ships with.
 
-    Scale: ntile needs a total order (score desc, user_id tie-break
-    makes it deterministic). The unpartitioned ntile window runs in
-    ONE task over the per-user frame — a measured trade-off, kept
-    because |users| is orders of magnitude below the event stream and
-    a 15k-row single-task sort beats the distributed form's extra
-    passes locally (sf1 1.0 vs 2.1 s; PARALLELISM_AUDIT.md). Frame
-    size, measured r13: 15,000 distinct users at sf1 (events 1.0 M),
-    so the trigger sits at ≈ sf 700. SWAP
-    TRIGGER: when the per-user frame exceeds ~10^7 rows (one task's
-    comfortable sort), replace the ntile with
-    operators/ranking.exact_ntile as in proto_r13.lift_gain_deciles_v2
-    — equality-pinned at sf0.01/0.1/1 by tests/test_r13_prototypes.py.
-    Counts per decile are exact ints; the two divisions happen once
-    per output row."""
+    Scale (r14 swap from plans/proto_r13.py): the decile assignment
+    needs a total order (score desc, user_id tie-break makes it
+    deterministic), but NOT a single-task ntile window over the whole
+    per-user frame — operators/ranking.exact_ntile computes it from
+    value-support spans + closed-form bucket arithmetic
+    (collect_spans=True: the bounded support histogram is collected
+    driver-side, max_keys-guarded), with row-level ranks only inside
+    the <=9 boundary-straddling score groups, partitioned by score.
+    The decile column — and therefore every output value — is equal
+    by construction to the ntile form (equality-pinned at
+    sf0.01/0.1/1 against the archived window form by
+    tests/test_r13_prototypes.py).  The 10-row decile cumulative sum
+    runs DRIVER-SIDE on the collected agg frame (the r13 funnel/heaps
+    bounded-collect idiom) — an unpartitioned window here, however
+    small, re-logs "No Partition Defined" per AQE replan.  Local cost
+    vs the pre-r14 single-task ntile: sf1 ~1.0 -> ~2.1 s, accepted
+    because the one-task sort over the ranked frame is the wrong
+    shape at 100x (pre-swap form archived in proto_r13; held-trigger
+    history in PARALLELISM_AUDIT.md).  Counts per decile are exact
+    ints; the two divisions happen once per output row."""
+    from predictor_spark.operators.ranking import exact_ntile
+
     base = _eval_base(spark, sf_dir)
-    dec = F.ntile(10).over(
-        Window.orderBy(F.col("score_int").desc(), "user_id"))
-    agg = (base.select("label", dec.alias("decile"))
+    dec = exact_ntile(base, "score_int", ["user_id"], 10,
+                      tile_name="decile", descending=True,
+                      collect_spans=True)
+    agg = (dec.select("label", "decile")
            .groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
            # 10-row frame read by the total AND the output; uncached each
-           # re-runs the events scan + ntile sort
+           # re-runs the events scan + decile assignment
            .cache())
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
-    cum = F.sum("pos").over(
-        Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # mirrors window-sum null semantics: nulls skipped, prefix stays
+    # null until the first non-null
+    acc, cum_rows = None, []
+    for r in sorted(agg.select("decile", "pos").collect(),
+                    key=lambda r: r["decile"]):
+        if r["pos"] is not None:
+            acc = (acc or 0) + int(r["pos"])
+        cum_rows.append((r["decile"], acc))
+    cum_df = spark.createDataFrame(
+        cum_rows, "decile bigint, cum_pos bigint")
     return (
         agg.crossJoin(F.broadcast(tot))
-        .withColumn("cum_pos", cum)
+        .join(F.broadcast(cum_df), "decile")
         .select(F.col("decile").cast("long").alias("decile"),
                 F.col("n").cast("long").alias("n_users"),
                 F.col("pos").cast("long").alias("n_pos"),

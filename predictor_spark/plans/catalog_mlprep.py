@@ -650,7 +650,14 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (bm25_scores(docs, ["hash", "join", "scan"])
            .select("doc_id", F.round("score", 6).alias("s"))
            .orderBy(F.col("s").desc(), "doc_id").limit(20))
-    cut = sorted(top.collect(), key=lambda r: (-r["s"], r["doc_id"]))
+    cut = top.collect()
+    if any(r["s"] is None or r["doc_id"] is None for r in cut):
+        raise ValueError(
+            "hybrid_rrf_fusion: NULL score or doc_id in the collected "
+            "BM25 cut — the driver-side rank sort needs non-null keys "
+            "(bm25_scores over non-null text can never produce one; a "
+            "NULL here means the corpus or scorer changed)")
+    cut = sorted(cut, key=lambda r: (-r["s"], r["doc_id"]))
     bm = spark.createDataFrame(
         [(r["doc_id"], i + 1) for i, r in enumerate(cut)],
         "doc_id long, bm25_rank int")

@@ -225,9 +225,16 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("user_id",
                    F.floor((F.unix_micros("mp") - F.unix_micros("mv"))
                            / F.lit(1e6)).cast("long").alias("lat_s")))
-    sup = sorted((r["lat_s"], r["c"]) for r in
-                 lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
-                 .collect())
+    sup_rows = (lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    if len(sup_rows) > 200_000:
+        raise ValueError(
+            "funnel_latency_quantiles: latency support has "
+            f"{len(sup_rows)} distinct whole-second values > "
+            "max 200000 — the bounded-collect contract no longer "
+            "holds; widen the latency bucket (e.g. whole minutes) or "
+            "use a distributed rank form")
+    sup = sorted((r["lat_s"], r["c"]) for r in sup_rows)
     n = sum(c for _, c in sup)
     k50, k90 = (n + 1) // 2, (9 * n + 9) // 10
     p50 = p90 = None

@@ -256,21 +256,28 @@ def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by targeting score into 10 buckets, arms counted within
     each — the shared reduction behind uplift and Qini.
 
-    The unpartitioned ntile is a measured trade-off (one task over
-    the ~15k-row user frame beats the distributed form's support
-    passes locally: sf1 0.7 vs 1.6 s; PARALLELISM_AUDIT.md). Frame
-    size, measured r13: 15,000 distinct users at sf1, so the trigger
-    sits at ≈ sf 700. SWAP
-    TRIGGER: when the per-user frame exceeds ~10^7 rows, replace
-    with operators/ranking.exact_ntile as in
-    proto_r13.causal_decile_agg_v2 — equality-pinned at sf0.01/0.1/1
-    by tests/test_r13_prototypes.py; both uplift_by_decile and
-    qini_curve_points inherit the swap through this helper."""
+    Scale (r14 swap from plans/proto_r13.py): the decile assignment
+    comes from operators/ranking.exact_ntile (value-support spans +
+    closed-form bucket arithmetic; collect_spans=True collects the
+    bounded support histogram driver-side, max_keys-guarded) instead
+    of the pre-r14 unpartitioned ntile window that sorted the whole
+    per-user frame in ONE task.  Equal by construction (same total
+    order: score desc, user_id tie-break) — equality-pinned at
+    sf0.01/0.1/1 against the archived window form by
+    tests/test_r13_prototypes.py.  Local cost vs the single-task
+    ntile: sf1 ~0.7 -> ~1.6 s, accepted because the one-task sort is
+    the wrong shape at 100x (pre-swap form archived in proto_r13;
+    held-trigger history in PARALLELISM_AUDIT.md).  Both
+    uplift_by_decile and qini_curve_points inherit the swap through
+    this helper."""
+    from predictor_spark.operators.ranking import exact_ntile
+
     base = _user_base(spark, sf_dir)
-    dec = F.ntile(10).over(
-        Window.orderBy(F.col("pre_activity").desc(), F.col("user_id")))
+    dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
+                      tile_name="decile", descending=True,
+                      collect_spans=True)
     t = F.col("treat") == 1
-    return (base.select("treat", "label", dec.alias("decile"))
+    return (dec.select("treat", "label", "decile")
             .groupBy("decile")
             .agg(F.sum(t.cast("int")).alias("nt"),
                  F.sum((~t).cast("int")).alias("nc"),
@@ -339,18 +346,32 @@ def qini_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_t(k)/N_c(k) — the area under these points is the Qini
     coefficient.
 
-    Scale: the running sums are a 10-row window over the decile
-    table; all heavy work is the shared user reduction + decile
-    groupBy."""
+    Scale: all heavy work is the shared user reduction + decile
+    groupBy.  The running sums over the <=10-row decile table run
+    DRIVER-SIDE on the collected frame (r14; the r13 funnel / lift
+    bounded-collect idiom — an unpartitioned window here, however
+    small, re-logs "No Partition Defined" per AQE replan).  Only the
+    exact integer prefix sums move to the driver; the division and
+    rounding stay Spark expressions so float semantics are unchanged.
+    The four arm sums are non-null by construction (count-like sums
+    with otherwise(0) over non-empty decile groups)."""
     agg = _decile_agg(spark, sf_dir)
-    w = (Window.orderBy("decile")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = lambda c: F.sum(c).over(w)  # noqa: E731
-    return agg.select(
+    cum_rows, ct, cc, cpt, cpc = [], 0, 0, 0, 0
+    for r in sorted(agg.collect(), key=lambda r: r["decile"]):
+        ct += int(r["nt"])
+        cc += int(r["nc"])
+        cpt += int(r["pt"])
+        cpc += int(r["pc"])
+        cum_rows.append((int(r["decile"]), ct, cc, cpt, cpc))
+    cum_df = spark.createDataFrame(
+        cum_rows,
+        "decile bigint, ct bigint, cc bigint, cpt bigint, cpc bigint")
+    return cum_df.select(
         F.col("decile").cast("long").alias("decile"),
-        cum("nt").cast("long").alias("cum_treat"),
-        cum("nc").cast("long").alias("cum_control"),
-        F.when(cum("nc") > 0,
-               F.round(cum("pt").cast("double")
-                       - cum("pc").cast("double") * cum("nt") / cum("nc"),
+        F.col("ct").cast("long").alias("cum_treat"),
+        F.col("cc").cast("long").alias("cum_control"),
+        F.when(F.col("cc") > 0,
+               F.round(F.col("cpt").cast("double")
+                       - F.col("cpc").cast("double")
+                       * F.col("ct") / F.col("cc"),
                        4)).alias("qini"))

@@ -249,27 +249,41 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     subcritical at every SF (a grows linearly with volume; a fixed m
     would cross ρ = 1 and the formula would stop meaning anything).
 
-    Scale: one ordered window over |sessions| start times + two
-    moment aggregates; the formula is a 1-row expression. The
-    unpartitioned lag window is a measured trade-off — one task
-    beats the distributed form's self-join + extra pass locally
-    (r13 same-session sf1 A/B: live 2.2–3.0 s vs the prototype with
-    cached session/rank frames 4.2 s). Frame size, measured r13: the
-    30-minute gap rule makes nearly every event its own session, so
-    |sessions| = 954,650 at sf1 (≈ |events|, NOT the ~15k-per-entity
-    shape of the other held rows) — the ~10^7-row trigger therefore
-    sits at ≈ SF 10, not sf 1000; this is the FIRST held row to swap
-    if the data grows. SWAP TRIGGER: when |sessions| exceeds
-    ~10^7 rows, replace the lag with the
-    fixed-bounds two_phase_row_number + rn+1 self-join form of
-    proto_r13.kingman_wait_estimate_v2 (cache `sess` and the ranked
-    frame when swapping — each is consumed twice) — equality-pinned
-    at sf0.01/0.1/1 by tests/test_r13_prototypes.py."""
+    Scale (r14 swap from plans/proto_r13.py): adjacent arrival gaps
+    come from a fixed-bounds two_phase_row_number over session starts
+    plus an rn = rn+1 self-join — a co-partitioned shuffle on rn
+    instead of the pre-r14 |sessions|-row unpartitioned lag window
+    (ONE task over a frame that is ≈ |events|: the 30-minute gap rule
+    makes nearly every event its own session, 954,650 sessions at sf1,
+    so the single-task sort was the first held row to blow up — its
+    ~10^7-row trigger sat at ≈ SF 10, not sf 1000 as first believed).
+    EXACT: the rank order (start_ms, user_id, session_id) is the same
+    total order the lag window used, and any fixed boundary set is
+    rank-correct, so every adjacent pair — and therefore every gap —
+    is identical; equality-pinned at sf0.01/0.1/1 against the
+    archived lag-window form by tests/test_r13_prototypes.py.  The
+    session and ranked frames are CACHED, each being consumed twice
+    (un-cached, the sessionization window recomputes per consumer —
+    5.3 s at sf1 vs 4.2 cached); local cost vs the lag form is
+    2.2–3.0 -> ~4.2 s at sf1, accepted because the single-task
+    |sessions| sort is disqualifying at 100 TB."""
+    from predictor_spark.operators.ranking import two_phase_row_number
+
     sess, span = _sessions(spark, sf_dir)
-    wg = Window.orderBy("start_ms", "user_id", "session_id")
-    gaps = (sess.select((F.col("start_ms")
-                         - F.lag("start_ms").over(wg)).alias("g"))
-            .where(F.col("g").isNotNull()))
+    sess = sess.cache()
+    lohi = sess.agg(F.min("start_ms").alias("lo"),
+                    F.max("start_ms").alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    step = max(1, ((hi - lo) // 64) if hi is not None else 1)
+    bounds = ([float(lo + i * step) for i in range(1, 64)]
+              if hi is not None else [0.0])
+    ranked = two_phase_row_number(
+        sess.select("start_ms", "user_id", "session_id"), [],
+        "start_ms", ["start_ms", "user_id", "session_id"],
+        rank_name="rn", bounds=bounds).cache()
+    a_f, b_f = ranked.alias("a"), ranked.alias("b")
+    gaps = (a_f.join(b_f, F.col("a.rn") == F.col("b.rn") + 1)
+            .select((F.col("a.start_ms") - F.col("b.start_ms")).alias("g")))
     mom = gaps.agg(F.count(F.lit(1)).alias("ng"),
                    F.sum("g").alias("sg"),
                    F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))

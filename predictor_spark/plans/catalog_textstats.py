@@ -221,9 +221,15 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select("doc_id",
                       (F.col("doc_id") - F.col("doc_id") % 1024)
                       .alias("b"))
-    bcnt = sorted((r["b"], r["c"]) for r in
-                  ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-                  .collect())
+    bcnt_rows = (ids.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+                 .collect())
+    if len(bcnt_rows) > 200_000:
+        raise ValueError(
+            "heaps_vocab_growth: doc_id bucket histogram has "
+            f"{len(bcnt_rows)} rows > max 200000 (~2e11 docs at "
+            "1024-wide buckets) — the bounded-collect contract no "
+            "longer holds; widen the bucket stride before collecting")
+    bcnt = sorted((r["b"], r["c"]) for r in bcnt_rows)
     nd = sum(c for _, c in bcnt)
     target_rows = []
     for frac in (0.1, 0.25, 0.5, 1.0):

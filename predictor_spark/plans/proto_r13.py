@@ -13,26 +13,20 @@ compare two genuinely different physical plans — the same evidence
 standard the r12 hybrid_rrf pin set — instead of a plan against
 itself.
 
-Still HELD here (prototyped, exact, measured locally slower; swap
-triggers with r13-measured sf1 frame sizes in the live rows'
-docstrings — deciles ≈ sf 700, kingman ≈ sf 10):
-
-- `lift_gain_deciles_v2` / `causal_decile_agg_v2`: the
-  operators/ranking.exact_ntile swap (collect_spans=True — the
-  zero-unpartitioned-window mode) for the per-user score frames of
-  catalog_eval.lift_gain_deciles and catalog_r7_causal._decile_agg.
-  (lift's own 10-row decile cumsum now also runs driver-side on the
-  collected agg frame — the full prototype is zero-unpartitioned-
-  window, swap-ready as-is.)
-- `kingman_wait_estimate_v2`: two-phase rank + rn self-join replacing
-  the |sessions|-row unpartitioned lag window.
+r14 update: the held class is EMPTY — the decile trio
+(lift_gain_deciles, the shared causal _decile_agg) and
+kingman_wait_estimate swapped to their prototype forms in their live
+rows.  The `*_v2` prototypes moved INTO the catalogs; this module now
+keeps the PRE-SWAP window-form plans for those rows too
+(`lift_gain_deciles_window`, `causal_decile_agg_window`,
+`kingman_wait_estimate_window`) so the r13 equality pins keep
+comparing two genuinely different physical plans.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from predictor_spark.operators.ranking import exact_ntile
 from predictor_spark.plans.catalog import _t
 
 
@@ -122,43 +116,28 @@ def heaps_vocab_growth_window(spark: SparkSession,
         .select("frac", "k_docs", "n_tokens", "vocab")
 
 
-def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lift_gain_deciles with the unpartitioned ntile over the per-user
-    score frame (PARALLELISM_AUDIT.md Class C) replaced by
-    operators/ranking.exact_ntile — support spans + closed-form bucket
-    arithmetic, row-level ranks only inside the <=9 straddling score
-    groups. The decile assignment (and therefore every output value)
-    is equal by construction; everything from the decile column down
-    is the registered query's math verbatim. Swap cost: 5 verified
-    rows (catalog_eval module)."""
+def lift_gain_deciles_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 registered lift_gain_deciles plan, verbatim: ntile
+    over an UNPARTITIONED window (one task sorts the whole per-user
+    score frame) + a 10-row window cumsum.  Kept as the genuine-
+    different-plan pin partner for the exact_ntile live row (swapped
+    r14)."""
     from predictor_spark.plans.catalog_eval import _eval_base
 
     base = _eval_base(spark, sf_dir)
-    dec = exact_ntile(base, "score_int", ["user_id"], 10,
-                      tile_name="decile", descending=True,
-                      collect_spans=True)
-    agg = (dec.select("label", "decile")
+    dec = F.ntile(10).over(
+        Window.orderBy(F.col("score_int").desc(), "user_id"))
+    agg = (base.select("label", dec.alias("decile"))
            .groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
            .cache())
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
-    # The decile cumulative sum runs DRIVER-SIDE on the collected
-    # <=10-row agg frame (the r13 funnel/heaps idiom) — an
-    # unpartitioned window here, however small, re-logs
-    # "No Partition Defined" per AQE replan.  Mirrors window-sum null
-    # semantics: nulls skipped, prefix stays null until the first
-    # non-null.
-    acc, cum_rows = None, []
-    for r in sorted(agg.select("decile", "pos").collect(),
-                    key=lambda r: r["decile"]):
-        if r["pos"] is not None:
-            acc = (acc or 0) + int(r["pos"])
-        cum_rows.append((r["decile"], acc))
-    cum_df = spark.createDataFrame(
-        cum_rows, "decile bigint, cum_pos bigint")
+    cum = F.sum("pos").over(
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         agg.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(cum_df), "decile")
+        .withColumn("cum_pos", cum)
         .select(F.col("decile").cast("long").alias("decile"),
                 F.col("n").cast("long").alias("n_users"),
                 F.col("pos").cast("long").alias("n_pos"),
@@ -170,19 +149,18 @@ def lift_gain_deciles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """catalog_r7_causal._decile_agg (the shared 10-row reduction
-    behind the uplift and Qini rows) with the same exact_ntile swap;
-    pinning THIS frame pins every dependent row, since they consume
-    only its output. Swap cost: 4 verified rows (causal module)."""
+def causal_decile_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 catalog_r7_causal._decile_agg plan, verbatim:
+    unpartitioned ntile over the per-user frame.  Pin partner for the
+    exact_ntile live helper (swapped r14); pinning THIS frame pins
+    both dependent rows (uplift_by_decile, qini_curve_points)."""
     from predictor_spark.plans.catalog_r7_causal import _user_base
 
     base = _user_base(spark, sf_dir)
-    dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
-                      tile_name="decile", descending=True,
-                      collect_spans=True)
+    dec = F.ntile(10).over(
+        Window.orderBy(F.col("pre_activity").desc(), F.col("user_id")))
     t = F.col("treat") == 1
-    return (dec.select("treat", "label", "decile")
+    return (base.select("treat", "label", dec.alias("decile"))
             .groupBy("decile")
             .agg(F.sum(t.cast("int")).alias("nt"),
                  F.sum((~t).cast("int")).alias("nc"),
@@ -190,38 +168,20 @@ def causal_decile_agg_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc")))
 
 
-def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kingman_wait_estimate with the |sessions|-row unpartitioned lag
-    window replaced by a two-phase rank (fixed-width bounds derived
-    from one min/max pull — any boundary set is rank-correct) and an
-    rn = rn+1 self-join for adjacent gaps. Exact: the rank order is
-    the same total order the lag window used; the self-join is a
-    co-partitioned shuffle on rn instead of a single-task sort — the
-    100 TB shape. The session and ranked frames are CACHED, each
-    being consumed twice (r13 finding: un-cached, the sessionization
-    window recomputed per consumer — 5.3 s at sf1 vs 4.2 s cached).
-    Still HELD: the live lag form runs 2.2–3.0 s on the same data,
-    BUT the r13 measurement corrected the frame-size assumption —
-    |sessions| = 954,650 at sf1 (≈ |events|, the 30-min gap rule
-    makes nearly every event its own session), so the ~10^7-row swap
-    trigger sits at ≈ SF 10, first of the held rows to fire."""
-    from predictor_spark.operators.ranking import two_phase_row_number
+def kingman_wait_estimate_window(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The pre-r14 registered kingman_wait_estimate plan, verbatim:
+    adjacent arrival gaps via lag() over an UNPARTITIONED window — one
+    task sorts all |sessions| start times (and |sessions| is
+    ~|events|: 954,650 at sf1).  Kept as the genuine-different-plan
+    pin partner for the two-phase-rank live row (swapped r14)."""
     from predictor_spark.plans.catalog_r9_opsresearch import _sessions
 
     sess, span = _sessions(spark, sf_dir)
-    sess = sess.cache()
-    lohi = sess.agg(F.min("start_ms").alias("lo"),
-                    F.max("start_ms").alias("hi")).collect()[0]
-    lo, hi = lohi["lo"], lohi["hi"]
-    step = max(1, (hi - lo) // 64)
-    bounds = [float(lo + i * step) for i in range(1, 64)]
-    ranked = two_phase_row_number(
-        sess.select("start_ms", "user_id", "session_id"), [],
-        "start_ms", ["start_ms", "user_id", "session_id"],
-        rank_name="rn", bounds=bounds).cache()
-    a, b = ranked.alias("a"), ranked.alias("b")
-    gaps = (a.join(b, F.col("a.rn") == F.col("b.rn") + 1)
-            .select((F.col("a.start_ms") - F.col("b.start_ms")).alias("g")))
+    wg = Window.orderBy("start_ms", "user_id", "session_id")
+    gaps = (sess.select((F.col("start_ms")
+                         - F.lag("start_ms").over(wg)).alias("g"))
+            .where(F.col("g").isNotNull()))
     mom = gaps.agg(F.count(F.lit(1)).alias("ng"),
                    F.sum("g").alias("sg"),
                    F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
@@ -233,10 +193,10 @@ def kingman_wait_estimate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     ca2 = d("sg2") * F.col("ng") / (d("sg") * F.col("sg")) - 1
     cs2 = d("ss2") * F.col("ns") / (d("ss") * F.col("ss")) - 1
-    a_ = d("ss") / F.col("span_ms")
+    a = d("ss") / F.col("span_ms")
     tau = d("ss") / F.col("ns") / 60000.0
-    m = F.ceil(1.25 * a_)
-    rho = a_ / m
+    m = F.ceil(1.25 * a)
+    rho = a / m
     return (mom.crossJoin(F.broadcast(smom)).crossJoin(F.broadcast(span))
             .select(
                 F.col("ns").cast("long").alias("n_sessions"),

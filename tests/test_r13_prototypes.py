@@ -7,8 +7,9 @@ pinned against their PRE-SWAP window-form plans, kept verbatim in
 proto_r13 as `*_window`, so each pin compares two genuinely different
 physical plans (the r12 hybrid_rrf evidence standard).  Also pins the
 integer ntile closed form itself against Spark's ntile on adversarial
-group sizes, and the three HELD prototypes (lift/causal deciles,
-kingman) against their live rows.
+group sizes.  The formerly-held trio (lift/causal deciles, kingman)
+swapped to their prototype forms in r14 — their live rows are pinned
+against the archived pre-swap window forms the same way.
 """
 
 from __future__ import annotations
@@ -140,22 +141,22 @@ def test_exact_ntile_matches_window(spark):
             assert got == want, f"descending={desc} collected={collected}"
 
 
-def test_lift_gain_deciles_v2_equals_registered(spark):
+def test_lift_gain_deciles_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_eval import lift_gain_deciles
-    from predictor_spark.plans.proto_r13 import lift_gain_deciles_v2
+    from predictor_spark.plans.proto_r13 import lift_gain_deciles_window
 
     live = sorted(_rows(lift_gain_deciles(spark, SF_DIR)))
-    v2 = sorted(_rows(lift_gain_deciles_v2(spark, SF_DIR)))
-    assert v2 == live
+    window_form = sorted(_rows(lift_gain_deciles_window(spark, SF_DIR)))
+    assert live == window_form
 
 
-def test_causal_decile_agg_v2_equals_registered(spark):
+def test_causal_decile_agg_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_r7_causal import _decile_agg
-    from predictor_spark.plans.proto_r13 import causal_decile_agg_v2
+    from predictor_spark.plans.proto_r13 import causal_decile_agg_window
 
     live = sorted(_rows(_decile_agg(spark, SF_DIR)))
-    v2 = sorted(_rows(causal_decile_agg_v2(spark, SF_DIR)))
-    assert v2 == live
+    window_form = sorted(_rows(causal_decile_agg_window(spark, SF_DIR)))
+    assert live == window_form
 
 
 @pytest.mark.skipif("RUN_SCALE" not in __import__("os").environ,
@@ -189,11 +190,11 @@ def test_heaps_vocab_live_equals_window_form(spark):
     assert live == window_form
 
 
-def test_kingman_wait_estimate_v2_equals_registered(spark):
+def test_kingman_wait_estimate_live_equals_window_form(spark):
     from predictor_spark.plans.catalog_r9_opsresearch import \
         kingman_wait_estimate
-    from predictor_spark.plans.proto_r13 import kingman_wait_estimate_v2
+    from predictor_spark.plans.proto_r13 import kingman_wait_estimate_window
 
     live = _rows(kingman_wait_estimate(spark, SF_DIR))
-    v2 = _rows(kingman_wait_estimate_v2(spark, SF_DIR))
-    assert v2 == live
+    window_form = _rows(kingman_wait_estimate_window(spark, SF_DIR))
+    assert live == window_form

@@ -1,8 +1,9 @@
-"""Round-14 perf-prototype equality pins (see plans/proto_r14.py).
+"""Round-14 swap equality pins (see plans/proto_r14.py).
 
-`a8_mmd_v2` must reproduce the registered row EXACTLY — it only adds
-caches on the two subsample frames (same rows, same kernel, same
-rounding), collapsing six runtime events scans into one.
+The registered `a8_mmd` (cached subsample frames, r14 swap) must
+reproduce the archived pre-swap uncached plan EXACTLY — the cache
+only collapses six runtime events scans into one; same rows, same
+kernel, same rounding.
 """
 
 from __future__ import annotations
@@ -14,10 +15,10 @@ def _rows(df):
     return [tuple(r) for r in df.collect()]
 
 
-def test_a8_mmd_v2_equals_registered(spark):
+def test_a8_mmd_registered_equals_uncached_archive(spark):
     from predictor_spark.plans.catalog_analytics import a8_mmd
-    from predictor_spark.plans.proto_r14 import a8_mmd_v2
+    from predictor_spark.plans.proto_r14 import a8_mmd_uncached
 
     live = _rows(a8_mmd(spark, SF_DIR))
-    v2 = _rows(a8_mmd_v2(spark, SF_DIR))
-    assert v2 == live
+    old = _rows(a8_mmd_uncached(spark, SF_DIR))
+    assert live == old
