@@ -282,7 +282,12 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints; the two divisions happen once per output row."""
     from predictor_spark.operators.ranking import exact_ntile
 
-    base = _eval_base(spark, sf_dir)
+    # the per-user frame is consumed three times by exact_ntile
+    # (support collect + interior join + straddler ranks) — un-cached,
+    # each consumer re-runs the whole events->user reduction (r13
+    # rule: cache bounded multi-consumer intermediates; |users| is
+    # dimension-bounded, orders of magnitude below the event stream)
+    base = _eval_base(spark, sf_dir).cache()
     dec = exact_ntile(base, "score_int", ["user_id"], 10,
                       tile_name="decile", descending=True,
                       collect_spans=True)

@@ -272,7 +272,12 @@ def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     this helper."""
     from predictor_spark.operators.ranking import exact_ntile
 
-    base = _user_base(spark, sf_dir)
+    # the per-user frame is consumed three times by exact_ntile
+    # (support collect + interior join + straddler ranks) — un-cached,
+    # each consumer re-runs the whole events->user reduction (r13
+    # rule: cache bounded multi-consumer intermediates; |users| is
+    # dimension-bounded, orders of magnitude below the event stream)
+    base = _user_base(spark, sf_dir).cache()
     dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
                       tile_name="decile", descending=True,
                       collect_spans=True)

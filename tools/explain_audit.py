@@ -579,9 +579,18 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1, "max_window_execs": 0,
     },
     "lift_gain_deciles": {
-        "must": ["partial_", "BroadcastNestedLoopJoin"],
+        # r14 shape: exact_ntile(collect_spans) over the CACHED per-user
+        # frame — interior tiles ride a broadcast support join, row-level
+        # ranks only inside the <=9 straddling score groups (PARTITIONED
+        # window); the decile cumsum runs driver-side on the collected
+        # 10-row agg. The single-task unpartitioned ntile must not
+        # reappear — the 2 Window nodes are the SAME partitioned-by-
+        # score straddler rank printed twice via the cached agg frame's
+        # rebuild paths (verified by Arguments inspection, r14).
+        "must": ["partial_", "BroadcastNestedLoopJoin",
+                 "InMemoryTableScan"],
         "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_scans": 1, "max_window_execs": 2,  # ntile + cumulative gain
+        "max_scans": 3, "max_window_execs": 2,
     },
     "precision_recall_at_k": {
         # bought fact-join cached; topk broadcast onto the test side
@@ -963,15 +972,24 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "not": ["CartesianProduct", "SortMergeJoin"],
         "max_scans": 1, "max_window_execs": 0,
     },
+    # r14 shape (both decile rows): the shared _decile_agg uses
+    # exact_ntile(collect_spans) over the CACHED per-user frame —
+    # interior tiles ride a broadcast support join, row-level ranks
+    # only inside straddling groups (PARTITIONED window); the
+    # single-task unpartitioned ntile must not reappear (1-window cap)
     "uplift_by_decile": {
-        "must": ["partial_"],
-        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
-        "max_scans": 1, "max_window_execs": 1,
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
+        "max_scans": 2, "max_window_execs": 1,
     },
     "qini_curve_points": {
-        "must": ["partial_"],
-        "not": ["CartesianProduct", "SortMergeJoin", "Join"],
-        "max_scans": 1, "max_window_execs": 2,
+        # r14 shape: the <=10-row decile frame is COLLECTED and the
+        # cumulative sums run driver-side (funnel/lift idiom) — the
+        # audited plan is a 10-row local relation (the decile job runs
+        # eagerly at build time); no window of any kind may reappear
+        "must": [],
+        "not": ["CartesianProduct", "Window"],
+        "max_scans": 0, "max_window_execs": 0,
     },
     # link analysis: the fact join collapses into ONE eager
     # localCheckpoint leaf (scans counted here are the tiny nation-dim
@@ -1336,9 +1354,19 @@ EXPECT_STAGED: dict[str, dict[str, list[str]]] = {
         "max_scans": 2, "max_window_execs": 2,
     },
     "kingman_wait_estimate": {
-        "must": ["partial_"],
-        "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_scans": 3, "max_window_execs": 5,
+        # r14 shape: adjacent gaps via fixed-bounds two_phase_row_number
+        # over the CACHED session frame + an rn = rn+1 self-join — the
+        # self-join is equi-keyed on rn between two same-sized cached
+        # frames, so SortMergeJoin IS the co-partitioned plan we want
+        # (only an unkeyed cartesian would be wrong); the pre-r14
+        # |sessions|-row unpartitioned lag window must not reappear —
+        # the 5 Window nodes are all PARTITIONED (the user_id-keyed
+        # sessionization pair printed twice via the two cache rebuild
+        # paths + two_phase's per-bucket rank; verified by Arguments
+        # inspection, r14)
+        "must": ["partial_", "InMemoryTableScan"],
+        "not": ["CartesianProduct"],
+        "max_scans": 4, "max_window_execs": 5,
     },
     # r10 funnel: every step is a user-keyed partial-agg + equi-join —
     # never a cartesian; windows appear only where ranks/shares demand
