@@ -6,12 +6,11 @@ pinned; this tool answers the complementary census question: across
 EVERY registered query's physical plan, which rows still contain a
 WindowExec with an empty partition spec (the "No Partition Defined /
 moving all data to a single partition" shape)?  Built in r13 after the
-last scheduled Class-C swaps landed, so the documented residual set —
-the three HELD rows (lift_gain_deciles, the shared causal decile agg
-behind uplift_by_decile/qini_curve_points, kingman_wait_estimate),
-held on measured locals-win trade-offs with calibrated swap triggers
-in their live docstrings — can be machine-checked instead of
-hand-enumerated each round.
+last scheduled Class-C swaps landed.  Since the r14 swaps (the
+formerly-held decile trio + kingman) the expected flagged set is
+bounded-class ONLY — constant/support-bounded frames documented in
+PARALLELISM_AUDIT.md §Plan-level census (50 rows on the r14 tree); a
+newly flagged row beyond those is a new Class-C finding.
 
 Detection: in formatted-explain detail blocks, a Window node's
 Arguments line prints only the NON-EMPTY specs:
