@@ -163,38 +163,71 @@ def generalized_esd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The R_i sequence is what the test's lambda_i thresholds are
     compared against; reporting the statistics keeps the row decision-
     free and SQL-exact."""
-    bars = _bars(spark, sf_dir).cache()
-    removed: DataFrame | None = None
-    outs = []
-    cur = bars
-    for i in range(1, _ESD_ROUNDS + 1):
-        st = (cur.groupBy("event_type")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
-                   F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
-                   .alias("s2"))
-              .filter(F.col("n") >= 3))
-        d = lambda c: F.col(c).cast("double")  # noqa: E731
-        mean = d("s1") / F.col("n")
-        sd = F.sqrt((d("n") * d("s2") - d("s1") * d("s1"))
-                    / (d("n") * (F.col("n") - 1)))
-        j = cur.join(F.broadcast(st), "event_type")
-        dev = F.abs(F.col("c") - mean)
-        w = Window.partitionBy("event_type").orderBy(
-            dev.desc(), F.col("ddate").asc())
-        pick = (j.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("event_type", "ddate", "c",
-                        F.round(dev / sd, 6).alias("r_stat")))
-        outs.append(pick.select(
-            "event_type", F.lit(i).alias("round"),
-            F.date_format("ddate", "yyyy-MM-dd").alias("ddate"),
-            F.round(F.col("c") / 100.0, 6).alias("value"), "r_stat"))
-        picked = pick.select("event_type", "ddate")
-        removed = picked if removed is None \
-            else removed.unionByName(picked)
-        cur = bars.join(removed, ["event_type", "ddate"], "left_anti")
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("event_type", "round")
+    # r14 optimization: the 3 unrolled rounds were 3 grouped aggregates +
+    # 3 broadcast joins + 3 rank windows + growing anti-join chains over
+    # the bars frame — 123 Exchange nodes in one physical plan
+    # (plans/r14/generalized_esd_stats_before.txt).  bars is bounded BY
+    # DESIGN (|event types| x |days| — the module docstring's "~150 rows
+    # at any SF"), so the sequential Rosner recursion runs DRIVER-SIDE
+    # on the collected exact-integer bars (guarded; the qini/funnel
+    # bounded-collect idiom), replicating Spark's arithmetic exactly:
+    # mean = double(s1)/n and dev = double(c) - mean are the same IEEE
+    # ops in CPython as in the JVM, int->double conversions are
+    # correctly rounded in both, and the argmax tie-break (dev DESC,
+    # ddate ASC) compares identical doubles.  The reported floats
+    # (value, r_stat) are STILL computed by the same Spark expressions,
+    # over a local relation carrying the exact integers (c, n, s1, s2),
+    # so float semantics are bit-identical to the pre-r14 plan.  The
+    # only distributed work left is the one events scan -> bars rollup.
+    import decimal
+
+    bar_rows = _bars(spark, sf_dir).collect()
+    if len(bar_rows) > 200_000:
+        raise ValueError(
+            f"generalized_esd_stats: {len(bar_rows)} (event_type, day) "
+            "bars exceed the 200000-row bounded-collect contract — "
+            "aggregate to a coarser grain or restore the distributed "
+            "unrolled form")
+    by_type: dict[str, list] = {}
+    for r in bar_rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["ddate"], int(r["c"])))
+    picked_rows = []  # (event_type, round, ddate, c, n, s1, s2)
+    for et in by_type:
+        days = by_type[et]
+        removed: set = set()
+        for i in range(1, _ESD_ROUNDS + 1):
+            cur = [(dd, c) for dd, c in days if dd not in removed]
+            n = len(cur)
+            if n < 3:
+                continue
+            s1 = sum(c for _, c in cur)          # exact ints
+            s2 = sum(c * c for _, c in cur)
+            mean = float(s1) / n                 # = cast(s1 as double)/n
+            # argmax |c - mean|, ties -> earliest day (same total order
+            # as the rank window: dev DESC, ddate ASC)
+            best = max(cur, key=lambda dc: (abs(float(dc[1]) - mean),),
+                       default=None)
+            best_dev = abs(float(best[1]) - mean)
+            cands = [dc for dc in cur
+                     if abs(float(dc[1]) - mean) == best_dev]
+            dd, c = min(cands, key=lambda dc: dc[0])
+            removed.add(dd)
+            picked_rows.append(
+                (et, i, dd, c, n,
+                 decimal.Decimal(s1), decimal.Decimal(s2)))
+    local = spark.createDataFrame(
+        picked_rows,
+        "event_type string, round int, ddate date, c long, n long, "
+        "s1 decimal(38,0), s2 decimal(38,0)")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s1") / F.col("n")
+    sd = F.sqrt((d("n") * d("s2") - d("s1") * d("s1"))
+                / (d("n") * (F.col("n") - 1)))
+    dev = F.abs(F.col("c") - mean)
+    return (local.select(
+        "event_type", "round",
+        F.date_format("ddate", "yyyy-MM-dd").alias("ddate"),
+        F.round(F.col("c") / 100.0, 6).alias("value"),
+        F.round(dev / sd, 6).alias("r_stat"))
+        .orderBy("event_type", "round"))
