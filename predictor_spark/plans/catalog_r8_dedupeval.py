@@ -121,7 +121,19 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE shingling feeds all three legs (cached doc-shingle
     frame); candidates come from the band-bucket join, truth from the
-    shingle-inverted join — the same two plans the dedup rows run."""
+    shingle-inverted join — the same two plans the dedup rows run.
+
+    r14 optimization (guide §2.4 — remove shuffles outright): the
+    pre-r14 plan computed BOTH heavy legs twice (cands for its count
+    and again under caught; truth likewise), and the truth leg
+    re-shingled the sample from scratch inside ngram_jaccard_pairs
+    with its own cache+count — 58 Exchange nodes
+    (plans/r14/blocking_quality_report_before.txt).  Now truth derives
+    from the SAME cached doc-shingle frame (explode for the inverted
+    join, F.size(sh) for set sizes — the arrays are distinct by
+    construction, so both are exactly ngram_jaccard_pairs' integers),
+    and all three counts come from ONE full-outer join over cands and
+    truth, so each leg is computed exactly once."""
     docs = (_t(spark, sf_dir, "documents")
             .withColumn("__h", F.md5(F.col("doc_id").cast("string")))
             .orderBy("__h", "doc_id").limit(_EVAL_N).drop("__h"))
@@ -146,15 +158,42 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"))
              .distinct())
-    truth = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_THRESH).select("id_a", "id_b")
-    caught = truth.join(cands, ["id_a", "id_b"])
+    # exact-Jaccard truth from the cached shingle arrays — identical
+    # integers to ngram_jaccard_pairs (|A∩B| via the shingle-inverted
+    # self-join; |A|,|B| = size of the distinct-shingle arrays) and the
+    # identical jaccard expression/threshold, without the second
+    # shingling pass + cache the operator would spin up
+    sh = doc.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = doc.select("doc_id", F.size("sh").alias("set_size"))
+    ta, tb = sh.alias("a"), sh.alias("b")
+    inter = (ta.join(tb, F.col("a.shingle") == F.col("b.shingle"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = (sizes.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("set_size", "size_a"))
+    sb = (sizes.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("set_size", "size_b"))
+    truth = (inter.join(F.broadcast(sa), "id_a")
+             .join(F.broadcast(sb), "id_b")
+             .withColumn("jaccard",
+                         F.col("n_inter")
+                         / (F.col("size_a") + F.col("size_b")
+                            - F.col("n_inter")))
+             .filter(F.col("jaccard") >= _THRESH)
+             .select("id_a", "id_b"))
 
-    row = (cands.agg(F.count(F.lit(1)).alias("n_cand"))
-           .crossJoin(F.broadcast(
-               truth.agg(F.count(F.lit(1)).alias("n_true"))))
-           .crossJoin(F.broadcast(
-               caught.agg(F.count(F.lit(1)).alias("n_caught")))))
+    # all three pair counts in ONE pass: full-outer join the two pair
+    # sets (each now computed exactly once) and count membership flags
+    row = (cands.withColumn("in_cand", F.lit(1))
+           .join(truth.withColumn("in_truth", F.lit(1)),
+                 ["id_a", "id_b"], "full_outer")
+           .agg(F.count("in_cand").alias("n_cand"),
+                F.count("in_truth").alias("n_true"),
+                F.count(F.when(F.col("in_cand").isNotNull()
+                               & F.col("in_truth").isNotNull(), 1))
+                .alias("n_caught")))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     total = float(n_docs) * (n_docs - 1) / 2
     return row.select(
