@@ -127,14 +127,27 @@ def view_purchase_attribution(
     except Exception:  # pragma: no cover
         pass
     if state_partitions is None:
-        # cheap empty-schema count: count() over parquet prunes every
-        # column, but it is still a real Spark job over each chunk (row
-        # counts come from footer metadata only when aggregate pushdown
-        # is enabled) — fine here because it runs once per invocation on
-        # a bounded chunk set
-        n_events = ss.read.parquet(d).count()
+        # r14 (guide §1.2/§6): the auto-sizing input is just the total
+        # chunk row count — read it from the parquet FOOTERS driver-side
+        # (microseconds) instead of the spark .count() job the pre-r14
+        # form ran over every chunk per invocation; identical integer,
+        # identical sizing rule
+        import pyarrow.parquet as _pq
+
+        n_events = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(glob.glob(f"{d}/chunk_*.parquet")))
         state_partitions = min(32, max(8, n_events // 50_000))
     ss.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # r14 (guide §1.2 — don't compute things you throw away): after the
+    # last file-fed trigger, the engine schedules one extra NO-DATA
+    # micro-batch purely to advance the watermark and evict state.  For
+    # an INNER stream-stream join that batch can emit no rows (eviction
+    # only discards buffered rows that can no longer match), so skipping
+    # it cannot change the result set — it only skips one full round of
+    # state-store task overhead on a query that is torn down immediately
+    # after.  Per-clone conf: the caller's session is untouched.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     schema = ss.read.parquet(f"{d}/chunk_0.parquet").schema
 
     def side(kind: str, prefix: str) -> DataFrame:
