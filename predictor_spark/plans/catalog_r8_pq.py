@@ -103,24 +103,30 @@ def _fit_sample(emb_v: DataFrame) -> DataFrame:
             .orderBy("h", "vec_id").limit(_FIT_N).drop("h"))
 
 
-def _fit_codebooks(fitv: DataFrame, ex) -> DataFrame:
+def _fit_codebooks(spark: SparkSession, fit_rows: list) -> list:
     """Deterministic Lloyd's fit for ALL _M subspaces at once —
     kmeans_fit's exact semantics (lowest-id init, 6-dp assignment
     rounding with lowest-centroid ties, 8-dp centroid rounding, empty
-    clusters keep the previous centroid) over the exploded
-    (vector, subspace) frame of the _FIT_N-vector sample: each
-    iteration is one broadcast-join assignment + one 256-group update.
-    Returns [subspace][centroid] -> list[float].
+    clusters keep the previous centroid).  Returns
+    [subspace][centroid] -> list[float].
 
-    ``fitv``: the _fit_sample frame (init comes from its lowest ids).
-    ``ex``: its CACHED exploded form — the fit references it once per
-    iteration, so rebuilding from parquet each time made the fit the
-    whole row's wall clock (8.5 s of the 12.6 s bench row at sf0.1 was
-    re-scan + re-explode overhead)."""
-    spark = fitv.sparkSession
-    init = fitv.orderBy("vec_id").limit(_K).collect()
+    ``fit_rows``: the COLLECTED _fit_sample rows (bounded at _FIT_N by
+    construction).  r14 (guide §2.4/§5): the sample is 256 vectors, so
+    the init sort and the subspace slicing are pure exact operations
+    done driver-side, and each Lloyd iteration runs its (unchanged)
+    Spark float expressions over a LOCAL relation — no parquet re-scan,
+    no cache pin, no coalesce, and three fewer distributed jobs per
+    invocation than the pre-r14 cached-exploded-frame form.  All float
+    arithmetic (distances, 6-dp assignment rounding, 8-dp centroid
+    averaging) still happens in the same Spark expressions as before,
+    so the books are bit-identical."""
+    init = sorted(fit_rows, key=lambda r: r["vec_id"])[:_K]
     books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
              for m in range(_M)]
+    ex = spark.createDataFrame(
+        [(r["vec_id"], m, list(r["v"])[m * _SUB:(m + 1) * _SUB])
+         for r in fit_rows for m in range(_M)],
+        "vec_id long, m int, sv array<double>")
     for _ in range(_ITER):
         cb = spark.createDataFrame(
             [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
@@ -255,25 +261,37 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     emb_v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
     # the quantizer trains on the _FIT_N lowest-md5 vectors, not the
-    # full table (VERDICT r7 #6): the fit input is now bounded at any
-    # SF, so coalesce(8)+cache on the SAMPLE is the honest layout (a
-    # few thousand exploded rows; per-iteration task overhead halved).
-    # The full exploded frame is referenced exactly once, by the
-    # encode pass, at its natural partitioning — no cache, no coalesce.
-    fitv = _fit_sample(emb_v)
-    ex_fit = _exploded(fitv).coalesce(8).cache()
-    books = _fit_codebooks(fitv, ex_fit)
+    # full table (VERDICT r7 #6).  r14: collect the bounded sample ONCE
+    # (a single map-side TakeOrderedAndProject job) and run the fit
+    # over local relations — see _fit_codebooks.
+    fit_rows = _fit_sample(emb_v).collect()
+    books = _fit_codebooks(spark, fit_rows)
     ex = _exploded(emb_v)
 
     # encode: broadcast-join assignment on the exploded frame, folded
-    # back to one (vec_id, code0..code15) row per vector
+    # back to one (vec_id, code0..code15) row per vector.  r14 (guide
+    # §2.4): ONE groupBy(vec_id) with per-subspace conditional
+    # min(struct) aggregates replaces the groupBy(vec_id, m) + pivot
+    # groupBy(vec_id) pair — same argmin per (vector, subspace), same
+    # (dist, centroid) tie-break, one Exchange over the widest frame
+    # instead of two.
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
         "m int, c int, cv array<double>")
-    codes = (_assign(ex, cb, with_sv=False)
+    edist = None
+    for d_i in range(_SUB):
+        e = (F.element_at("sv", d_i + 1) - F.element_at("cv", d_i + 1))
+        t = e * e
+        edist = t if edist is None else edist + t
+    enc_struct = F.struct(F.round(edist, 6).alias("d"),
+                          F.col("c").alias("c"))
+    codes = (ex.join(F.broadcast(cb), "m")
              .groupBy("vec_id")
-             .agg(*[F.max(F.when(F.col("m") == m, F.col("code")))
-                    .cast("int").alias(f"code{m}") for m in range(_M)]))
+             .agg(*[F.min(F.when(F.col("m") == m, enc_struct))
+                    .alias(f"b{m}") for m in range(_M)])
+             .select("vec_id",
+                     *[F.col(f"b{m}.c").cast("int").alias(f"code{m}")
+                       for m in range(_M)]))
     v = as_double_vec("embedding")
 
     # ADC distance tables are a function of the QUERY alone: compute
@@ -301,13 +319,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtab_rows = (qslices.join(F.broadcast(cb), "m")
                  .select("query_id", "m", "c",
                          F.round(qdist, 6).alias("t")))
-    per_m = (qtab_rows.groupBy("query_id", "m")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("c", "t"))),
-                 lambda x: x["t"]).alias("tab")))
-    qtabs = (per_m.groupBy("query_id")
-             .agg(*[F.max(F.when(F.col("m") == m, F.col("tab")))
-                    .alias(f"tab{m}") for m in range(_M)])
+    # r14 (guide §2.4): one groupBy(query_id) with per-subspace
+    # conditional collect_lists replaces the groupBy(query_id, m) +
+    # pivot groupBy(query_id) pair — collect_list skips the NULLs of
+    # other subspaces, array_sort orders by (c, t) exactly as before,
+    # so each tab{m} array is element-identical with one less Exchange.
+    qtabs = (qtab_rows.groupBy("query_id")
+             .agg(*[F.transform(
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("m") == m, F.struct("c", "t")))),
+                 lambda x: x["t"]).alias(f"tab{m}") for m in range(_M)])
              .join(F.broadcast(queries), "query_id"))
     joined = codes.join(F.broadcast(qtabs),
                         F.col("vec_id") != F.col("query_id"))
@@ -332,6 +353,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, d: acc + d), 6)
     w_final = Window.partitionBy("query_id").orderBy("exact_d2",
                                                      "neighbor_id")
+    # r14 (guide §3.1): broadcast the BOUNDED shortlist (<= queries x
+    # _SHORT rows) so the raw-vector side streams through a broadcast
+    # hash join — no shuffle/sort of the corpus scan; the pre-r14 plan
+    # let the planner shuffle both sides on neighbor_id.
+    shortlist = F.broadcast(shortlist)
     return (shortlist.join(nv, "neighbor_id")
             .select("query_id", "neighbor_id",
                     F.round("approx_d2", 6).alias("approx_d2"),
