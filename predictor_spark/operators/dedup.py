@@ -316,9 +316,12 @@ def connected_components(
     For graphs with whale-sized clusters (rounds = component DIAMETER
     here), use ``connected_components_star`` — same interface,
     O(log) rounds."""
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # r14 (guide §1.2/§5): checkpoint the RAW edge projection once —
+    # without it the symmetrizing union evaluates the caller's edge
+    # subtree (often a whole LSH candidate pipeline) twice in one job
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.repartition("u").localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("vertex"))
@@ -334,6 +337,9 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # LAZY per-round checkpoint (r14): the convergence count right
+        # below materializes-and-persists it in the SAME job, instead of
+        # one eager-checkpoint job plus one count job per round
         new = (
             labels.join(nbr, labels["vertex"] == nbr["u"], "left")
             .select(
@@ -341,7 +347,7 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_changed = new.filter(F.col("changed")).count()
         labels = new.drop("changed")
         if n_changed == 0:
@@ -385,12 +391,23 @@ def connected_components_star(
     component minimum; convergence is detected by an (edge-count,
     sum-of-hashes) signature reaching a fixpoint — one cheap aggregate,
     no except() diff. localCheckpoint truncates lineage per round."""
-    cur = _canon_edges(edges, src, dst).localCheckpoint()
+    # r14 (guide §1.2/§5): checkpoint the raw (hi, lo) projection once —
+    # cur and all_vertices both derive from it, so the caller's edge
+    # subtree (often a whole LSH candidate pipeline) is computed exactly
+    # once instead of three times (canon + the two vertex branches).
+    # Self-loops are KEPT here (dropped only in cur) so the vertex set
+    # is identical to the pre-r14 raw-edges union.
+    raw = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+    ).localCheckpoint()
+    cur = (raw.filter(F.col("hi") != F.col("lo"))
+           .distinct().localCheckpoint())
     all_vertices = (
-        edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
+        raw.select(F.col("hi").alias("vertex"))
+        .union(raw.select(F.col("lo").alias("vertex")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -419,13 +436,16 @@ def connected_components_star(
         )
         # small-star over (hi, lo): every lo (and hi) attaches to min(lo)
         mn = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        # LAZY per-round checkpoint (r14): the signature aggregate right
+        # below materializes-and-persists it in the SAME job, instead of
+        # one eager-checkpoint job plus one signature job per round
         small = (
             large.join(mn, "hi")
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .union(mn.select(F.col("hi"), F.col("m").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         prev, cur = cur, small
         new_sig = signature(cur)
