@@ -267,7 +267,7 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.3 s at sf1 vs 4.2 cached); local cost vs the lag form is
     2.2–3.0 -> ~4.2 s at sf1, accepted because the single-task
     |sessions| sort is disqualifying at 100 TB."""
-    from predictor_spark.operators.ranking import two_phase_row_number
+    import decimal
 
     sess, span = _sessions(spark, sf_dir)
     sess = sess.cache()
@@ -277,17 +277,56 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = max(1, ((hi - lo) // 64) if hi is not None else 1)
     bounds = ([float(lo + i * step) for i in range(1, 64)]
               if hi is not None else [0.0])
-    ranked = two_phase_row_number(
-        sess.select("start_ms", "user_id", "session_id"), [],
-        "start_ms", ["start_ms", "user_id", "session_id"],
-        rank_name="rn", bounds=bounds).cache()
-    a_f, b_f = ranked.alias("a"), ranked.alias("b")
-    gaps = (a_f.join(b_f, F.col("a.rn") == F.col("b.rn") + 1)
-            .select((F.col("a.start_ms") - F.col("b.start_ms")).alias("g")))
-    mom = gaps.agg(F.count(F.lit(1)).alias("ng"),
-                   F.sum("g").alias("sg"),
-                   F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
-                   .alias("sg2"))
+    # r14 (guide §2.4): adjacent-gap MOMENTS, not the gaps, are what the
+    # formula needs — so the r14-build's two_phase_row_number + rn=rn+1
+    # self-join (rank shuffle, cache pin, |sessions|-row co-partitioned
+    # join) is overkill.  Bucket session starts by the same fixed range
+    # bounds, lag WITHIN each bucket (64-way-parallel window, the same
+    # monotone split two_phase used, so ties stay inside one bucket),
+    # pre-aggregate exact integer gap moments per bucket, and merge the
+    # <= 64 bucket rows driver-side together with the 63 bucket-BOUNDARY
+    # gaps (exact long subtraction on the per-bucket first/last keys in
+    # the identical (start_ms, user_id, session_id) total order).  Every
+    # adjacent pair contributes exactly once, so ng/sg/sg2 are the same
+    # integers as the self-join form, and the reported floats come from
+    # the same Spark expressions over a local relation.
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bkt = F.aggregate(
+        barr, F.lit(0),
+        lambda acc, b: acc + F.when(F.col("start_ms") > b, 1).otherwise(0))
+    wb = Window.partitionBy("bkt").orderBy(
+        "start_ms", "user_id", "session_id")
+    per_bucket = (sess.select("start_ms", "user_id", "session_id",
+                              bkt.alias("bkt"))
+                  .withColumn("g", F.col("start_ms")
+                              - F.lag("start_ms").over(wb))
+                  .groupBy("bkt")
+                  .agg(F.count("g").alias("ng"),
+                       F.sum("g").alias("sg"),
+                       F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+                       .alias("sg2"),
+                       F.min(F.struct("start_ms", "user_id", "session_id"))
+                       .alias("first"),
+                       F.max(F.struct("start_ms", "user_id", "session_id"))
+                       .alias("last"))
+                  .collect())
+    per_bucket.sort(key=lambda r: r["bkt"])
+    ng_t, sg_t, sg2_t = 0, 0, 0
+    prev_last = None
+    for r in per_bucket:
+        ng_t += r["ng"]
+        sg_t += int(r["sg"]) if r["sg"] is not None else 0
+        sg2_t += int(r["sg2"]) if r["sg2"] is not None else 0
+        if prev_last is not None:
+            bg = r["first"]["start_ms"] - prev_last["start_ms"]
+            ng_t += 1
+            sg_t += bg
+            sg2_t += bg * bg
+        prev_last = r["last"]
+    mom_row = ((ng_t, sg_t, decimal.Decimal(sg2_t)) if ng_t > 0
+               else (0, None, None))
+    mom = spark.createDataFrame(
+        [mom_row], "ng long, sg long, sg2 decimal(38,0)")
     smom = sess.agg(F.count(F.lit(1)).alias("ns"),
                     F.sum("dur_ms").alias("ss"),
                     F.sum(F.col("dur_ms").cast("decimal(38,0)")
