@@ -291,26 +291,36 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = exact_ntile(base, "score_int", ["user_id"], 10,
                       tile_name="decile", descending=True,
                       collect_spans=True)
-    agg = (dec.select("label", "decile")
-           .groupBy("decile")
-           .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
-           # 10-row frame read by the total AND the output; uncached each
-           # re-runs the events scan + decile assignment
-           .cache())
-    tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    # r14: the <=10-row decile aggregate was cached, collected for the
+    # cumulative sum AND re-read distributed for the totals + output
+    # (a cache pin, a totals aggregate, and two broadcast joins).  It
+    # is already bounded and collected once — so totals and prefix sums
+    # are exact integer arithmetic on the collected rows, and the final
+    # 10-row frame is a local relation carrying the exact integers with
+    # the SAME Spark float expressions (lift/cum_gain identical).
+    agg_rows = sorted(
+        dec.select("label", "decile")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
+        .collect(), key=lambda r: r["decile"])
+    nt = sum(int(r["n"]) for r in agg_rows)
+    pt_vals = [int(r["pos"]) for r in agg_rows if r["pos"] is not None]
+    pt = sum(pt_vals) if pt_vals else None
     # mirrors window-sum null semantics: nulls skipped, prefix stays
     # null until the first non-null
-    acc, cum_rows = None, []
-    for r in sorted(agg.select("decile", "pos").collect(),
-                    key=lambda r: r["decile"]):
+    acc, out_rows = None, []
+    for r in agg_rows:
         if r["pos"] is not None:
             acc = (acc or 0) + int(r["pos"])
-        cum_rows.append((r["decile"], acc))
-    cum_df = spark.createDataFrame(
-        cum_rows, "decile bigint, cum_pos bigint")
+        out_rows.append((int(r["decile"]),
+                         int(r["n"]),
+                         None if r["pos"] is None else int(r["pos"]),
+                         acc, nt, pt))
+    local = spark.createDataFrame(
+        out_rows, "decile long, n long, pos long, cum_pos long, "
+                  "nt long, pt long")
     return (
-        agg.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(cum_df), "decile")
+        local
         .select(F.col("decile").cast("long").alias("decile"),
                 F.col("n").cast("long").alias("n_users"),
                 F.col("pos").cast("long").alias("n_pos"),
