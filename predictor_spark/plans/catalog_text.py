@@ -989,8 +989,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.regexp_replace("w", "(.)", "$1").alias("rep"),
     )
-    bests = []
+    # r14 (guide §2.4/§5): the pre-r14 lazy chain re-derived every
+    # earlier iteration inside each later one (best1's whole subtree
+    # appeared again under best2 and best3 — 36 Exchange nodes,
+    # plans/r14/bpe_train_merges_before.txt).  Each iteration now
+    # lazily checkpoints the histogram (materialized by its own
+    # 1-row winner collect, one job per iteration), folds the winner
+    # into the merge as string LITERALS, and the 3-row output is a
+    # local relation of the collected exact values — identical rows,
+    # linear work.
+    best_rows = []
     for k in range(1, _BPE_ITERS + 1):
+        cur = cur.localCheckpoint(eager=False)
         syms = cur.withColumn(
             "syms", F.expr("filter(split(rep, ''), x -> x <> '')"))
         # guard: a 1-symbol word yields sequence(0, -1), which Spark
@@ -1002,32 +1012,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(0, size(syms) - 2),"
                 " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).alias("pr"),
         ).select("cnt", "pr.l", "pr.r")
-        best = (
+        won = (
             pairs.groupBy("l", "r").agg(F.sum("cnt").alias("pc"))
             .orderBy(F.col("pc").desc(), "l", "r").limit(1)
-            .select(
-                F.lit(k).alias("merge_rank"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("pc").alias("pair_count"),
-            )
+            .collect()
         )
-        bests.append(best)
-        cur = (
-            syms.crossJoin(F.broadcast(
-                best.select("left_sym", "right_sym")))  # 1-row winner
-            .withColumn("pat", F.concat(F.lit(""), "left_sym",
-                                        F.lit(""), "right_sym",
-                                        F.lit("")))
-            .withColumn("rp", F.concat(F.lit(""), "left_sym",
-                                       "right_sym", F.lit("")))
-            .withColumn("rep", F.expr("replace(rep, pat, rp)"))
-            .select("cnt", "rep")
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+        if not won:
+            # no adjacent pair anywhere: the pre-r14 chain produced
+            # empty best frames from here on — stop identically
+            break
+        w = won[0]
+        best_rows.append((k, w["l"], w["r"], int(w["pc"])))
+        pat = "" + w["l"] + "" + w["r"] + ""
+        rp = "" + w["l"] + w["r"] + ""
+        cur = syms.select(
+            "cnt",
+            F.replace(F.col("rep"), F.lit(pat), F.lit(rp)).alias("rep"))
+    from pyspark.sql import types as T
+    return spark.createDataFrame(
+        best_rows,
+        T.StructType([
+            T.StructField("merge_rank", T.IntegerType(), False),
+            T.StructField("left_sym", T.StringType(), True),
+            T.StructField("right_sym", T.StringType(), True),
+            T.StructField("pair_count", T.LongType(), True),
+        ]))
 
 
 _EMB_DIM = 64  # generator contract (TESTDATA.md); shared engine/oracle
