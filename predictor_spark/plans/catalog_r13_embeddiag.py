@@ -74,10 +74,20 @@ def _ranked(spark: SparkSession, sf_dir: str, max_rank: int) -> DataFrame:
            .orderBy("__h", "vec_id").limit(_DIAG_N).drop("__h"))
     a = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     b = emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
-    d2 = F.round(F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, t: acc + t), 9)
+    # r14 (guide §4.1 — prefer codegen'd expressions): the zip_with +
+    # aggregate higher-order pair distance ran INTERPRETED per element
+    # (~17M lambda evaluations over the 512^2 pair grid).  Unrolled to
+    # a static 64-term sum (the generator's fixed embedding dim,
+    # TESTDATA.md) it whole-stage-codegens; the fold order is the same
+    # left-to-right 0.0 + t1 + ... + t64, and element_at past the array
+    # end yields NULL exactly like zip_with's padding, so every d2 is
+    # bit-identical.
+    _dim = 64
+    d2_sum = F.lit(0.0)
+    for _i in range(1, _dim + 1):
+        _e = F.element_at("qv", _i) - F.element_at("nv", _i)
+        d2_sum = d2_sum + _e * _e
+    d2 = F.round(d2_sum, 9)
     pairs = (a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
              .select("qid", "nid", d2.alias("d2")))
     w = Window.partitionBy("qid").orderBy("d2", "nid")
