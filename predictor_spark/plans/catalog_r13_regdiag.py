@@ -192,11 +192,23 @@ def cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 0).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    mom = raw.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(dec("x")).alias("sx"),
-                  F.sum(dec("y")).alias("sy"),
-                  F.sum(dec("x") * F.col("x")).alias("sxx"),
-                  F.sum(dec("x") * F.col("y")).alias("sxy"))
+    # r14 (guide §1.2 — the three OLS passes are inherent given the
+    # whole-cent residual rounding, but the pre-r14 broadcast CHAIN
+    # re-evaluated the moment/RSS subtrees inside every consumer: 8
+    # lineitem scans in one plan (plans/r14/cooks_distance_top_before
+    # .txt).  Collect the exact integer moments once per pass and embed
+    # them as one-row LOCAL relations; every float (a, b, leverage,
+    # Cook's D) is still computed by the identical Spark expressions,
+    # so the output is bit-identical with exactly 3 scans.
+    mom_row = raw.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(dec("x")).alias("sx"),
+                      F.sum(dec("y")).alias("sy"),
+                      F.sum(dec("x") * F.col("x")).alias("sxx"),
+                      F.sum(dec("x") * F.col("y")).alias("sxy")).collect()[0]
+    mom = spark.createDataFrame(
+        [mom_row],
+        "n long, sx decimal(38,0), sy decimal(38,0), "
+        "sxx decimal(38,0), sxy decimal(38,0)")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     b = ((d("n") * d("sxy") - d("sx") * d("sy"))
          / (d("n") * d("sxx") - d("sx") * d("sx")))
@@ -207,10 +219,14 @@ def cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("y") - F.col("a")
                              - F.col("b") * F.col("x"), 0).cast("long")
                      .alias("e")))
-    rss = resid.agg(
+    rss_row = resid.agg(
         F.max("n").alias("n"), F.max("sx").alias("sx"),
         F.max("sxx").alias("sxx"),
-        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("rss"))
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .alias("rss")).collect()[0]
+    rss = spark.createDataFrame(
+        [rss_row],
+        "n long, sx decimal(38,0), sxx decimal(38,0), rss decimal(38,0)")
     j = resid.drop("n", "sx", "sxx").crossJoin(F.broadcast(rss))
     sxx_c = d("sxx") - d("sx") * d("sx") / F.col("n")
     h = 1.0 / F.col("n") + F.pow(F.col("x") - d("sx") / F.col("n"), 2) / sxx_c
