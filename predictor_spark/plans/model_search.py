@@ -74,7 +74,16 @@ def nbeats_ga_search(
     ev = load_table(spark, sf_dir, "events")
     if max_series is not None:
         ev = ev.filter(F.col("user_id") < max_series)
-    ev = ev.select("user_id", "ts", "value")
+    # r14 (guide §2.4/§5): every candidate re-scanned parquet and
+    # re-shuffled the identical series slice into its applyInPandas
+    # groupBy.  Pre-partition by the group key and cache for the
+    # DURATION OF THIS SEARCH ONLY (unpersisted below — the GA runs
+    # eagerly, so nothing leaks across invocations): each candidate's
+    # per-series fan-out then reads the co-partitioned cache with no
+    # Exchange.  Training itself is untouched; fitness values are
+    # identical.
+    ev = (ev.select("user_id", "ts", "value")
+          .repartition("user_id").cache())
 
     def evaluate(params: dict) -> float:
         scored = nbeats_fit_predict_per_series(
@@ -87,12 +96,15 @@ def nbeats_ga_search(
         tm, tn, vm, vn = _candidate_metrics(scored)
         return candidate_fitness(tm, tn, vm, vn)
 
-    return ga_search(
-        NBEATS_BOUNDS, evaluate, pop_size=pop_size,
-        n_generations=n_generations, seed=seed,
-        max_parallel=pop_size, checkpoint_path=checkpoint_path,
-        meta_log_path=meta_log_path,
-    )
+    try:
+        return ga_search(
+            NBEATS_BOUNDS, evaluate, pop_size=pop_size,
+            n_generations=n_generations, seed=seed,
+            max_parallel=pop_size, checkpoint_path=checkpoint_path,
+            meta_log_path=meta_log_path,
+        )
+    finally:
+        ev.unpersist()
 
 
 def nbeats_ga_search_report(
