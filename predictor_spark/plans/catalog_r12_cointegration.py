@@ -86,18 +86,28 @@ def _lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ta, tb, n, b, e, ep): hundredth-cent residual spread + its lag,
     mirroring the oracle prelude expression-for-expression."""
     ev = _t(spark, sf_dir, "events")
+    # cached: both sides of the pair self-join read bars (~150 rows at
+    # any SF) — un-cached, each side re-ran the full events scan+rollup
     bars = (ev.groupBy("event_type",
                        F.col("ts").cast("date").alias("ddate"))
             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-                 .alias("c")))
+                 .alias("c"))
+            .cache())
     a = bars.select(F.col("event_type").alias("ta"), "ddate",
                     F.col("c").alias("x"))
     b_ = bars.select(F.col("event_type").alias("tb"),
                      F.col("ddate").alias("ddate2"),
                      F.col("c").alias("y"))
+    # r14 (guide §2.4/§5): mom (inside the broadcast ab subtree) AND resid
+    # both re-derived pairs -> bars -> a full events scan each, and the two
+    # registered rows each re-derived both: 4 events scans + 4 daily
+    # rollups per invocation (plans/r14/engle_granger_pairs_before.txt).
+    # pairs is |days| x C(5,2) rows (~1.5k at ANY SF — the rollup bounds
+    # it), so caching it costs O(days) memory and leaves ONE events scan.
     pairs = (a.join(b_, (F.col("ddate") == F.col("ddate2"))
                     & (F.col("ta") < F.col("tb")))
-             .select("ta", "tb", "ddate", "x", "y"))
+             .select("ta", "tb", "ddate", "x", "y")
+             .cache())
     dx = F.col("x").cast("decimal(38,0)")
     dy = F.col("y").cast("decimal(38,0)")
     mom = pairs.groupBy("ta", "tb").agg(
