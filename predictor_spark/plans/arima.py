@@ -109,6 +109,13 @@ def _series_sums(df: DataFrame, d: int, value_col: str, ts_col: str,
     x = base.withColumn("x", F.col("y") - F.avg("y").over(wall))
     for k in (1, 2, 3):
         x = x.withColumn(f"x{k}", F.lag("x", k).over(w))
+    # r14 (guide §2.4/§5): x feeds BOTH the AR(3) moment aggregate (inside
+    # the broadcast coef subtree) and the innovation projection — un-cached,
+    # each consumer re-ran the scan + demean/lag window chain, so one
+    # order-select invocation paid 4 events scans and ~9 window passes
+    # (plans/r14/arima_order_select_aic_before.txt).  The frame is 6 narrow
+    # columns over the train slice; MEMORY_AND_DISK spills at scale.
+    x = x.cache()
     ars = x.groupBy(series_col).agg(
         *[F.round(F.sum(F.col("x") * F.col(c)), 6).alias(nm)
           for c, nm in [("x", "s0"), ("x1", "s1"), ("x2", "s2"), ("x3", "s3")]],
