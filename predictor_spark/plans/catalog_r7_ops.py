@@ -84,18 +84,32 @@ def lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note: ties on `days` make row_number's choice within a tie run
     arbitrary, but every row in the tie carries the SAME days value,
-    so the selected statistic is unique regardless.
+    so the selected statistic is unique regardless — which is exactly
+    why the rank-r row can be read off the (priority, days) COUNT
+    frame: the block with cum-cnt < r <= cum holds every row of rank
+    r, all carrying the same days value.
 
-    Scale: one fact-to-fact join + one per-priority window + a 5-group
-    rollup; nothing wider than the join the fact schema already pays."""
+    Scale: one fact-to-fact join reduced by a map-side-combinable
+    (priority, days) count rollup; the cumulative window then runs
+    over the BOUNDED |priorities| x |distinct days| frame (~5 x 200
+    rows at any SF).  r14 (guide §2.2/§2.5): the previous form ranked
+    every joined row in a partitionBy(priority) window — an SF-linear
+    sort capped at 5 tasks at any cluster size; same selected order
+    statistics, stream-sized work now ends at the count rollup."""
     lead = _lead(spark, sf_dir)
+    cnts = (lead.groupBy("priority", "days")
+            .agg(F.count(F.lit(1)).alias("cnt")))
     w = Window.partitionBy("priority")
-    ranked = lead.select(
-        "priority", "days",
-        F.row_number().over(w.orderBy("days")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"))
+    ranked = cnts.select(
+        "priority", "days", "cnt",
+        F.sum("cnt").over(w.orderBy("days")
+                          .rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(w).alias("n"))
     pick = lambda q: F.max(F.when(  # noqa: E731
-        F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"),
+        (F.col("cum") - F.col("cnt")
+         < F.expr(f"((n - 1) * {q}) div 100 + 1"))
+        & (F.expr(f"((n - 1) * {q}) div 100 + 1") <= F.col("cum")),
         F.col("days")))
     return (ranked.groupBy("priority")
             .agg(F.max("n").cast("long").alias("n_lines"),
