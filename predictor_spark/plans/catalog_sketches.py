@@ -241,15 +241,28 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("i0", "x")).select(
         "vec_id", (F.col("i0") + 1).alias("i"), "x")
+    # r14 (guide §2.3/§2.4): the covariance previously came from a
+    # cen ⋈ cen self-join on vec_id — BOTH exploded sides were shuffled
+    # by vec_id (rows x 64 elements, twice) before the 64x64 pair rows
+    # even existed, and neither side was cached so each re-ran the
+    # scan+explode+mu join.  The outer products are ROW-LOCAL: subtract
+    # the (bounded, 64-value) collected mean vector inside the scan
+    # stage and emit the 4096 (i, j, c_i*c_j) partials straight into a
+    # map-side-combinable groupBy — the only shuffle left is the 4096
+    # aggregated groups, matching the docstring's design claim.
     mu = pe.groupBy("i").agg(F.avg("x").alias("m"))
-    cen = (pe.join(F.broadcast(mu), "i")
-           .select("vec_id", "i", (F.col("x") - F.col("m")).alias("c")))
+    mu_arr = [r["m"] for r in mu.orderBy("i").collect()]  # bounded: 64
     n = emb.count()  # bounded: one scalar, like the k-means centroid pull
-    right = cen.select(F.col("vec_id"), F.col("i").alias("j"),
-                       F.col("c").alias("c2"))
-    cov = (cen.join(right, "vec_id")
-           .groupBy("i", "j")
-           .agg((F.sum(F.col("c") * F.col("c2")) / (n - 1)).alias("v"))
+    mulit = F.array(*[F.lit(float(m)) for m in mu_arr])
+    cen_arr = emb.select(
+        F.zip_with(F.col("embedding").cast("array<double>"), mulit,
+                   lambda x, m: x - m).alias("c"))
+    prods = cen_arr.select(F.explode(F.expr(
+        "flatten(transform(c, (ci, i) -> transform(c, (cj, j) -> "
+        "named_struct('i', i + 1, 'j', j + 1, 'p', ci * cj))))"))
+        .alias("t")).select("t.i", "t.j", "t.p")
+    cov = (prods.groupBy("i", "j")
+           .agg((F.sum("p") / (n - 1)).alias("v"))
            ).cache()
     import math
 
