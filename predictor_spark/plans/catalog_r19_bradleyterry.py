@@ -77,8 +77,12 @@ def _bt_iter_sql() -> str:
     return "".join(parts)
 
 
-def _bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(t, p): strengths after the unrolled MM iterations (sum 1)."""
+def _bt_strengths(spark: SparkSession, sf_dir: str):
+    """((t, p) strengths after the unrolled MM iterations (sum 1),
+    cached directed-win-count frame (i, j, w)) — callers derive wtot /
+    contests from the returned wins instead of re-running the daily
+    return self-join (r14, guide §2.4: both registered rows previously
+    rebuilt the contest join a second time for their output frame)."""
     r = _rets(spark, sf_dir).cache()
     a = r.select(F.col("event_type").alias("i"), "ddate",
                  F.col("r").alias("ra"))
@@ -123,7 +127,7 @@ def _bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = sum(r["p"] for r in raw)
         strengths = {r["t"]: r["p"] / s for r in raw}
     return spark.createDataFrame(
-        sorted(strengths.items()), "t string, p double")
+        sorted(strengths.items()), "t string, p double"), wins
 
 
 @query(
@@ -142,16 +146,8 @@ def bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: aggregate-then-iterate — iterations touch only the 10-pair
     frame."""
-    p = _bt_strengths(spark, sf_dir)
-    r = _rets(spark, sf_dir)
-    a = r.select(F.col("event_type").alias("i"), "ddate",
-                 F.col("r").alias("ra"))
-    b = r.select(F.col("event_type").alias("j"), "ddate",
-                 F.col("r").alias("rb"))
-    wtot = (a.join(b, "ddate")
-            .filter((F.col("i") != F.col("j"))
-                    & (F.col("ra") > F.col("rb")))
-            .groupBy("i").agg(F.count(F.lit(1)).alias("wi")))
+    p, wins = _bt_strengths(spark, sf_dir)
+    wtot = wins.groupBy("i").agg(F.sum("w").alias("wi"))
     return (p.join(wtot, p.t == wtot.i)
             .select(F.col("t").alias("event_type"),
                     F.round("p", 6).alias("strength"),
@@ -179,16 +175,7 @@ def bt_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (intransitivity).
 
     Scale: the 10-pair frame joined to the 5-strength frame."""
-    p = _bt_strengths(spark, sf_dir)
-    r = _rets(spark, sf_dir).cache()
-    a = r.select(F.col("event_type").alias("i"), "ddate",
-                 F.col("r").alias("ra"))
-    b = r.select(F.col("event_type").alias("j"), "ddate",
-                 F.col("r").alias("rb"))
-    wins = (a.join(b, "ddate")
-            .filter((F.col("i") != F.col("j"))
-                    & (F.col("ra") > F.col("rb")))
-            .groupBy("i", "j").agg(F.count(F.lit(1)).alias("w")))
+    p, wins = _bt_strengths(spark, sf_dir)
     rev = wins.select(F.col("i").alias("j2"), F.col("j").alias("i2"),
                       F.col("w").alias("w_rev"))
     contests = (wins.join(rev, (wins.i == F.col("i2"))
