@@ -84,9 +84,15 @@ def stream_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch DataFrame of (lang, n_unique) — equal to batch
     COUNT(DISTINCT text) per lang, which is the oracle."""
     d = _chunked_docs_dir(spark, sf_dir)
-    schema = spark.read.parquet(f"{d}/chunk_0.parquet").schema
+    from predictor_spark.streaming.windows import stream_clone
+
+    # complete-mode downstream agg: the trailing no-data batch re-emits
+    # unchanged state, so it is skipped; state width footer-auto-sized
+    ss = stream_clone(spark, sorted(glob.glob(f"{d}/chunk_*.parquet")),
+                      skip_no_data=True)
+    schema = ss.read.parquet(f"{d}/chunk_0.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
+        ss.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(d)
@@ -105,9 +111,9 @@ def stream_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches = len(q.recentProgress)
     finally:
         q.stop()
-    from predictor_spark.streaming.windows import drain_memory_sink
+    from predictor_spark.streaming.windows import drain_to_caller
 
-    out = drain_memory_sink(spark, name, agg.schema)
+    out = drain_to_caller(spark, ss, name, agg.schema)
     # the multi-batch contract is load-bearing for the cross-batch-state
     # claim; fail loudly if the source collapsed into one trigger
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"

@@ -20,6 +20,53 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+def stream_clone(spark: SparkSession, source_files: list[str],
+                 skip_no_data: bool) -> SparkSession:
+    """Per-query session clone for a synchronous streaming run (r14,
+    guide §1.2/§2.2 — the pattern measured on streaming_stream_join):
+
+    - state-store width = spark.sql.shuffle.partitions is captured at
+      query start, and the caller session's batch width (local: one per
+      core) over-parallelizes the per-batch state-store tasks of these
+      bounded replays.  Auto-size from the source row count (parquet
+      FOOTER read, no job): one partition per ~50k rows, clamped to
+      [8, 32] — sf0.1 gets 8, larger SFs widen, and on a cluster the
+      same rule tracks input size.  Cloning (own SQLConf, shared
+      SparkContext) keeps the caller's batch conf untouched.
+    - ``skip_no_data=True`` disables the trailing NO-DATA micro-batch.
+      Only pass it for queries where that batch provably emits nothing:
+      complete-mode aggregations re-emit unchanged state (the final
+      data batch already produced the full table) and inner
+      stream-stream joins only evict.  APPEND-mode windowed aggs MUST
+      keep it — the last watermark advance is what flushes their final
+      closed windows."""
+    import pyarrow.parquet as _pq
+
+    ss = spark.newSession()
+    try:
+        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    n_rows = sum(_pq.ParquetFile(p).metadata.num_rows
+                 for p in source_files)
+    ss.conf.set("spark.sql.shuffle.partitions",
+                str(min(32, max(8, n_rows // 50_000))))
+    if skip_no_data:
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                    "false")
+    return ss
+
+
+def drain_to_caller(caller: SparkSession, ss: SparkSession, name: str,
+                    schema) -> DataFrame:
+    """Drain a clone-session memory sink back onto the CALLER session
+    (local relation), dropping the clone's temp view. The memory sink is
+    already driver-resident, so the collect moves nothing extra."""
+    rows = ss.table(name).collect()
+    ss.catalog.dropTempView(name)
+    return caller.createDataFrame(rows, schema)
+
+
 def drain_memory_sink(spark: SparkSession, name: str, schema) -> DataFrame:
     """Collect a completed memory-sink table and DROP the temp view.
 
@@ -50,7 +97,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch footer read (FileStreamSource needs an explicit schema, and the
     generator's physical timestamp layout has changed across rounds —
     nanos-as-long vs NTZ micros), then ts canonicalized to TIMESTAMP
-    exactly like the batch path (sources/tables.py canonical_ts)."""
+    exactly like the batch path (sources/tables.py canonical_ts).
+
+    ``spark`` may be a per-query clone from :func:`stream_clone` — the
+    stream then plans under the clone's conf."""
     from predictor_spark.sources.tables import canonical_ts
 
     try:
@@ -78,7 +128,9 @@ def tumbling_event_counts(
     Uses outputMode('complete') + memory sink so every window (including
     ones the watermark hasn't closed) is emitted — matching the batch
     oracle GROUP BY date_trunc."""
-    stream = _events_stream(spark, sf_dir)
+    ss = stream_clone(spark, [f"{sf_dir}/events.parquet"],
+                      skip_no_data=True)  # complete mode: re-emit only
+    stream = _events_stream(ss, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
@@ -99,7 +151,7 @@ def tumbling_event_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return drain_memory_sink(spark, name, agg.schema)
+    return drain_to_caller(spark, ss, name, agg.schema)
 
 
 def sessionized_stream_counts(
@@ -109,7 +161,9 @@ def sessionized_stream_counts(
 ) -> DataFrame:
     """session_window (gap-based) per user — the streaming analog of the
     batch sessionize operator. Returns per-user session counts."""
-    stream = _events_stream(spark, sf_dir)
+    ss = stream_clone(spark, [f"{sf_dir}/events.parquet"],
+                      skip_no_data=True)  # complete mode: re-emit only
+    stream = _events_stream(ss, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -127,7 +181,7 @@ def sessionized_stream_counts(
     finally:
         q.stop()
     return (
-        drain_memory_sink(spark, name, agg.schema)
+        drain_to_caller(spark, ss, name, agg.schema)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
@@ -189,9 +243,13 @@ def late_data_drop_counts(
             shutil.rmtree(tmp)
             os.utime(dst, (_time.time() + i, _time.time() + i))
 
-    schema = spark.read.parquet(f"{d}/chunk_0.parquet").schema
+    # append mode: the trailing no-data batch flushes the final closed
+    # windows, so ONLY the state width is tuned — never skip_no_data here
+    ss = stream_clone(spark, sorted(glob.glob(f"{d}/chunk_*.parquet")),
+                      skip_no_data=False)
+    schema = ss.read.parquet(f"{d}/chunk_0.parquet").schema
     stream = (
-        spark.readStream.schema(schema).format("parquet")
+        ss.readStream.schema(schema).format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(d)
     )
@@ -211,7 +269,7 @@ def late_data_drop_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return drain_memory_sink(spark, name, agg.schema)
+    return drain_to_caller(spark, ss, name, agg.schema)
 
 
 def sliding_event_counts(
@@ -230,7 +288,9 @@ def sliding_event_counts(
     Scale: state per key is bounded by (watermark / slide) open windows;
     the map-side expansion factor is len/slide — the knob that trades
     freshness granularity against state size at 100 TB/day rates."""
-    stream = _events_stream(spark, sf_dir)
+    ss = stream_clone(spark, [f"{sf_dir}/events.parquet"],
+                      skip_no_data=True)  # complete mode: re-emit only
+    stream = _events_stream(ss, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
@@ -252,4 +312,4 @@ def sliding_event_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return drain_memory_sink(spark, name, agg.schema)
+    return drain_to_caller(spark, ss, name, agg.schema)
