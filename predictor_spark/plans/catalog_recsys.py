@@ -50,33 +50,27 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over their distinct-buyer sets, top-20 pairs — the co-occurrence
     kernel behind "customers who bought X also bought Y".
 
-    Scale: the (customer, brand) matrix reduces to ONE sorted brand-set
-    row per customer (bounded by |brands| = 25), built in the same
-    shuffle the old distinct paid; candidate pairs are generated
-    row-locally from each set (the wedge enumeration — only brands
-    sharing a buyer meet) and partially aggregated map-side into the
-    ≤C(25,2) pair groups, so no SF-sized frame is ever shuffled again.
-    r14 (guide §2.4): the previous self-join ON CUSTOMER re-shuffled
-    the distinct-reduced matrix twice into a SortMergeJoin before the
-    pair rollup (29-Exchange plan); same counts, two fewer SF-sized
-    exchanges.  At catalog scale the standard cap is top-k brands per
-    customer before the expansion; degree counts broadcast onto the
-    pair frame."""
+    Scale: the (customer, brand) matrix is one distinct-reduced fact
+    join (25-row part dim broadcast); candidate pairs come from the
+    self-join ON CUSTOMER (only brands sharing a buyer meet — the
+    wedge-join discipline again), and the per-customer fan-out is
+    bounded by |brands| = 25, so no customer explodes.  At catalog
+    scale the standard cap is top-k brands per customer before the
+    self-join; degree counts broadcast onto the pair frame."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sets = (o.join(li, o.o_orderkey == li.l_orderkey)
-            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .groupBy("o_custkey")
-            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-            .cache())
-    deg = (sets.select(F.explode("bs").alias("p_brand"))
-           .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
-    co = (sets.select(F.explode(F.expr(
-        "flatten(transform(bs, (a, i) -> transform("
-        "slice(bs, i + 2, size(bs)), "
-        "b -> named_struct('brand_a', a, 'brand_b', b))))")).alias("pr"))
-          .select("pr.brand_a", "pr.brand_b")
+    bought = (o.join(li, o.o_orderkey == li.l_orderkey)
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .select("o_custkey", "p_brand").distinct()
+              .cache())
+    deg = bought.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = bought.select(F.col("o_custkey").alias("cust"),
+                      F.col("p_brand").alias("brand_a"))
+    b = bought.select(F.col("o_custkey").alias("cust"),
+                      F.col("p_brand").alias("brand_b"))
+    co = (a.join(b, ["cust"])
+          .filter(F.col("brand_a") < F.col("brand_b"))
           .groupBy("brand_a", "brand_b")
           .agg(F.count(F.lit(1)).alias("n_common")))
     da = deg.select(F.col("p_brand").alias("brand_a"),

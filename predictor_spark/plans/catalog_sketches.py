@@ -257,12 +257,16 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen_arr = emb.select(
         F.zip_with(F.col("embedding").cast("array<double>"), mulit,
                    lambda x, m: x - m).alias("c"))
-    prods = cen_arr.select(F.explode(F.expr(
-        "flatten(transform(c, (ci, i) -> transform(c, (cj, j) -> "
-        "named_struct('i', i + 1, 'j', j + 1, 'p', ci * cj))))"))
-        .alias("t")).select("t.i", "t.j", "t.p")
-    cov = (prods.groupBy("i", "j")
-           .agg((F.sum("p") / (n - 1)).alias("v"))
+    # two chained posexplodes (codegen Generate, no interpreted lambda
+    # fan-out — a first transform/flatten cut ran the 64x64 struct
+    # build through interpreted HigherOrderFunctions and gave the win
+    # back) emit the pair grid row-locally into the partial aggregation
+    prods = (cen_arr
+             .select(F.posexplode("c").alias("i0", "ci"), "c")
+             .select("i0", "ci", F.posexplode("c").alias("j0", "cj")))
+    cov = (prods.groupBy((F.col("i0") + 1).alias("i"),
+                         (F.col("j0") + 1).alias("j"))
+           .agg((F.sum(F.col("ci") * F.col("cj")) / (n - 1)).alias("v"))
            ).cache()
     import math
 
