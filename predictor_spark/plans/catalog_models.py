@@ -96,6 +96,26 @@ def _nbeats_forward_oracle() -> str:
     return f"SELECT event_id, round(y, 6) + 0.0 AS y FROM {nested}"
 
 
+def _lag_window_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, w0..w7): the last 8 values of each complete per-user
+    window.  r14 (guide §1.2 step 2): read with 8 lag() expressions +
+    row_number in ONE WindowExec instead of window_tensorize's
+    collect_list array-of-arrays + element_at unpack — same values,
+    same completeness filter (rn >= 8), zero per-row array allocation.
+    The tensorize operator itself is unchanged and stays exercised by
+    the W1/W2 rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    out = ev.select(
+        "event_id",
+        *[(F.col("value") if i == 7 else F.lag("value", 7 - i).over(w))
+          .cast("double").alias(f"w{i}") for i in range(8)],
+        F.row_number().over(w).alias("__rn"))
+    return out.filter(F.col("__rn") >= 8).drop("__rn")
+
+
 @query("nbeats_forward_pass", oracle=_nbeats_forward_oracle())
 def nbeats_forward_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The N-BEATS family's driver-green companion (VERDICT r2 next-1e):
@@ -107,17 +127,10 @@ def nbeats_forward_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equality vs the local numpy run) because the Adam loop is not
     SQL-replayable; this row proves the architecture's inference math on
     the hard gate. Scale note: expression-tree inference is the 100 TB
-    serving shape — a scan-local projection, no shuffle at all."""
-    from predictor_spark.operators import temporal
-
-    ev = _t(spark, sf_dir, "events")
-    wins = temporal.window_tensorize(ev, ["value"], 8, series_col="user_id",
-                                     inclusive=True)
-    df = wins.select(
-        "event_id",
-        *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
-          for i in range(8)],
-    )
+    serving shape — a scan-local projection, no shuffle at all.
+    Window inputs come from the lag-projection reader (guide §1.2; see
+    _lag_window_inputs)."""
+    df = _lag_window_inputs(spark, sf_dir)
     from predictor_spark.plans.model_exprs import apply_layers
 
     df = apply_layers(df, nbeats_forward_layers([f"w{i}" for i in range(8)]))
@@ -146,16 +159,7 @@ def _expr_forward_query(layers_fn, params_fn):
     from predictor_spark.plans.model_exprs import apply_layers
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from predictor_spark.operators import temporal
-
-        ev = _t(spark, sf_dir, "events")
-        wins = temporal.window_tensorize(ev, ["value"], 8,
-                                         series_col="user_id", inclusive=True)
-        df = wins.select(
-            "event_id",
-            *[F.element_at(F.element_at("window", i + 1), 1).alias(f"w{i}")
-              for i in range(8)],
-        )
+        df = _lag_window_inputs(spark, sf_dir)
         df = apply_layers(df, layers_fn([f"w{i}" for i in range(8)], params_fn()))
         return df.select("event_id", (F.round("y", 6) + F.lit(0.0)).alias("y"))
 
