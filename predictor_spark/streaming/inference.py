@@ -45,6 +45,10 @@ def stream_score_ar1(
             Window.partitionBy("user_id").orderBy("ts")
         ).alias("target"),
     ).filter(F.col("target").isNotNull())
+    # cached (r14, guide §5): the foreachBatch closure broadcast-joins
+    # coeffs in EVERY micro-batch — lazy, each of the n_chunks batches
+    # re-ran the train scan + lead window + regression aggregate; the
+    # cache is |users| rows and fills once in batch 0
     coeffs = (
         base.filter(F.col("ts") < cutoff)
         .groupBy("user_id")
@@ -53,6 +57,7 @@ def stream_score_ar1(
             F.regr_intercept("target", "value").alias("intercept"),
         )
         .filter(F.col("slope").isNotNull())
+        .cache()
     )
 
     src = _chunked_stream_dir(spark, sf_dir, n_chunks,

@@ -99,6 +99,16 @@ def stateful_running_stats(
 
     ensure_workers_can_import(spark)
     src = _chunked_stream_dir(spark, sf_dir, n_chunks)
+    # r14: per-query clone with footer-auto-sized state width (guide
+    # §2.2 — the caller's per-core batch width over-parallelizes the
+    # per-batch python-worker state tasks of this bounded replay).
+    # skip_no_data is safe HERE because the state uses NoTimeout: a
+    # no-data batch has no input groups and no timed-out state, so the
+    # update function is never invoked and nothing can be emitted.
+    from predictor_spark.streaming.windows import stream_clone
+
+    ss = stream_clone(spark, sorted(glob.glob(f"{src}/chunk_*.parquet")),
+                      skip_no_data=True)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -124,7 +134,7 @@ def stateful_running_stats(
         T.StructField("value", T.DoubleType()),
     ])
     stream = (
-        spark.readStream.schema(schema).format("parquet")
+        ss.readStream.schema(schema).format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src)
     )
@@ -140,9 +150,11 @@ def stateful_running_stats(
     # one emission per (user, batch); the final state has the max n
     from pyspark.sql import Window
 
+    from predictor_spark.streaming.windows import drain_to_caller
+
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
     return (
-        spark.table(name)
+        drain_to_caller(spark, ss, name, _OUT_SCHEMA)
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .drop("__r")
