@@ -717,8 +717,11 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from predictor_spark.operators.dedup import _doc_shingles
 
     docs = _t(spark, sf_dir, "documents")
+    # cached (r14, guide §2.4): q feeds BOTH the exact-dedup keep list
+    # and the corpus join — un-cached, the tokenizer/regexp quality
+    # scoring (the text-CPU cost of this pipeline) ran twice
     q = text.with_quality_score(docs).filter(F.col("quality_score") > 0.5) \
-        .select("doc_id", "text", "lang")
+        .select("doc_id", "text", "lang").cache()
     keep_ids = dedup.exact_dedup(q, ["text"], "doc_id").select("doc_id")
     corpus = q.join(keep_ids, "doc_id").filter(F.col("doc_id") % 50 != 0).cache()
     # shingle the corpus ONCE for both downstream consumers (LSH minhash
