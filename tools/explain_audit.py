@@ -166,9 +166,14 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     # substring spans: hash-grouped candidates (semi join on the gram
     # hash) + one island window — never all-pairs
     "dedup_substring_spans": {
+        # r14 shape: the dup-hash filter is a min/max window keyed on h
+        # (ONE evaluation + ONE shuffle of the gram explode, replacing
+        # the countDistinct aggregate + left-semi pair that re-ran the
+        # md5 fan-out), plus the original doc_id island-merge window —
+        # both partitioned, never single-task
         "must": ["partial_"],
-        "not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        "max_window_execs": 1,
+        "not": ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"],
+        "max_window_execs": 2,
     },
     "vocab_topk": {
         "must": ["partial_", "TakeOrderedAndProject"],
@@ -197,8 +202,13 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "survival_km_conversion": {"must": ["partial_"],
                                "not": ["CartesianProduct"]},
     "bpe_train_merges": {
-        "must": ["partial_", "BroadcastNestedLoopJoin"],  # 1-row winner
-        "not": ["SortMergeJoin"],
+        # r14 shape (commit 76b9087): the merge loop runs as per-round
+        # lazy checkpoints materialized by the 1-row winner collect at
+        # PLAN BUILD time; the returned frame is the collected merge
+        # table as a LOCAL relation — zero Exchange, no distributed
+        # operator may reappear in the final frame
+        "must": [],
+        "not": ["SortMergeJoin", "Exchange", "Scan parquet"],
     },
     "dataset_split_assignment": {"must": ["partial_"], "not": ["Join"]},
     "session_top_paths": {
@@ -579,18 +589,17 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1, "max_window_execs": 0,
     },
     "lift_gain_deciles": {
-        # r14 shape: exact_ntile(collect_spans) over the CACHED per-user
-        # frame — interior tiles ride a broadcast support join, row-level
-        # ranks only inside the <=9 straddling score groups (PARTITIONED
-        # window); the decile cumsum runs driver-side on the collected
-        # 10-row agg. The single-task unpartitioned ntile must not
-        # reappear — the 2 Window nodes are the SAME partitioned-by-
-        # score straddler rank printed twice via the cached agg frame's
-        # rebuild paths (verified by Arguments inspection, r14).
-        "must": ["partial_", "BroadcastNestedLoopJoin",
-                 "InMemoryTableScan"],
-        "not": ["CartesianProduct", "SortMergeJoin"],
-        "max_scans": 3, "max_window_execs": 2,
+        # r14 shape (commit 6a6e9d8, superseding the earlier swap-shape
+        # expectation): the support collect + single decile aggregate
+        # run as eager jobs at PLAN BUILD; totals/prefix sums are exact
+        # integer arithmetic on the collected <=10 rows and the
+        # returned frame is a LOCAL relation — zero Exchange, no
+        # distributed operator (and in particular no resurrected
+        # single-task ntile window) may appear in the final frame
+        "must": [],
+        "not": ["CartesianProduct", "SortMergeJoin", "Exchange",
+                "Scan parquet", "Window"],
+        "max_window_execs": 0,
     },
     "precision_recall_at_k": {
         # bought fact-join cached; topk broadcast onto the test side
