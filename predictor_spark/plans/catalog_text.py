@@ -803,14 +803,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the md5 of the gram (16 bytes crosses the wire, never the
     text — the suffix-array of the paper is replaced by a hash-grouped
     candidate pass, which is the shuffle-friendly equivalent for exact
-    matches), keep grams whose hash occurs in ≥2 docs, then merge
+    matches), keep grams whose hash occurs in ≥2 docs (min(doc_id) !=
+    max(doc_id) within the hash group — one window pass, so the gram
+    explode+md5 is computed and shuffled exactly once), then merge
     adjacent surviving positions per doc with one gaps-and-islands window
     pass.
 
     Scale: gram rows ≈ total corpus chars — linear.  The duplicate-hash
-    filter is a self-contained groupBy + left-semi join on the hash key
-    (both sides pre-aggregated map-side); the island merge shuffles on
-    doc_id only.  No all-pairs stage anywhere; skew only if one gram
+    filter is one hash-keyed window over the gram stream (full
+    parallelism — |distinct grams| partitions); the island merge shuffles
+    on doc_id only.  No all-pairs stage anywhere; skew only if one gram
     dominates (stop-gram cap would bound it — not needed at this corpus).
     """
     docs = (
@@ -834,13 +836,22 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> struct(i AS pos, md5(substring(text, i, {_SPAN_K})) AS h))"
         )).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # ">=2 distinct docs own this gram" ⟺ min(doc_id) != max(doc_id) over
+    # the gram's rows, so ONE window pass keyed on h replaces the
+    # dup-aggregate + left-semi pair (r14, guide §2.4): the un-cacheable
+    # corpus-sized explode+md5 subtree was evaluated twice (once under the
+    # countDistinct aggregate, once as the semi-join probe) and its rows
+    # crossed two exchanges; now the grams are hashed once and shuffled
+    # once, and a gram repeated only WITHIN one doc still drops (min ==
+    # max), exactly like count(DISTINCT doc_id) < 2
+    wh = Window.partitionBy("h")
+    hits = (
+        grams
+        .withColumn("_mn", F.min("doc_id").over(wh))
+        .withColumn("_mx", F.max("doc_id").over(wh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .drop("_mn", "_mx")
     )
-    hits = grams.join(dup, "h", "left_semi")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn("isl", F.col("pos") - F.row_number().over(wd))
