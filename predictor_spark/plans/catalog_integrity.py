@@ -66,21 +66,43 @@ def referential_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     check after any load, emitted as one row per edge so the alert
     rule is a simple `n_orphans > 0` filter.
 
-    Scale: each edge is a LEFT join against a DIMENSION (all parents
-    here are the small side — broadcast), counted map-side; the union
-    of 7 audits shares nothing, so they run as independent stages and
-    the fact tables are each scanned once per edge with only the two
-    key columns read (column pruning)."""
+    Scale: the edges are grouped by CHILD table, so each child — in
+    particular the lineitem fact, which owns three FK edges — is
+    scanned ONCE for all of its edges with only the key columns read
+    (r14, guide §2.4: the per-edge form scanned lineitem three times).
+    Every parent is pre-aggregated to (key, multiplicity) before the
+    broadcast, which keeps the chained LEFT joins row-preserving even
+    on a degenerate duplicate-PK parent: per edge,
+    sum(coalesce(cnt, 1)) and sum(cnt IS NULL) reproduce the raw
+    left join's count(*) / NULL-parent sum exactly for ANY parent
+    multiplicity, so the combined single-scan form is equivalent to
+    the per-edge joins on every input."""
+    by_child: dict[str, list] = {}
+    for edge in _FK_EDGES:
+        by_child.setdefault(edge[1], []).append(edge)
     parts = []
-    for name, child, ckey, parent, pkey in _FK_EDGES:
-        c = _t(spark, sf_dir, child).select(ckey)
-        p = _t(spark, sf_dir, parent).select(pkey)
-        parts.append(
-            c.join(F.broadcast(p), c[ckey] == p[pkey], "left")
-            .agg(F.lit(name).alias("fk_edge"),
-                 F.count(F.lit(1)).cast("long").alias("n_child_rows"),
-                 F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
-                 .cast("long").alias("n_orphans")))
+    for child, edges in by_child.items():
+        joined = _t(spark, sf_dir, child).select(
+            *sorted({e[2] for e in edges}))
+        for i, (name, _, ckey, parent, pkey) in enumerate(edges):
+            p = (_t(spark, sf_dir, parent).select(pkey)
+                 .groupBy(pkey).agg(F.count(F.lit(1)).alias(f"_cnt{i}")))
+            joined = joined.join(
+                F.broadcast(p), F.col(ckey) == F.col(pkey), "left"
+            ).drop(pkey)
+        aggs = []
+        for i in range(len(edges)):
+            aggs.append(F.coalesce(F.sum(F.coalesce(F.col(f"_cnt{i}"),
+                                                    F.lit(1))), F.lit(0))
+                        .cast("long").alias(f"_ncr{i}"))
+            aggs.append(F.sum(F.when(F.col(f"_cnt{i}").isNull(), 1)
+                              .otherwise(0)).cast("long").alias(f"_no{i}"))
+        one = joined.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{edges[i][0]}', _ncr{i}, _no{i}" for i in range(len(edges)))
+        parts.append(one.select(F.expr(
+            f"stack({len(edges)}, {stack_args}) "
+            "AS (fk_edge, n_child_rows, n_orphans)")))
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 

@@ -100,9 +100,15 @@ def _gain_col() -> "F.Column":
     return sse_tot - sse_l - sse_r
 
 
-def _best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(sid, n, k, gain, s1, s2, t1, t2) of the winning split."""
-    pre = _prefix(spark, sf_dir)
+def _best_split(spark: SparkSession, sf_dir: str,
+                pre: DataFrame | None = None) -> DataFrame:
+    """(sid, n, k, gain, s1, s2, t1, t2) of the winning split.
+
+    ``pre`` lets a caller that ALSO consumes the prefix frame share one
+    (cached) copy instead of re-deriving the events scan + bar
+    aggregate + window chain inside this helper (r14, guide §2.4)."""
+    if pre is None:
+        pre = _prefix(spark, sf_dir)
     cand = (pre.where((F.col("k") >= _MINSEG)
                       & (F.col("k") <= F.col("n") - _MINSEG))
             .withColumn("gain", _gain_col()))
@@ -239,8 +245,12 @@ def binseg_second_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the recursion costs one more window pass over the same
     aggregate-sized frame per level — log-depth segmentation keeps the
     fact scan count at ONE."""
-    pre = _prefix(spark, sf_dir)
-    best = (_best_split(spark, sf_dir)
+    # cached (r14, guide §2.4): pre is bounded (|event_types| x |days|
+    # bars) and was derived TWICE in this plan — once directly and once
+    # inside _best_split — so the events scan and the bar aggregate ran
+    # twice for the same ~150-row frame
+    pre = _prefix(spark, sf_dir).cache()
+    best = (_best_split(spark, sf_dir, pre=pre)
             .select("sid", F.col("k").alias("k1")))
     seg = (pre.join(best, "sid")
            .withColumn("side", (F.col("k") > F.col("k1")).cast("int")))

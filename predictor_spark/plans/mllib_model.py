@@ -39,7 +39,12 @@ def fit_linear_forecaster(
 ) -> tuple[PipelineModel, DataFrame]:
     """Fit VectorAssembler -> LinearRegression(normal solver) on train
     rows; return (model, scored test frame with `pred`)."""
-    base = lead_targets(df, value_col, [horizon], ts_col=ts_col, series_col=series_col, trim=True)
+    # cached (r14, guide §2.4): the eager Pipeline.fit consumes the train
+    # slice and the lazy transform the test slice, but BOTH slices filter
+    # the SAME windowed frame — un-cached, the events scan + lead window
+    # ran once inside fit's normal-equation aggregate and again when the
+    # scored frame materializes
+    base = lead_targets(df, value_col, [horizon], ts_col=ts_col, series_col=series_col, trim=True).cache()
     target = f"target_h{horizon}"
     cutoff = F.lit(train_end).cast("timestamp")
     pipe = Pipeline(stages=[

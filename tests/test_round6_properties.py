@@ -291,3 +291,44 @@ def test_max_drawdown_matches_numpy_scan(r6):
         dd = np.maximum.accumulate(cum) - cum
         assert rows[etype]["max_drawdown"] == pytest.approx(
             dd.max() / 100, abs=1e-6), etype
+
+
+def test_orphan_counts_match_per_edge_left_joins_on_degenerate_parents(
+        spark, tmp_path):
+    """The r14 single-scan-per-child orphan audit must reproduce the raw
+    per-edge LEFT-join semantics on ANY input, including a duplicate-PK
+    parent (where a raw left join multiplies child rows) and real
+    orphans — the multiplicity argument in the row docstring, pinned."""
+    from predictor_spark.plans.catalog_integrity import (
+        _FK_EDGES, referential_orphan_counts)
+
+    sf = str(tmp_path)
+    tables = {
+        # nation 7 is duplicated (degenerate PK), nation 99 missing
+        "region": pd.DataFrame({"r_regionkey": [1, 2]}),
+        "nation": pd.DataFrame({"n_nationkey": [7, 7, 8],
+                                "n_regionkey": [1, 2, 66]}),  # 66 orphan
+        "customer": pd.DataFrame({"c_custkey": [1, 2, 3],
+                                  "c_nationkey": [7, 8, 99]}),
+        "supplier": pd.DataFrame({"s_suppkey": [10, 11],
+                                  "s_nationkey": [7, 99]}),
+        "part": pd.DataFrame({"p_partkey": [100]}),
+        "orders": pd.DataFrame({"o_orderkey": [1000, 1001],
+                                "o_custkey": [1, 42]}),       # 42 orphan
+        "lineitem": pd.DataFrame({
+            "l_orderkey": [1000, 1000, 2000],                 # 2000 orphan
+            "l_partkey": [100, 555, 100],                     # 555 orphan
+            "l_suppkey": [10, 10, 12],                        # 12 orphan
+        }),
+    }
+    for name, pdf in tables.items():
+        pdf.to_parquet(f"{sf}/{name}.parquet")
+    got = {r["fk_edge"]: (r["n_child_rows"], r["n_orphans"])
+           for r in referential_orphan_counts(spark, sf).collect()}
+    assert len(got) == 7
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        ch, pa = tables[child], tables[parent]
+        parent_counts = pa.groupby(pkey).size()
+        emitted = [int(parent_counts.get(k, 1)) for k in ch[ckey]]
+        orphans = sum(1 for k in ch[ckey] if k not in parent_counts.index)
+        assert got[name] == (sum(emitted), orphans), name
