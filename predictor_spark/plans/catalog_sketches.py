@@ -79,23 +79,33 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collisions only ADD), and the gap exhibits the sketch's ε=e/w
     overestimate at test scale.
 
-    Scale: the sketch is 256 counters built by ONE map-side-combinable
-    aggregate over the token stream (additive merges — any partitioning,
-    any order); point queries join the 10-row probe set against the
-    broadcast counter table.  The exact counts ride along only to
+    Scale: ONE map-side-combinable aggregate over the token stream
+    builds the |vocab|-row word histogram; the 256 sketch counters are
+    re-aggregations of that bounded cached frame (sum of exact counts
+    per md5 bucket — the identical integers the raw stream would
+    count), and point queries join the 10-row probe set against the
+    broadcast counter tables.  The exact counts ride along only to
     exhibit the error; a production pipeline keeps just the sketch.
     """
     docs = _t(spark, sf_dir, "documents")
     toks = (docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")).cache()
-    probes = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cnt"))
-              .orderBy(F.col("exact_cnt").desc(), "w").limit(10))
+        .filter(F.col("w") != ""))
+    # ONE pass over the token stream (r14, guide §2.3/§5): the sketch
+    # rows need only per-bucket token counts, and sum(exact_cnt) over
+    # the md5 bucket of w on the |vocab|-row word histogram is the SAME
+    # integer as count(*) over the raw stream — so the 4 counter tables
+    # and the probe top-10 all derive from one cached bounded histogram
+    # instead of 4+1 aggregates over a corpus-sized cached token stream
+    # (a corpus-sized cache is the shape heaps_vocab_growth shed in r13)
+    wcounts = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cnt"))
+               .cache())
+    probes = wcounts.orderBy(F.col("exact_cnt").desc(), "w").limit(10)
     est = None
     for r in range(_CMS_D):
-        counters = (toks.groupBy(
+        counters = (wcounts.groupBy(
             _bucket_col(F.col("w"), str(r), _CMS_W).alias("b"))
-            .agg(F.count(F.lit(1)).alias(f"cnt{r}")))
+            .agg(F.sum("exact_cnt").alias(f"cnt{r}")))
         probes = probes.withColumn(f"b{r}", _bucket_col(F.col("w"), str(r),
                                                         _CMS_W))
         probes = probes.join(F.broadcast(counters),
