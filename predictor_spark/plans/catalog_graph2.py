@@ -64,8 +64,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.least("c_nationkey", "s_nationkey").alias("u"),
                   F.greatest("c_nationkey", "s_nationkey").alias("v"))
           .distinct())
-    return (e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
-            .unionAll(e0.select(F.col("v").alias("a"), F.col("u").alias("b"))))
+    # both orientations via ONE generator over the distinct pairs — a
+    # unionAll of two e0 projections re-derives the whole fact-join
+    # subtree per branch (the plan audit showed the 4-table join + its
+    # distinct TWICE inside one cache materialization), doubling the
+    # corpus passes; explode emits (u,v) and (v,u) row-locally from a
+    # single e0 evaluation (guide §2.4: don't compute the same pass twice)
+    return (e0.select(F.explode(F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))))
+            .alias("e"))
+            .select("e.a", "e.b"))
 
 
 @query(
