@@ -112,9 +112,14 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "must": ["partial_", "BroadcastHashJoin"],
         "not": ["CartesianProduct"],
     },
+    # r14 shape: per-term tfs come straight off the token array in one
+    # map-side projection (no explode, no (id, term) shuffle); the only
+    # join left is the 1-row corpus-stats broadcast (a BroadcastNestedLoop
+    # cross by construction — not a data cartesian), so the former
+    # BroadcastHashJoin "must" no longer applies
     "bm25_search_topk": {
-        "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
-        "not": ["CartesianProduct"],
+        "must": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        "not": ["CartesianProduct", "SortMergeJoin"],
     },
     # continuation rows: the composed curation plan must never cartesian;
     # skew-proof distinct is two agg passes, no join; walk-forward folds
