@@ -81,9 +81,12 @@ _RANK_BASE = """
     )"""
 
 
-def _rank_base(spark: SparkSession, sf_dir: str):
-    """(nrel, hits) frames: per-test-user relevant count, and the rank +
-    hit-ordinal of every test brand found in the popularity ranking."""
+def _test_ranked(spark: SparkSession, sf_dir: str):
+    """(test, ranked) frames: the distinct held-out (customer, brand)
+    pairs, and the 25-row popularity ranking of the train-period brands.
+    NDCG/MRR fold their per-user metric AND n_rel into one
+    groupBy(customer) over test left-joined to the broadcast ranking, so
+    the test distinct is evaluated once per query."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
                                            "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -104,6 +107,14 @@ def _rank_base(spark: SparkSession, sf_dir: str):
               .withColumn("rnk", F.row_number().over(
                   Window.orderBy(F.col("pop").desc(), "p_brand")))
               .select("p_brand", "rnk"))
+    return test, ranked
+
+
+def _rank_base(spark: SparkSession, sf_dir: str):
+    """(nrel, hits) frames: per-test-user relevant count, and the rank +
+    hit-ordinal of every test brand found in the popularity ranking
+    (MAP@10 needs the per-user hit ordinal, hence the window)."""
+    test, ranked = _test_ranked(spark, sf_dir)
     nrel = test.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_rel"))
     hits = (test.join(F.broadcast(ranked), "p_brand")
             .select("o_custkey", "rnk")
@@ -170,15 +181,26 @@ def ndcg_at_10_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only non-broadcast shuffles are the fact-join distinct
     and one groupBy(customer); discount lookup is a 10-row broadcast."""
-    nrel, hits = _rank_base(spark, sf_dir)
+    # n_rel and the DCG sum collapse into ONE groupBy(customer) over the
+    # test distinct left-joined to the 25-row (brand -> nano) broadcast:
+    # the _rank_base form ran the test-period distinct TWICE (nrel +
+    # hits), a per-customer rank window whose hit ordinal NDCG never
+    # uses, and an nrel⋈dcg shuffle join (guide §2.4).  Brands outside
+    # the ranking or ranked past 10 carry a NULL nano, which sum()
+    # ignores — exactly the rows the old inner joins dropped; the
+    # all-NULL (no-hit) sum is NULL, coalesced to 0 like the old left
+    # join.  All integers, so results are bit-identical.
+    test, ranked = _test_ranked(spark, sf_dir)
     disc = F.broadcast(spark.createDataFrame(
         sorted(_DISC_NANO.items()), "rnk int, nano long"))
     idcg = F.broadcast(spark.createDataFrame(
         sorted(_IDCG_NANO.items()), "m int, inano long"))
-    dcg = (hits.join(disc, "rnk")
-           .groupBy("o_custkey").agg(F.sum("nano").alias("dcg_nano")))
+    brand_nano = ranked.join(disc, "rnk", "left").select("p_brand", "nano")
     per_user = (
-        nrel.join(dcg, "o_custkey", "left")
+        test.join(F.broadcast(brand_nano), "p_brand", "left")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rel"),
+             F.sum("nano").alias("dcg_nano"))
         .withColumn("m", F.least(F.col("n_rel"), F.lit(10)).cast("int"))
         .join(idcg, "m")
         .select(
@@ -258,10 +280,17 @@ def mrr_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: min(rank) per customer is a map-side partial min; the rest
     is the shared broadcast-ranked fact join."""
-    nrel, hits = _rank_base(spark, sf_dir)
-    first = hits.groupBy("o_custkey").agg(F.min("rnk").alias("r1"))
+    # min(rnk) and n_rel share ONE groupBy(customer) over the test
+    # distinct left-joined to the broadcast ranking (the ndcg idiom):
+    # min() ignores the NULL rnk of unranked brands, and a user with no
+    # ranked brand gets r1 NULL -> micro 0, exactly the old nrel⋈first
+    # left join.  n_rel itself is unused by the metric but keeps the
+    # user set = all test users.
+    test, ranked = _test_ranked(spark, sf_dir)
     per_user = (
-        nrel.join(first, "o_custkey", "left")
+        test.join(F.broadcast(ranked), "p_brand", "left")
+        .groupBy("o_custkey")
+        .agg(F.min("rnk").alias("r1"))
         .select(
             "o_custkey",
             F.coalesce(F.expr("1000000 div r1"), F.lit(0))
