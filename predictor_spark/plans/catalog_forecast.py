@@ -422,15 +422,19 @@ def _dft_oracle(select_prefix: str, partition: str, where: str = "") -> str:
 @query("w15_fft_features", oracle=_dft_oracle("user_id", "PARTITION BY user_id"))
 def w15_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W15 — causal FFT magnitudes of the diffed trailing window
-    (phase2_6_preprocessor.py:200-294) via applyInPandas per series.
-    Oracle: the DFT written out as explicit per-component cos/sin sums
-    over the window list (_dft_oracle) — same closed-form-SQL treatment
-    as the Hannan-Rissanen ARIMA oracle. The numpy differential test
-    lives in tests/test_transforms_spectral_stl.py."""
-    from predictor_spark.operators.spectral import fft_window_features
+    (phase2_6_preprocessor.py:200-294). r14 (guide §4.1): the registered
+    row runs the closed-form codegen DFT (fft_window_features_expr — one
+    WindowExec of 16 lags, twiddle factors as literals, no Python
+    boundary); the applyInPandas numpy form stays as the giant-series /
+    cross-check path (w15_fft_chunked row + the numpy differential test
+    in tests/test_transforms_spectral_stl.py). Oracle: the DFT written
+    out as explicit per-component cos/sin sums over the window list
+    (_dft_oracle) — the same closed-form arithmetic the expr form now
+    executes."""
+    from predictor_spark.operators.spectral import fft_window_features_expr
 
     ev = _t(spark, sf_dir, "events")
-    out = fft_window_features(ev, window_size=16, n_components=4)
+    out = fft_window_features_expr(ev, window_size=16, n_components=4)
     return out.select(
         "user_id", "ts", *[F.round(f"fft_{k}", 6).alias(f"fft_{k}") for k in range(4)]
     )

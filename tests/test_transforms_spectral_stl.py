@@ -95,6 +95,45 @@ def test_fft_short_series_empty(spark):
     assert out.count() == 0
 
 
+def test_fft_expr_equals_per_series(spark):
+    """The closed-form codegen DFT (fft_window_features_expr — the r14
+    form behind the registered w15 row) must reproduce the numpy
+    applyInPandas path to float round-off on multi-series input,
+    including a constant series (zero diffs -> denom guard) and a series
+    shorter than the window (emits nothing)."""
+    rng = np.random.RandomState(23)
+    frames = []
+    for uid, n in ((1, 80), (2, 17), (3, 10), (4, 40)):
+        vals = np.full(n, 2.5) if uid == 4 else np.cumsum(rng.randn(n))
+        frames.append(_series_df(spark, vals, user=uid))
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionAll(f)
+    cols = [f"fft_{k}" for k in range(4)]
+    base = (
+        spectral.fft_window_features(df, window_size=16, n_components=4)
+        .orderBy("user_id", "ts").toPandas()
+    )
+    expr = (
+        spectral.fft_window_features_expr(df, window_size=16, n_components=4)
+        .orderBy("user_id", "ts").toPandas()
+    )
+    assert len(expr) == len(base) == (80 - 16) + (17 - 16) + 0 + (40 - 16)
+    assert expr["user_id"].tolist() == base["user_id"].tolist()
+    assert expr["ts"].tolist() == base["ts"].tolist()
+    # constant series: all-zero diffs -> mags 0 -> guard divides by 1
+    const_rows = expr[expr["user_id"] == 4]
+    assert (const_rows[cols].to_numpy() == 0.0).all()
+    np.testing.assert_allclose(
+        expr[cols].to_numpy(), base[cols].to_numpy(), atol=1e-12, rtol=1e-9
+    )
+
+
+def test_fft_expr_short_series_empty(spark):
+    out = spectral.fft_window_features_expr(_series_df(spark, [1.0, 2.0]), window_size=16)
+    assert out.count() == 0
+
+
 def test_fft_chunked_equals_per_series(spark):
     """Halo-chunked single-series W15 must reproduce the per-series path
     exactly — chunk boundaries (incl. a short final chunk) are invisible."""
