@@ -130,10 +130,16 @@ def mixture_sample(
     Returns (kept_docs, per-stratum summary with thresholds and realized
     kept counts/tokens).
     """
+    # cached (r14, guide §2.4): totals is O(#strata) rows but is
+    # referenced by target, rates AND the summary join — un-cached, each
+    # reference re-ran the full tokenize+aggregate scan of df (the plan
+    # audit showed FIVE document scans for the registered row; cached
+    # it is the minimum two: one aggregate pass to learn the rates, one
+    # pass to apply them)
     totals = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(F.col(token_col)).alias("total_tokens"),
-    )
+    ).cache()
     target = totals.agg(F.min("total_tokens").alias("target_tokens"))
     rates = totals.crossJoin(broadcast(target)).withColumn(
         "keep_permille",

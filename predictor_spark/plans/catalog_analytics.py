@@ -299,10 +299,18 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations — INTERSECT / EXCEPT as user segmentation."""
+    """Set operations — INTERSECT / EXCEPT as user segmentation.
+
+    The two distinct user frames are cached (r14, guide §2.4): each set
+    op references both, so un-cached the filtered events scan + distinct
+    ran TWICE per side (4 corpus scans; plan census). Cached it is one
+    pushed-predicate scan per side, and both set ops read the
+    |users|-bounded caches."""
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id") \
+        .distinct().cache()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id") \
+        .distinct().cache()
     both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("both").alias("segment"), "n")
     only = clicks.exceptAll(buys).agg(F.count(F.lit(1)).alias("n")).select(

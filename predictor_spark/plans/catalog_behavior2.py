@@ -181,10 +181,16 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.floor(F.unix_timestamp("ts")).cast("long")
                    + 1 + F.round(F.col("value") * 100, 0).cast("long") % 3600)
                   .alias("e")))
-    pts = (iv.select("event_type", F.col("s").alias("t"),
-                     F.lit(1).alias("delta"), "event_id")
-           .unionAll(iv.select("event_type", F.col("e").alias("t"),
-                               F.lit(-1).alias("delta"), "event_id")))
+    # both sweep points via ONE generator over iv — the unionAll of two
+    # iv projections re-derived the events scan per branch (3 scans for
+    # the row; r14 plan census — guide §2.4, the graph2 _edges idiom)
+    pts = (iv.select(
+        "event_type",
+        F.explode(F.array(
+            F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+            F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta"))))
+        .alias("pt"), "event_id")
+        .select("event_type", "pt.t", "pt.delta", "event_id"))
     w = Window.partitionBy("event_type").orderBy("t", "delta", "event_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sweep = pts.withColumn("open_now", F.sum("delta").over(w)) \

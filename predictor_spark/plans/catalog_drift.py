@@ -368,7 +368,12 @@ def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.  Both estimators return exact data values.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    med = _qdisc(ev, "event_type", "value", [0.5], ["med"])
+    # med is |event_types| rows but sits inside BOTH dev consumers (the
+    # MAD pass and the flag pass) — un-cached its whole support-window
+    # median pass re-ran under each (4 events scans; r14 plan census,
+    # guide §2.4). Cached, the row is the 3-pass textbook minimum for
+    # exact median -> MAD -> flag.
+    med = _qdisc(ev, "event_type", "value", [0.5], ["med"]).cache()
     dev = (ev.join(F.broadcast(med), "event_type")
            .select("event_type", "value", "med",
                    F.abs(F.col("value") - F.col("med")).alias("adev")))

@@ -330,14 +330,15 @@ def metric_label_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (olap/etl_migrate_v2.py:35: ^(Train|Validation|Test)\\s+(.+?)\\s+H(\\d+)$)
     as regexp_extract over engine-generated long-format labels."""
     ev = _t(spark, sf_dir, "events")
-    rows = []
-    for metric, h in (("MAE", 1), ("Naive MAE", 3), ("R2", 6)):
-        rows.append(
-            ev.agg(F.avg("value").alias("v")).select(
-                F.concat(F.lit(f"Test {metric} H{h}")).alias("label"), "v"
-            )
-        )
-    labels = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    # one explode over the 1-row aggregate instead of a 3-branch
+    # unionAll: every branch carried the SAME avg(value) yet re-ran the
+    # full events scan under it — 3 corpus scans for one aggregate (r14
+    # plan census; guide §2.4, the olap_fact_upsert/graph2 idiom).
+    labels = (ev.agg(F.avg("value").alias("v"))
+              .select(F.explode(F.array(*[
+                  F.lit(f"Test {metric} H{h}")
+                  for metric, h in (("MAE", 1), ("Naive MAE", 3), ("R2", 6))
+              ])).alias("label"), "v"))
     pat = r"^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$"
     return labels.select(
         F.regexp_extract("label", pat, 1).alias("split"),

@@ -474,17 +474,21 @@ def olap_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
     def batch(df: DataFrame, batch_id: int, horizons: list[int]) -> DataFrame:
+        # one explode over the 1-row aggregate instead of a 4-branch
+        # unionAll of avg_v projections — each union branch re-derived
+        # the events scan + avg, so the two batches cost EIGHT corpus
+        # scans per invocation (r14 plan census; guide §2.4, the graph2
+        # _edges idiom). Same rows, same floats: avg computed once,
+        # round(v * h, 6) unchanged per (metric, horizon).
         avg_v = df.agg(F.avg("value").alias("v"))
-        rows = None
-        for metric in ("MAE", "Naive MAE"):
-            for h in horizons:
-                r = avg_v.select(
-                    F.lit("Test").alias("split"), F.lit(metric).alias("metric"),
-                    F.lit(h).alias("horizon"), F.lit(batch_id).alias("batch_id"),
-                    F.round(F.col("v") * h, 6).alias("avg_value"),
-                )
-                rows = r if rows is None else rows.unionAll(r)
-        return rows
+        pairs = F.array(*[
+            F.struct(F.lit(metric).alias("metric"), F.lit(h).alias("horizon"))
+            for metric in ("MAE", "Naive MAE") for h in horizons])
+        return (avg_v.select(F.col("v"), F.explode(pairs).alias("p"))
+                .select(F.lit("Test").alias("split"), F.col("p.metric"),
+                        F.col("p.horizon"), F.lit(batch_id).alias("batch_id"),
+                        F.round(F.col("v") * F.col("p.horizon"), 6)
+                        .alias("avg_value")))
 
     b1 = batch(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")), 1, [1, 3])
     b2 = batch(ev, 2, [3, 6])

@@ -62,7 +62,13 @@ def _tagged(spark: SparkSession, sf_dir: str):
                    F.round(F.col("value") * 100).cast("long")
                    .alias("cents"),
                    F.expr("(day(ts) - 1) div 7").alias("wk")))
-    first_wk = pur.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    # cached (r14, guide §2.4): first_wk feeds BOTH the tagged join and
+    # the cohort-size aggregate — un-cached each re-ran the purchase
+    # scan + per-user min, 3 events scans per consumer row (plan
+    # census); cached it is 2 (the tagged pur side + one cache build).
+    # One row per purchasing user — the smallest frame in the query.
+    first_wk = pur.groupBy("user_id").agg(F.min("wk").alias("cohort_week")) \
+        .cache()
     tagged = (pur.join(first_wk, "user_id")
               .select("user_id", "cents", "cohort_week",
                       (F.col("wk") - F.col("cohort_week"))

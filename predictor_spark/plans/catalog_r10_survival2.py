@@ -216,8 +216,12 @@ def rmst_signup_72h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Segment areas accumulate in explicit time order.
 
     Scale: same ≤73-row risk frame; the KM product and the area sum
-    are two ordered windows over it."""
-    risk = _risk(spark, sf_dir)
+    are two ordered windows over it. risk is cached (r14, guide §2.4):
+    km feeds BOTH the segment-area path and the (min, count) aggregate,
+    and un-cached each re-derived the whole signup/purchase
+    observation build — 4 events scans per invocation (plan census);
+    cached it is the two pushed-predicate scans, once."""
+    risk = _risk(spark, sf_dir).cache()
     wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     km = (risk.where(F.col("d") > 0)
           .select("t", F.exp(F.sum(F.log(1.0 - F.col("d").cast("double")

@@ -90,8 +90,13 @@ def modified_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modified z-score outlier summary per event type: count of days
     with |M_i| > 3.5 and the max |M_i|, M_i = 0.6745 (x - median)/MAD
     over the daily cents bars.  M_i is rounded to 6 dp BEFORE the
-    threshold compare on both engines."""
-    bars = _bars(spark, sf_dir)
+    threshold compare on both engines.
+
+    bars is cached (r14, guide §2.4): the ~|types|x|days| bounded bar
+    frame feeds med, mad AND the mz score pass — un-cached each re-ran
+    the full events rollup (3 corpus scans; plan census), cached it is
+    one."""
+    bars = _bars(spark, sf_dir).cache()
     med = bars.groupBy("event_type").agg(
         F.expr("percentile(c, 0.5)").alias("med"))
     mad = (bars.join(F.broadcast(med), "event_type")

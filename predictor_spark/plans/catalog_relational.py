@@ -198,11 +198,17 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # cached (r14, guide §2.4): big feeds BOTH semi-joins (orders and the
+    # second lineitem pass); un-cached each broadcast re-ran the full
+    # qualifying aggregate — THREE lineitem scans where the docstring's
+    # design says two (plan census). The cache is |qualifying orders|
+    # rows — tiny by the > 300 selectivity at any SF.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
         .select("l_orderkey")
+        .cache()
     )
     # qualified orders first: broadcasting the RAW orders table (as an
     # earlier draft did) caps out at real scale — semi-filtering it down

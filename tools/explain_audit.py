@@ -791,8 +791,11 @@ EXPECT: dict[str, dict[str, list[str]]] = {
         "max_scans": 1,
     },
     "peak_concurrency": {
-        "must": ["InMemoryTableScan", "BroadcastHashJoin", "Union"],
-        "not": ["CartesianProduct", "SortMergeJoin"],
+        # r14: the +1/-1 sweep points come from ONE explode generator
+        # over iv (was a two-branch Union that re-scanned events)
+        "must": ["InMemoryTableScan", "BroadcastHashJoin",
+                 "explode(array(struct("],
+        "not": ["CartesianProduct", "SortMergeJoin", "Union"],
     },
     "rfm_segments": {
         "must": ["partial_", "BroadcastHashJoin"],
