@@ -33,6 +33,7 @@ weibull_mrr_fit at any data size).
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -230,6 +231,16 @@ def ntile_spans(counts, n_tiles: int, *, op_name: str = "ntile_spans",
                 f"{op_name}: NULL key in the support histogram — the "
                 f"local-relation join back would silently drop null-key "
                 f"rows; filter or fill nulls upstream")
+        if isinstance(k, float) and math.isnan(k):
+            # ADVICE r13: Timsort with NaN keys is silently inconsistent
+            # (NaN compares false to everything) while Spark's window
+            # ntile orders NaN last — fail fast instead of returning
+            # silently wrong tiles on degenerate input
+            raise ValueError(
+                f"{op_name}: NaN key in the support histogram — Python "
+                f"sort order with NaN is undefined and would diverge "
+                f"from Spark's NaN-last window ordering; filter or fill "
+                f"NaNs upstream")
     pairs.sort(key=lambda kv: kv[0])
     total = sum(c for _, c in pairs)
     base, rem = total // n_tiles, total % n_tiles

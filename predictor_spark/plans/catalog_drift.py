@@ -222,6 +222,13 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     with operators/ranking.two_phase_row_number(part_cols=["value"])
     instead — same output, quantile-bucketed parallelism inside the
     group.
+
+    Degenerate input (ADVICE r13): a NULL (or NaN) in events.value now
+    raises ValueError at plan-build time via ntile_spans' key guards —
+    a behavior change vs the pre-swap window form, which ordered nulls
+    first and computed a result. Fail-fast is deliberate: both engines'
+    null orderings were never pinned for this row, so a silent result
+    on null-bearing input could diverge from the oracle.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "value",
                                             "event_id")

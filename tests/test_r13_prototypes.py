@@ -74,6 +74,8 @@ def test_ntile_spans_matches_window_spans():
         ntile_spans([(None, 3)], 10)
     with _pytest.raises(ValueError, match="max_keys"):
         ntile_spans([(i, 1) for i in range(11)], 10, max_keys=10)
+    with _pytest.raises(ValueError, match="NaN key"):
+        ntile_spans([(1.0, 3), (float("nan"), 2)], 10)
 
 
 def test_ntile_spans_fuzz_against_bruteforce():
