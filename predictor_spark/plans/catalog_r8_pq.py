@@ -61,34 +61,57 @@ def _exploded(emb_v: DataFrame) -> DataFrame:
         "vec_id", F.posexplode(slices).alias("m", "sv"))
 
 
-def _assign(ex: DataFrame, cb: DataFrame,
-            with_sv: bool = True) -> DataFrame:
-    """(vec_id, m, code[, sv]): nearest codebook entry per subspace —
-    a BROADCAST join against the 256-row codebook + a min(struct)
-    argmin (6-dp rounded distance, lowest-centroid tie-break: the
-    struct orders by (dist, c) and those pairs are unique per group,
-    so the trailing sv payload is never compared).  Embedding the
-    codebook as literal expressions instead put ~1000 element_at
-    nodes into one projection and pushed codegen past the JVM method
-    limit into interpreted fallback — the join form keeps every stage
-    small AND is the shape that scales (a real codebook is data, not
-    SQL text).  ``with_sv=False`` drops the subvector payload for
-    callers that only need the code (the encode path — no point
-    shuffling 4 doubles per row the consumer discards)."""
+def _subdist():
+    """Squared distance of the 4-dim slice to a codebook entry, fixed
+    fold order (sv/cv element pairs, d = 0..3)."""
     dist = None
     for d in range(_SUB):
         e = (F.element_at("sv", d + 1) - F.element_at("cv", d + 1))
         t = e * e
         dist = t if dist is None else dist + t
-    fields = [F.round(dist, 6).alias("d"), F.col("c").alias("c")]
+    return dist
+
+
+def _dkey(dist):
+    """The (round(dist, 6), c) argmin key as ONE comparable long:
+    6-dp distance in exact integer micro-units times _K plus the
+    centroid id. round(·,6) yields the nearest double to an exact
+    k/1e6 decimal, so ·1e6 is within an ulp of the integer k and the
+    outer round recovers it EXACTLY (distances here are O(10), far
+    below the 2^53/_K bound) — encoded min ≡ lexicographic
+    (dist, c) min, bit-for-bit the old min(struct) argmin. Why: a
+    native long min is a codegen HashAggregate with map-side partial
+    aggregation, where min(struct) forced an interpreted
+    ObjectHashAggregate — measured 1.5–1.6× on the encode pass (r14,
+    guide §2.3/§4: shuffle/aggregate narrower types)."""
+    return (F.round(F.round(dist, 6) * 1e6, 0).cast("long") * _K
+            + F.col("c"))
+
+
+def _assign(ex: DataFrame, cb: DataFrame,
+            with_sv: bool = True) -> DataFrame:
+    """(vec_id, m, code[, sv]): nearest codebook entry per subspace —
+    a BROADCAST join against the 256-row codebook + a long-encoded
+    argmin (_dkey: 6-dp rounded distance, lowest-centroid tie-break).
+    Embedding the codebook as literal expressions instead put ~1000
+    element_at nodes into one projection and pushed codegen past the
+    JVM method limit into interpreted fallback — the join form keeps
+    every stage small AND is the shape that scales (a real codebook is
+    data, not SQL text).  ``with_sv=False`` drops the subvector payload
+    for callers that only need the code; with it, sv is constant within
+    the (vec_id, m) group (it is the vector's OWN slice), so first(sv)
+    carries it without entering the comparison."""
+    key = _dkey(_subdist())
+    aggs = [F.min(key).alias("k")]
     if with_sv:
-        fields.append(F.col("sv").alias("sv"))
+        aggs.append(F.first("sv").alias("sv"))
     best = (ex.join(F.broadcast(cb), "m")
             .groupBy("vec_id", "m")
-            .agg(F.min(F.struct(*fields)).alias("b")))
-    cols = ["vec_id", "m", F.col("b.c").alias("code")]
+            .agg(*aggs))
+    cols = ["vec_id", "m",
+            F.pmod(F.col("k"), F.lit(_K)).cast("int").alias("code")]
     if with_sv:
-        cols.append(F.col("b.sv").alias("sv"))
+        cols.append(F.col("sv"))
     return best.select(*cols)
 
 
@@ -278,20 +301,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = spark.createDataFrame(
         [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
         "m int, c int, cv array<double>")
-    edist = None
-    for d_i in range(_SUB):
-        e = (F.element_at("sv", d_i + 1) - F.element_at("cv", d_i + 1))
-        t = e * e
-        edist = t if edist is None else edist + t
-    enc_struct = F.struct(F.round(edist, 6).alias("d"),
-                          F.col("c").alias("c"))
+    # r14: the argmin runs on the _dkey long encoding (bit-identical to
+    # the old min(struct(d, c)) — see _dkey), turning 16 interpreted
+    # ObjectHashAggregate struct-mins into codegen long-mins with
+    # map-side partial aggregation; codes frame pinned equal on
+    # sf0.01/sf0.1, encode pass measured 1.75 -> 1.19 s min-of-5.
+    ekey = _dkey(_subdist())
     codes = (ex.join(F.broadcast(cb), "m")
              .groupBy("vec_id")
-             .agg(*[F.min(F.when(F.col("m") == m, enc_struct))
+             .agg(*[F.min(F.when(F.col("m") == m, ekey))
                     .alias(f"b{m}") for m in range(_M)])
              .select("vec_id",
-                     *[F.col(f"b{m}.c").cast("int").alias(f"code{m}")
-                       for m in range(_M)]))
+                     *[F.pmod(F.col(f"b{m}"), F.lit(_K)).cast("int")
+                       .alias(f"code{m}") for m in range(_M)]))
     v = as_double_vec("embedding")
 
     # ADC distance tables are a function of the QUERY alone: compute
