@@ -254,40 +254,84 @@ _DECILES = """
 def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-decile (treated, control) x (count, responders): users
     ranked by targeting score into 10 buckets, arms counted within
-    each — the shared reduction behind uplift and Qini.
+    each — the shared reduction behind uplift and Qini.  Returns a
+    LOCAL relation of exact integers (decile, nt, nc, pt, pc).
 
-    Scale (r14 swap from plans/proto_r13.py): the decile assignment
-    comes from operators/ranking.exact_ntile (value-support spans +
-    closed-form bucket arithmetic; collect_spans=True collects the
-    bounded support histogram driver-side, max_keys-guarded) instead
-    of the pre-r14 unpartitioned ntile window that sorted the whole
-    per-user frame in ONE task.  Equal by construction (same total
-    order: score desc, user_id tie-break) — equality-pinned at
-    sf0.01/0.1/1 against the archived window form by
-    tests/test_r13_prototypes.py.  Local cost vs the single-task
-    ntile: sf1 ~0.7 -> ~1.6 s, accepted because the one-task sort is
-    the wrong shape at 100x (pre-swap form archived in proto_r13;
-    held-trigger history in PARALLELISM_AUDIT.md).  Both
-    uplift_by_decile and qini_curve_points inherit the swap through
-    this helper."""
-    from predictor_spark.operators.ranking import exact_ntile
+    Scale (r15; the r14 form was exact_ntile + a row-level decile
+    groupBy over every user).  Both consumers only ever AGGREGATE the
+    decile assignment, so the row-level tile label is never needed for
+    keys that sit entirely inside one tile: ONE groupBy(score) pass
+    folds the four arm sums into the same bounded support histogram
+    exact_ntile collected anyway (max_keys-guarded via ntile_spans,
+    identical NULL/NaN fail-fast), the span/tile arithmetic runs
+    driver-side on exact integers, and only the <= 9 boundary-
+    straddling score groups get a row-level pass (same
+    (score desc, user_id) order, same _tile_of closed form — fully
+    parallel per-key windows).  vs the r14 form this removes the
+    corpus-wide interior broadcast join + union + row-level decile
+    groupBy (the 32-core fixed cost VERDICT r14 #1 flagged: qini
+    0.40x); vs the pre-r14 window ntile the one-task corpus sort
+    stays gone.  Equal by construction: interior groups contribute
+    their whole arm sums to their single tile; straddler rows get
+    the identical rank -> _tile_of assignment exact_ntile's edge
+    path computed (all-integer arithmetic end to end, so the merge
+    order cannot change any value).  Equality re-pinned against the
+    archived window form by tests/test_r13_prototypes.py; oracle-
+    verified sf0.001/0.01/0.1."""
+    from predictor_spark.operators.ranking import _tile_of, ntile_spans
 
-    # the per-user frame is consumed three times by exact_ntile
-    # (support collect + interior join + straddler ranks) — un-cached,
-    # each consumer re-runs the whole events->user reduction (r13
-    # rule: cache bounded multi-consumer intermediates; |users| is
-    # dimension-bounded, orders of magnitude below the event stream)
     base = _user_base(spark, sf_dir).cache()
-    dec = exact_ntile(base, "pre_activity", ["user_id"], 10,
-                      tile_name="decile", descending=True,
-                      collect_spans=True)
     t = F.col("treat") == 1
-    return (dec.select("treat", "label", "decile")
-            .groupBy("decile")
-            .agg(F.sum(t.cast("int")).alias("nt"),
-                 F.sum((~t).cast("int")).alias("nc"),
-                 F.sum(F.when(t, F.col("label")).otherwise(0)).alias("pt"),
-                 F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc")))
+    arm_aggs = [
+        F.sum(t.cast("int")).alias("nt"),
+        F.sum((~t).cast("int")).alias("nc"),
+        F.sum(F.when(t, F.col("label")).otherwise(0)).alias("pt"),
+        F.sum(F.when(~t, F.col("label")).otherwise(0)).alias("pc"),
+    ]
+    # descending ntile order == ascending order of the negated score
+    # (the exact_ntile convention; pre_activity is a non-null count)
+    per_key = (base.select((-F.col("pre_activity")).alias("__k"),
+                           "treat", "label")
+               .groupBy("__k")
+               .agg(F.count(F.lit(1)).alias("c"), *arm_aggs)
+               .collect())
+    interior, strad, tbase, trem, _tot = ntile_spans(
+        [(r["__k"], r["c"]) for r in per_key], 10,
+        op_name="_decile_agg")
+    by_key = {r["__k"]: r for r in per_key}
+    buckets: dict[int, list[int]] = {}
+
+    def _add(tile: int, nt: int, nc: int, pt: int, pc: int) -> None:
+        b = buckets.setdefault(int(tile), [0, 0, 0, 0])
+        b[0] += int(nt)
+        b[1] += int(nc)
+        b[2] += int(pt)
+        b[3] += int(pc)
+
+    for k, tile in interior:
+        r = by_key[k]
+        _add(tile, r["nt"], r["nc"], r["pt"], r["pc"])
+    if strad:
+        lo_map = F.create_map(
+            *[F.lit(x) for kv in strad for x in kv])
+        wrow = Window.partitionBy("__k").orderBy("user_id")
+        edge = (base.select((-F.col("pre_activity")).alias("__k"),
+                            "treat", "label", "user_id")
+                .where(F.col("__k").isin([k for k, _ in strad]))
+                .withColumn("__rn", F.row_number().over(wrow))
+                .withColumn("tile",
+                            _tile_of(lo_map[F.col("__k")] - 1
+                                     + F.col("__rn"),
+                                     F.lit(tbase).cast("long"),
+                                     F.lit(trem).cast("long")))
+                .groupBy("tile").agg(*arm_aggs)
+                .collect())
+        for r in edge:
+            _add(r["tile"], r["nt"], r["nc"], r["pt"], r["pc"])
+    base.unpersist()
+    rows = [(d, *buckets[d]) for d in sorted(buckets)]
+    return spark.createDataFrame(
+        rows, "decile bigint, nt bigint, nc bigint, pt bigint, pc bigint")
 
 
 @query(

@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/r15/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each query (suffix: before/after).
+Writes plans/r15/<query>_<suffix>.txt for each query (suffix: before/after).
 
 Queries whose physical plan depends on driver-side iteration (e.g. a
 Lloyd's fit collecting between jobs) still produce a single final-frame
-plan — the iteration cost is noted in OPTIMIZATION_r14.md instead.
+plan — the iteration cost is noted in OPTIMIZATION_r15.md instead.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ def main() -> None:
     spark = get_spark("capture_plans")
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
-    out_dir = "/root/repo/plans/r14"
+    out_dir = "/root/repo/plans/r15"
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         if name not in qs:
