@@ -269,11 +269,26 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sessions| sort is disqualifying at 100 TB."""
     import decimal
 
-    sess, span = _sessions(spark, sf_dir)
+    sess, _span_unused = _sessions(spark, sf_dir)
     sess = sess.cache()
-    lohi = sess.agg(F.min("start_ms").alias("lo"),
-                    F.max("start_ms").alias("hi")).collect()[0]
-    lo, hi = lohi["lo"], lohi["hi"]
+    # r15 (guide §1.2/§2.4): ONE aggregate collects everything the
+    # formula needs besides the gap moments — the bucket bounds
+    # (min/max session start), the service moments (count, sum dur,
+    # sum dur^2), and the observation span.  All exact integers.  The
+    # span is derived from the session frame itself: every event
+    # belongs to exactly one session, so min event ms == min(start_ms)
+    # and max event ms == max(start_ms + dur_ms) (dur = last - first
+    # within the session) — identical integer to the r14 form's
+    # separate events-scan aggregate, which this removes along with
+    # one driver round-trip (3 sequential jobs -> 2).
+    head = sess.agg(
+        F.min("start_ms").alias("lo"), F.max("start_ms").alias("hi"),
+        F.count(F.lit(1)).alias("ns"), F.sum("dur_ms").alias("ss"),
+        F.sum(F.col("dur_ms").cast("decimal(38,0)")
+              * F.col("dur_ms")).alias("ss2"),
+        (F.max(F.col("start_ms") + F.col("dur_ms"))
+         - F.min("start_ms")).alias("span_ms")).collect()[0]
+    lo, hi = head["lo"], head["hi"]
     step = max(1, ((hi - lo) // 64) if hi is not None else 1)
     bounds = ([float(lo + i * step) for i in range(1, 64)]
               if hi is not None else [0.0])
@@ -323,14 +338,24 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             sg_t += bg
             sg2_t += bg * bg
         prev_last = r["last"]
+    sess.unpersist()
+    # all inputs to the formula are exact integers now: one single-
+    # slice 1-row local relation replaces the r14 mom x broadcast(smom)
+    # x broadcast(span) chain (two broadcast exchanges plus three
+    # 32-slice python-RDD scans per materialization — see
+    # operators/localrel).  The reported floats come from the same
+    # Spark expressions as before.
+    from predictor_spark.operators.localrel import local_df
+
     mom_row = ((ng_t, sg_t, decimal.Decimal(sg2_t)) if ng_t > 0
                else (0, None, None))
-    mom = spark.createDataFrame(
-        [mom_row], "ng long, sg long, sg2 decimal(38,0)")
-    smom = sess.agg(F.count(F.lit(1)).alias("ns"),
-                    F.sum("dur_ms").alias("ss"),
-                    F.sum(F.col("dur_ms").cast("decimal(38,0)")
-                          * F.col("dur_ms")).alias("ss2"))
+    mom = local_df(
+        spark,
+        [(*mom_row, head["ns"], head["ss"],
+          decimal.Decimal(int(head["ss2"])) if head["ss2"] is not None
+          else None, head["span_ms"])],
+        "ng long, sg long, sg2 decimal(38,0), "
+        "ns long, ss long, ss2 decimal(38,0), span_ms long")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     ca2 = d("sg2") * F.col("ng") / (d("sg") * F.col("sg")) - 1
     cs2 = d("ss2") * F.col("ns") / (d("ss") * F.col("ss")) - 1
@@ -338,7 +363,7 @@ def kingman_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = d("ss") / F.col("ns") / 60000.0
     m = F.ceil(1.25 * a)
     rho = a / m
-    return (mom.crossJoin(F.broadcast(smom)).crossJoin(F.broadcast(span))
+    return (mom
             .select(
                 F.col("ns").cast("long").alias("n_sessions"),
                 F.round(ca2, 6).alias("ca_squared"),
