@@ -37,6 +37,7 @@ import math
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, Window, functions as F
+from predictor_spark.operators.localrel import local_df
 
 
 def _assert_no_null_groups(cnt_rows, cols, op_name: str) -> None:
@@ -120,7 +121,15 @@ def two_phase_row_number(df: DataFrame, part_cols: list[str],
         for b in sorted(bmap):
             offs.append((*p, b, run))
             run += bmap[b]
-    off_df = spark.createDataFrame(offs, [*part_cols, "__bkt", "__off"])
+    # explicit schema: RDD input (single-slice local relation) must not
+    # trigger a driver-side inference pass; types mirror the old
+    # inference (part cols as in df, Python ints -> long)
+    from pyspark.sql import types as T
+    off_df = local_df(
+        spark, offs,
+        T.StructType([df.schema[c] for c in part_cols]
+                     + [T.StructField("__bkt", d2.schema["__bkt"].dataType),
+                        T.StructField("__off", T.LongType())]))
 
     w = Window.partitionBy(*part_cols, "__bkt").orderBy(*order_cols)
     return (d2.join(F.broadcast(off_df), [*part_cols, "__bkt"])
@@ -178,8 +187,13 @@ def discrete_key_rank(df: DataFrame, part_cols: list[str],
         for k in sorted(kmap):
             offs.append((*p, k, run, total))
             run += kmap[k]
-    off_df = spark.createDataFrame(
-        offs, [*part_cols, key_col, "__off", "__tot"])
+    from pyspark.sql import types as T
+    off_df = local_df(
+        spark, offs,
+        T.StructType([df.schema[c] for c in part_cols]
+                     + [df.schema[key_col],
+                        T.StructField("__off", T.LongType()),
+                        T.StructField("__tot", T.LongType())]))
 
     w = Window.partitionBy(*part_cols, key_col).orderBy(*tiebreak_cols)
     out = (df.join(F.broadcast(off_df), [*part_cols, key_col])
@@ -325,11 +339,11 @@ def exact_ntile(df: DataFrame, key_col: str, tiebreak_cols: list[str],
         int_rows, strad_rows, base, rem, _tot = ntile_spans(
             counts, n_tiles, op_name="exact_ntile")
         spark = df.sparkSession
-        interior = spark.createDataFrame(
+        interior = local_df(spark, 
             int_rows, T.StructType([T.StructField("__k", k_type),
                                     T.StructField(tile_name, T.LongType())]))
         inner = d2.join(F.broadcast(interior), "__k").drop("__k")
-        strad = spark.createDataFrame(
+        strad = local_df(spark, 
             strad_rows, T.StructType([T.StructField("__k", k_type),
                                       T.StructField("__lo", T.LongType())]))
         wrow = Window.partitionBy("__k").orderBy(*tiebreak_cols)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.operators.ranking import _tile_of, ntile_spans
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _SPLIT = "DATE '2024-01-16'"
 
@@ -248,14 +249,14 @@ def mutual_info_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. interior groups: whole span inside one decile — histogram-only
     per_vt = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).alias("c"))
-    interior = spark.createDataFrame(int_rows, "value double, dec long")
+    interior = local_df(spark, int_rows, "value double, dec long")
     joint_int = (per_vt.join(F.broadcast(interior), "value")
                  .groupBy("event_type", "dec")
                  .agg(F.sum("c").alias("c")))
 
     # 3. straddling groups (≤9): row-level ranks WITHIN each value
     #    group (fine-grained window keys), global pos = lo - 1 + rank
-    strad = spark.createDataFrame(strad_rows, "value double, lo long")
+    strad = local_df(spark, strad_rows, "value double, lo long")
     wrow = Window.partitionBy("value").orderBy("event_id")
     rows = (ev.join(F.broadcast(strad), "value")
             .withColumn("rn", F.row_number().over(wrow))

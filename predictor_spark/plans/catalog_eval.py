@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
 
@@ -110,7 +111,7 @@ def confusion_matrix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds, not once per threshold); counts are map-side partial
     aggregates.  All compares happen on the integer score."""
     base = _eval_base(spark, sf_dir)
-    thresholds = spark.createDataFrame(
+    thresholds = local_df(spark, 
         [(0.1, 100000), (0.2, 200000), (0.3, 300000)],
         "threshold double, ti long")
     hit = (F.col("score_int") >= F.col("ti")).cast("int")
@@ -316,7 +317,7 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          int(r["n"]),
                          None if r["pos"] is None else int(r["pos"]),
                          acc, nt, pt))
-    local = spark.createDataFrame(
+    local = local_df(spark, 
         out_rows, "decile long, n long, pos long, cum_pos long, "
                   "nt long, pt long")
     return (

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _US = "\x1f"  # unit separator: the BPE symbol delimiter (catalog_text)
 
@@ -658,7 +659,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(bm25_scores over non-null text can never produce one; a "
             "NULL here means the corpus or scorer changed)")
     cut = sorted(cut, key=lambda r: (-r["s"], r["doc_id"]))
-    bm = spark.createDataFrame(
+    bm = local_df(spark, 
         [(r["doc_id"], i + 1) for i, r in enumerate(cut)],
         "doc_id long, bm25_rank int")
     co = (similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 @query(
     "funnel_abandonment_profile",
@@ -247,7 +248,7 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             p90 = lat_s
     # empty-input mirror: the window form's agg over an empty frame
     # returns one all-NULL row, so n_converters is NULL there (not 0)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n if sup else None, p50, p90)],
         "n_converters long, p50_latency_s long, p90_latency_s long")
 

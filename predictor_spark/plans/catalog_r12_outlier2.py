@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _MZ_THRESH = 3.5   # Iglewicz & Hoaglin's recommended cutoff
 _ESD_ROUNDS = 3
@@ -221,7 +222,7 @@ def generalized_esd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             picked_rows.append(
                 (et, i, dd, c, n,
                  decimal.Decimal(s1), decimal.Decimal(s2)))
-    local = spark.createDataFrame(
+    local = local_df(spark, 
         picked_rows,
         "event_type string, round int, ddate date, c long, n long, "
         "s1 decimal(38,0), s2 decimal(38,0)")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _TOPK = 5
 
@@ -205,7 +206,7 @@ def cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum(dec("y")).alias("sy"),
                       F.sum(dec("x") * F.col("x")).alias("sxx"),
                       F.sum(dec("x") * F.col("y")).alias("sxy")).collect()[0]
-    mom = spark.createDataFrame(
+    mom = local_df(spark, 
         [mom_row],
         "n long, sx decimal(38,0), sy decimal(38,0), "
         "sxx decimal(38,0), sxy decimal(38,0)")
@@ -224,7 +225,7 @@ def cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sxx").alias("sxx"),
         F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
         .alias("rss")).collect()[0]
-    rss = spark.createDataFrame(
+    rss = local_df(spark, 
         [rss_row],
         "n long, sx decimal(38,0), sxx decimal(38,0), rss decimal(38,0)")
     j = resid.drop("n", "sx", "sxx").crossJoin(F.broadcast(rss))

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
 
@@ -330,7 +331,7 @@ def _decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             _add(r["tile"], r["nt"], r["nc"], r["pt"], r["pc"])
     base.unpersist()
     rows = [(d, *buckets[d]) for d in sorted(buckets)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "decile bigint, nt bigint, nc bigint, pt bigint, pc bigint")
 
 
@@ -412,7 +413,7 @@ def qini_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpt += int(r["pt"])
         cpc += int(r["pc"])
         cum_rows.append((int(r["decile"]), ct, cc, cpt, cpc))
-    cum_df = spark.createDataFrame(
+    cum_df = local_df(spark, 
         cum_rows,
         "decile bigint, ct bigint, cc bigint, cpt bigint, cpc bigint")
     return cum_df.select(

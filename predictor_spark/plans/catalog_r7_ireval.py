@@ -37,6 +37,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _DISC_NANO = {r: int(round(1e9 / math.log2(r + 1))) for r in range(1, 11)}
 _IDCG_NANO = {m: sum(_DISC_NANO[r] for r in range(1, m + 1))
@@ -191,9 +192,9 @@ def ndcg_at_10_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-NULL (no-hit) sum is NULL, coalesced to 0 like the old left
     # join.  All integers, so results are bit-identical.
     test, ranked = _test_ranked(spark, sf_dir)
-    disc = F.broadcast(spark.createDataFrame(
+    disc = F.broadcast(local_df(spark, 
         sorted(_DISC_NANO.items()), "rnk int, nano long"))
-    idcg = F.broadcast(spark.createDataFrame(
+    idcg = F.broadcast(local_df(spark, 
         sorted(_IDCG_NANO.items()), "m int, inano long"))
     brand_nano = ranked.join(disc, "rnk", "left").select("p_brand", "nano")
     per_user = (
@@ -241,7 +242,7 @@ def map_at_10_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a 10-row broadcast, everything else is the shared cached
     fact join plus groupBy(customer) aggregates."""
     nrel, hits = _rank_base(spark, sf_dir)
-    w = F.broadcast(spark.createDataFrame(
+    w = F.broadcast(local_df(spark, 
         sorted(_AP_W.items()), "rnk int, w long"))
     apn = (hits.join(w, "rnk")
            .groupBy("o_custkey")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.operators.similarity import as_double_vec
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _M, _SUB, _K, _ITER = 16, 4, 16, 2
 _SHORT = 50  # ADC shortlist size before the exact re-rank
@@ -146,12 +147,12 @@ def _fit_codebooks(spark: SparkSession, fit_rows: list) -> list:
     init = sorted(fit_rows, key=lambda r: r["vec_id"])[:_K]
     books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
              for m in range(_M)]
-    ex = spark.createDataFrame(
+    ex = local_df(spark, 
         [(r["vec_id"], m, list(r["v"])[m * _SUB:(m + 1) * _SUB])
          for r in fit_rows for m in range(_M)],
         "vec_id long, m int, sv array<double>")
     for _ in range(_ITER):
-        cb = spark.createDataFrame(
+        cb = local_df(spark, 
             [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
             "m int, c int, cv array<double>")
         rows = (_assign(ex, cb)
@@ -298,7 +299,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(vec_id) pair — same argmin per (vector, subspace), same
     # (dist, centroid) tie-break, one Exchange over the widest frame
     # instead of two.
-    cb = spark.createDataFrame(
+    cb = local_df(spark, 
         [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
         "m int, c int, cv array<double>")
     # r14: the argmin runs on the _dkey long encoding (bit-identical to

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from predictor_spark.plans.catalog import _t, query
 from predictor_spark.plans.ga import ga_search
 from predictor_spark.plans.neat import neat_search
+from predictor_spark.operators.localrel import local_df
 
 _CUTOFF = "2024-01-22 00:00:00"
 
@@ -141,7 +142,7 @@ def ga_fitness_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
          int(h["best_params"]["lag"]), round(h["best_params"]["shrink"], 6))
         for h in res.history
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "generation int, best_fitness double, mean_fitness double, "
               "best_lag int, best_shrink double",
     )
@@ -195,7 +196,7 @@ def neat_fitness_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
          ",".join(f"{k}={round(v, 4)}" for k, v in sorted(h["best_params"].items())))
         for h in res.history
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "generation int, best_fitness double, mean_fitness double, "
               "n_species int, mean_complexity double, best_genome string",
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 _CMS_D, _CMS_W = 4, 64
 _BLOOM_M, _BLOOM_K = 512, 3
@@ -166,7 +167,7 @@ def bloom_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("bit")).distinct()
         bits = b if bits is None else bits.union(b)
     bits = bits.distinct()
-    probes = spark.createDataFrame([(p,) for p in _BLOOM_PROBES],
+    probes = local_df(spark, [(p,) for p in _BLOOM_PROBES],
                                    "probe string")
     out = probes
     for k in range(_BLOOM_K):
@@ -299,7 +300,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = math.sqrt(sum(x * x for x in wv))
         v = [rnd(x / norm, 9) for x in wv]
     sign = -1.0 if sum(v) < 0 else 1.0
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(i + 1, rnd(sign * v[i], 6) + 0.0) for i in range(_PCA_DIM)],
         "component bigint, loading double")
     return out

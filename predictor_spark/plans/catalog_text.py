@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.operators import dedup, similarity, text
 from predictor_spark.plans.catalog import query, _t
+from predictor_spark.operators.localrel import local_df
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -1043,7 +1044,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             F.replace(F.col("rep"), F.lit(pat), F.lit(rp)).alias("rep"))
     from pyspark.sql import types as T
-    return spark.createDataFrame(
+    return local_df(spark, 
         best_rows,
         T.StructType([
             T.StructField("merge_rank", T.IntegerType(), False),

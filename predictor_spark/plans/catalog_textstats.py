@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import query, _t
 from predictor_spark.operators.text import tokens_col
+from predictor_spark.operators.localrel import local_df
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
@@ -240,7 +241,7 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 target_rows.append((frac, k_docs, b, cum))
                 break
             cum += c
-    target = spark.createDataFrame(
+    target = local_df(spark, 
         target_rows, "frac double, k_docs long, b long, before long")
     wrow = Window.partitionBy("frac").orderBy("doc_id")
     # cache the 4-row threshold table: both prefix aggregates below

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from predictor_spark.models.estimator import nbeats_fit_predict_per_series
 from predictor_spark.plans.ga import ga_search
 from predictor_spark.plans.search import SearchResult, candidate_fitness
+from predictor_spark.operators.localrel import local_df
 
 #: hyperparameter bounds — int bounds inclusive, float bounds uniform
 #: (the log10-lr gene mirrors the reference's learning_rate search space)
@@ -118,7 +119,7 @@ def nbeats_ga_search_report(
     n_evals = sum(
         1 for e in res.history for f in e["fitnesses"] if f is not None)
     bf = None if math.isinf(res.best_fitness) else float(res.best_fitness)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(
             int(res.best_params.get("units", -1)),
             int(res.best_params.get("blocks", -1)),

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.plans.catalog import _t
+from predictor_spark.operators.localrel import local_df
 
 
 def mutual_info_value_type_window(spark: SparkSession,
@@ -101,7 +102,7 @@ def heaps_vocab_growth_window(spark: SparkSession,
     first_seen = (ranked.select("r", F.explode("t").alias("term"))
                   .groupBy("term").agg(F.min("r").alias("first_r")))
     tokcum = ranked.select("r", F.size("t").alias("ntok"))
-    cp = (spark.createDataFrame([(0.1,), (0.25,), (0.5,), (1.0,)],
+    cp = (local_df(spark, [(0.1,), (0.25,), (0.5,), (1.0,)],
                                 "frac double")
           .crossJoin(F.broadcast(nd))
           .select("frac", F.ceil(F.col("frac") * F.col("nd"))

@@ -42,6 +42,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from predictor_spark.operators.localrel import local_df
 
 METRIC_RE = r"^(Train|Validation|Test)\s+(.+?)\s+H(\d+)$"
 
@@ -287,15 +288,15 @@ class StarSchemaWarehouse:
         """S10 — upsert dims + fact_performance from a results frame
         (Metric/Average/Std Dev/Min/Max long format, FIXTURES F7)."""
         spark = self.spark
-        self.upsert("dim_project", spark.createDataFrame([(project,)], "project_key string"), ["project_key"])
+        self.upsert("dim_project", local_df(spark, [(project,)], "project_key string"), ["project_key"])
         self.upsert(
             "dim_phase",
-            spark.createDataFrame([(phase, project)], "phase_key string, project_key string"),
+            local_df(spark, [(phase, project)], "phase_key string, project_key string"),
             ["phase_key", "project_key"],
         )
         self.upsert(
             "dim_experiment",
-            spark.createDataFrame(
+            local_df(spark, 
                 [(experiment, project, phase, config_json)],
                 "experiment_key string, project_key string, phase_key string, config_json string",
             ),

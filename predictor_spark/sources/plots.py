@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from predictor_spark.operators.localrel import local_df
 
 try:
     import matplotlib
@@ -43,7 +44,7 @@ def loss_curve_frame(spark: SparkSession, history: dict[str, Sequence[float]]) -
     val += [None] * (len(train) - len(val))
     rows = [(i, t, None if v is None else float(v))
             for i, (t, v) in enumerate(zip(train, val))]
-    return spark.createDataFrame(rows, "epoch int, loss double, val_loss double")
+    return local_df(spark, rows, "epoch int, loss double, val_loss double")
 
 
 def predictions_plot_frame(

@@ -24,6 +24,7 @@ import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from predictor_spark.operators.localrel import local_df
 
 
 def _chronological_chunks(spark: SparkSession, sf_dir: str, n_bands: int = 3) -> str:
@@ -194,7 +195,7 @@ def view_purchase_attribution(
     # memory sink for kafka/parquet and never materialize here.
     rows = ss.table(name).collect()
     ss.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, joined.schema)
+    return local_df(spark, rows, joined.schema)
 
 
 def purchases_enriched_with_signup(

@@ -19,6 +19,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from predictor_spark.operators.localrel import local_df
 
 def stream_clone(spark: SparkSession, source_files: list[str],
                  skip_no_data: bool) -> SparkSession:
@@ -64,7 +65,7 @@ def drain_to_caller(caller: SparkSession, ss: SparkSession, name: str,
     already driver-resident, so the collect moves nothing extra."""
     rows = ss.table(name).collect()
     ss.catalog.dropTempView(name)
-    return caller.createDataFrame(rows, schema)
+    return local_df(caller, rows, schema)
 
 
 def drain_memory_sink(spark: SparkSession, name: str, schema) -> DataFrame:
@@ -77,7 +78,7 @@ def drain_memory_sink(spark: SparkSession, name: str, schema) -> DataFrame:
     DataFrame with the aggregation's schema."""
     rows = spark.table(name).collect()
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _stream_dir(sf_dir: str, table: str = "events") -> str:
