@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from predictor_spark.plans.catalog import query, _t  # noqa: F401
 from predictor_spark.plans.catalog_r7_risk import _RET_BASE, _rets
+from predictor_spark.operators.localrel import local_df
 
 _ITERS = 3
 
@@ -79,55 +80,43 @@ def _bt_iter_sql() -> str:
 
 def _bt_strengths(spark: SparkSession, sf_dir: str):
     """((t, p) strengths after the unrolled MM iterations (sum 1),
-    cached directed-win-count frame (i, j, w)) — callers derive wtot /
-    contests from the returned wins instead of re-running the daily
-    return self-join (r14, guide §2.4: both registered rows previously
-    rebuilt the contest join a second time for their output frame)."""
-    r = _rets(spark, sf_dir).cache()
+    directed-win-count frame (i, j, w) as a single-slice LOCAL
+    relation).
+
+    r15 (guide §1.2/§2.4): the model state is 5 strengths driven by at
+    most 20 directed pair counts, so ONE distributed job collects the
+    win counts and the MM iterations run driver-side over the bounded
+    rows — the r14 form paid a distinct-collect plus one collect per
+    iteration (5 sequential driver round-trips) and pinned four caches
+    for frames this function now never rebuilds.  Float semantics: the
+    per-type denominator sums at most 4 doubles in sorted-opponent
+    order and the normalization sums 5 doubles in sorted-type order —
+    fixed operand order run to run, same +/÷ graph as the unrolled SQL
+    (both engines' GROUP BY orders were never pinned either; results
+    verified against the oracle at 6 dp on all three SFs)."""
+    r = _rets(spark, sf_dir)
     a = r.select(F.col("event_type").alias("i"), "ddate",
                  F.col("r").alias("ra"))
     b = r.select(F.col("event_type").alias("j"), "ddate",
                  F.col("r").alias("rb"))
-    wins = (a.join(b, "ddate")
-            .filter((F.col("i") != F.col("j"))
-                    & (F.col("ra") > F.col("rb")))
-            .groupBy("i", "j").agg(F.count(F.lit(1)).alias("w"))
-            .cache())
-    rev = wins.select(F.col("i").alias("j2"), F.col("j").alias("i2"),
-                      F.col("w").alias("w_rev"))
-    contests = (wins.join(rev, (wins.i == F.col("i2"))
-                          & (wins.j == F.col("j2")), "left")
-                .select("i", "j", "w",
-                        (F.col("w") + F.coalesce("w_rev", F.lit(0)))
-                        .alias("n"))
-                .cache())
-    wtot = wins.groupBy("i").agg(F.sum("w").alias("wi"))
-    # iterate on COLLECTED 5-row state (the kmeans-centroid bounded-
-    # collect idiom): leaving each p as a lazy frame nests three join
-    # trees and the last iteration's plan compiled for 15-30 s; the
-    # state is 5 (type, strength) rows, so each pass materializes it
-    # and re-enters as literals, keeping every iteration's plan flat
-    strengths = {r["t"]: 0.2 for r in
-                 wins.select(F.col("i").alias("t")).distinct().collect()}
-    base = (contests.join(F.broadcast(wtot), "i")
-            .select("i", "j", "n", "wi").cache())
+    win_rows = (a.join(b, "ddate")
+                .filter((F.col("i") != F.col("j"))
+                        & (F.col("ra") > F.col("rb")))
+                .groupBy("i", "j").agg(F.count(F.lit(1)).alias("w"))
+                .collect())
+    w = {(rw["i"], rw["j"]): int(rw["w"]) for rw in win_rows}
+    types = sorted({i for i, _ in w})
+    wtot = {t: sum(c for (i, _), c in w.items() if i == t) for t in types}
+    # contests n_ij = w_ij + w_ji for every DIRECTED pair with w_ij > 0
+    n = {(i, j): c + w.get((j, i), 0) for (i, j), c in w.items()}
+    strengths = {t: 0.2 for t in types}
     for _ in range(_ITERS):
-        pmap = F.create_map(
-            *[F.lit(x) for kv in strengths.items() for x in kv])
-        raw = (base
-               .groupBy(F.col("i").alias("t"))
-               .agg((F.max("wi")
-                     / F.sum(F.col("n") / (pmap[F.col("i")]
-                                           + pmap[F.col("j")])))
-                    .alias("p"))
-               .collect())
-        # sort before the normalization sum so the 5-term float add
-        # runs in a fixed order (run-to-run determinism)
-        raw = sorted(raw, key=lambda r: r["t"])
-        s = sum(r["p"] for r in raw)
-        strengths = {r["t"]: r["p"] / s for r in raw}
-    return spark.createDataFrame(
-        sorted(strengths.items()), "t string, p double"), wins
+        raw = {t: wtot[t] / sum(n[(t, j)] / (strengths[t] + strengths[j])
+                                for j in types if (t, j) in n)
+               for t in types}
+        s = sum(raw[t] for t in types)
+        strengths = {t: raw[t] / s for t in types}
+    return strengths, w
 
 
 @query(
@@ -144,11 +133,14 @@ def bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations over daily return contests (normalized to sum 1), with
     each type's raw win total.
 
-    Scale: aggregate-then-iterate — iterations touch only the 10-pair
-    frame."""
-    p, wins = _bt_strengths(spark, sf_dir)
-    wtot = wins.groupBy("i").agg(F.sum("w").alias("wi"))
-    return (p.join(wtot, p.t == wtot.i)
+    Scale: aggregate-then-iterate — iterations touch only the bounded
+    pair counts, the output is a 0-Exchange local relation (floats
+    rounded by the same Spark expressions as before)."""
+    strengths, w = _bt_strengths(spark, sf_dir)
+    wtot = {t: sum(c for (i, _), c in w.items() if i == t)
+            for t in strengths}
+    rows = [(t, strengths[t], wtot[t]) for t in sorted(strengths)]
+    return (local_df(spark, rows, "t string, p double, wi long")
             .select(F.col("t").alias("event_type"),
                     F.round("p", 6).alias("strength"),
                     F.col("wi").cast("long").alias("total_wins"))
@@ -174,19 +166,19 @@ def bt_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark pairs the one-dimensional strength model can't explain
     (intransitivity).
 
-    Scale: the 10-pair frame joined to the 5-strength frame."""
-    p, wins = _bt_strengths(spark, sf_dir)
-    rev = wins.select(F.col("i").alias("j2"), F.col("j").alias("i2"),
-                      F.col("w").alias("w_rev"))
-    contests = (wins.join(rev, (wins.i == F.col("i2"))
-                          & (wins.j == F.col("j2")), "left")
-                .select("i", "j", "w",
-                        (F.col("w") + F.coalesce("w_rev", F.lit(0)))
-                        .alias("n")))
-    pa = p.select(F.col("t").alias("i"), F.col("p").alias("pi"))
-    pb = p.select(F.col("t").alias("j"), F.col("p").alias("pj"))
-    return (contests.filter(F.col("i") < F.col("j"))
-            .join(F.broadcast(pa), "i").join(F.broadcast(pb), "j")
+    Scale: the bounded pair counts joined to the 5 strengths — both
+    driver-resident after _bt_strengths' single aggregate, so the
+    output is a 0-Exchange local relation (floats computed by the same
+    Spark round/÷ expressions as before; the oracle's inner joins on
+    p{k} drop pairs whose opponent never won, mirrored by the
+    strengths-membership test)."""
+    strengths, w = _bt_strengths(spark, sf_dir)
+    rows = [(i, j, c, c + w.get((j, i), 0), strengths[i], strengths[j])
+            for (i, j), c in sorted(w.items())
+            if i < j and i in strengths and j in strengths]
+    return (local_df(spark, rows,
+                     "i string, j string, w long, n long, "
+                     "pi double, pj double")
             .select(F.col("i").alias("type_a"),
                     F.col("j").alias("type_b"),
                     F.round(F.col("pi") / (F.col("pi") + F.col("pj")), 6)
