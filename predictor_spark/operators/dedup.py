@@ -321,13 +321,19 @@ def connected_components(
     # subtree (often a whole LSH candidate pipeline) twice in one job
     raw = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # LAZY checkpoints for sym and labels (r15, guide §1.2): both derive
+    # from the eager raw checkpoint with one cheap shuffle each, so the
+    # first round's convergence count materializes-and-persists them in
+    # the SAME job instead of two extra setup jobs per invocation; the
+    # union's two branches read raw's cached blocks, not the caller's
+    # edge subtree
     sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.repartition("u").localCheckpoint()
+    sym = sym.repartition("u").localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # neighbor minimum, NULL for isolated vertices (none here: every
@@ -401,8 +407,11 @@ def connected_components_star(
         F.greatest(F.col(src), F.col(dst)).alias("hi"),
         F.least(F.col(src), F.col(dst)).alias("lo"),
     ).localCheckpoint()
+    # LAZY (r15): cur is one distinct over raw's cached blocks, so round
+    # 1's signature aggregate materializes-and-persists it in the same
+    # job — the eager form paid a dedicated setup job per invocation
     cur = (raw.filter(F.col("hi") != F.col("lo"))
-           .distinct().localCheckpoint())
+           .distinct().localCheckpoint(eager=False))
     all_vertices = (
         raw.select(F.col("hi").alias("vertex"))
         .union(raw.select(F.col("lo").alias("vertex")))
@@ -419,7 +428,13 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    sig = signature(cur)
+    # r15: no up-front signature job — the first round can never match a
+    # None signature, and a round applied to an already-converged star
+    # set is idempotent (exactly what the fixpoint test relies on), so
+    # starting blind trades at worst one extra cheap round on
+    # pre-converged inputs for one fewer driver round-trip on every
+    # normal input (guide §1.2).
+    sig = None
     for _ in range(max_iter):
         # large-star over the symmetrized adjacency
         sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
