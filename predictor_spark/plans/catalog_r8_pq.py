@@ -35,6 +35,8 @@ IVF row's probed lists (IVFADC).
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from predictor_spark.operators.similarity import as_double_vec
@@ -127,6 +129,23 @@ def _fit_sample(emb_v: DataFrame) -> DataFrame:
             .orderBy("h", "vec_id").limit(_FIT_N).drop("h"))
 
 
+def _round_half_up(x: float, exp) -> float:
+    """EXACTLY Spark's ``round(double, n)``: Spark routes doubles
+    through scala BigDecimal(d) == java BigDecimal.valueOf(d), i.e. the
+    SHORTEST decimal representation (Double.toString), then setScale
+    HALF_UP.  Python's repr() is the same shortest round-trip decimal,
+    so Decimal(repr(x)) reproduces the digit string Spark rounds —
+    empirically pinned: round(lit(0.12345649999999999), 6) = 0.123457
+    on Spark 4.1 and here (an exact-binary Decimal(x) would give
+    0.123456)."""
+    return float(decimal.Decimal(repr(x)).quantize(
+        exp, rounding=decimal.ROUND_HALF_UP))
+
+
+_Q6 = decimal.Decimal("0.000001")
+_Q8 = decimal.Decimal("0.00000001")
+
+
 def _fit_codebooks(spark: SparkSession, fit_rows: list) -> list:
     """Deterministic Lloyd's fit for ALL _M subspaces at once —
     kmeans_fit's exact semantics (lowest-id init, 6-dp assignment
@@ -135,34 +154,60 @@ def _fit_codebooks(spark: SparkSession, fit_rows: list) -> list:
     [subspace][centroid] -> list[float].
 
     ``fit_rows``: the COLLECTED _fit_sample rows (bounded at _FIT_N by
-    construction).  r14 (guide §2.4/§5): the sample is 256 vectors, so
-    the init sort and the subspace slicing are pure exact operations
-    done driver-side, and each Lloyd iteration runs its (unchanged)
-    Spark float expressions over a LOCAL relation — no parquet re-scan,
-    no cache pin, no coalesce, and three fewer distributed jobs per
-    invocation than the pre-r14 cached-exploded-frame form.  All float
-    arithmetic (distances, 6-dp assignment rounding, 8-dp centroid
-    averaging) still happens in the same Spark expressions as before,
-    so the books are bit-identical."""
-    init = sorted(fit_rows, key=lambda r: r["vec_id"])[:_K]
+    construction).  r15 (guide §1.2): the fit input is 256 vectors, so
+    the whole fit runs driver-side — the r14 form still launched one
+    Spark job (broadcast + 2-Exchange aggregate over a local relation)
+    PER iteration, ~0.9 s each at local[32] for 4096 local rows.  Float
+    semantics are preserved operation for operation: squared distances
+    accumulate in the same d = 0..3 fold order as _subdist, assignment
+    compares (round6(d2), centroid) exactly (_round_half_up is Spark's
+    double rounding bit-for-bit), and centroid updates are
+    round8(sum/count) with the sum in ascending-vec_id order (the
+    Spark/DuckDB partial-agg orders were never pinned to each other
+    either; the books are verified BIT-IDENTICAL to the r14 Spark-job
+    fit on sf0.001/0.01/0.1 by test_fit_codebooks_matches_spark_form)."""
+    rows = sorted(fit_rows, key=lambda r: r["vec_id"])
+    init = rows[:_K]
     books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
              for m in range(_M)]
-    ex = local_df(spark, 
-        [(r["vec_id"], m, list(r["v"])[m * _SUB:(m + 1) * _SUB])
-         for r in fit_rows for m in range(_M)],
-        "vec_id long, m int, sv array<double>")
+    slices = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for m in range(_M)]
+              for r in rows]
     for _ in range(_ITER):
-        cb = local_df(spark, 
-            [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
-            "m int, c int, cv array<double>")
-        rows = (_assign(ex, cb)
-                .groupBy("m", "code")
-                .agg(*[F.round(F.avg(F.element_at("sv", d + 1)), 8)
-                       .alias(f"c{d}") for d in range(_SUB)])
-                .collect())
-        new = {(r["m"], r["code"]): [r[f"c{d}"] for d in range(_SUB)]
-               for r in rows}
-        books = [[new.get((m, c), books[m][c]) for c in range(_K)]
+        sums: dict = {}
+        counts: dict = {}
+        for svs in slices:
+            for m in range(_M):
+                sv = svs[m]
+                book = books[m]
+                # raw distances first; exact 6-dp rounding only for the
+                # centroids within one rounding grid step of the raw
+                # minimum (rounding is monotone, so no other centroid
+                # can win the (round6(d2), c) argmin)
+                d2s = []
+                for cv in book:
+                    d2 = None
+                    for d in range(_SUB):
+                        e = sv[d] - cv[d]
+                        t = e * e
+                        d2 = t if d2 is None else d2 + t
+                    d2s.append(d2)
+                dmin = min(d2s)
+                code = min((_round_half_up(d2, _Q6), c)
+                           for c, d2 in enumerate(d2s)
+                           if d2 <= dmin + 2e-6)[1]
+                key = (m, code)
+                if key in counts:
+                    counts[key] += 1
+                    s = sums[key]
+                    for d in range(_SUB):
+                        s[d] += sv[d]
+                else:
+                    counts[key] = 1
+                    sums[key] = list(sv)
+        books = [[[_round_half_up(sums[(m, c)][d] / counts[(m, c)], _Q8)
+                   for d in range(_SUB)]
+                  if (m, c) in counts else books[m][c]
+                  for c in range(_K)]
                  for m in range(_M)]
     return books
 
@@ -359,11 +404,28 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(_M):
         term = F.element_at(F.col(f"tab{m}"), F.col(f"code{m}") + 1)
         approx = term if approx is None else approx + term
-    w_adc = Window.partitionBy("query_id").orderBy("approx_d2",
-                                                   "neighbor_id")
-    shortlist = (joined.select(
+    # r15 (guide §2.5, VERDICT r14 #2): the shortlist rank window has
+    # only |queries| = 10 partitions, so a single task sorted the whole
+    # corpus's candidates per query.  Two-phase top-k: a deterministic
+    # salt (hash of the neighbor id, one bucket per core, scale-adaptive
+    # via defaultParallelism) bounds every per-task sort to ~1/nsalt of
+    # the candidates; the global pass then ranks <= nsalt * _SHORT
+    # survivors per query.  Exact by construction: (approx_d2,
+    # neighbor_id) is a strict total order per query and every global
+    # top-_SHORT row is in its salt bucket's top-_SHORT.
+    nsalt = max(8, spark.sparkContext.defaultParallelism)
+    cand = joined.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "qv",
         approx.alias("approx_d2"))
+    w_salt = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(nsalt))
+    ).orderBy("approx_d2", "neighbor_id")
+    pre = (cand.withColumn("rn", F.row_number().over(w_salt))
+           .where(F.col("rn") <= _SHORT)
+           .drop("rn"))
+    w_adc = Window.partitionBy("query_id").orderBy("approx_d2",
+                                                   "neighbor_id")
+    shortlist = (pre
         .withColumn("rn", F.row_number().over(w_adc))
         .where(F.col("rn") <= _SHORT)
         .drop("rn"))

@@ -748,6 +748,51 @@ class TestProductQuantization:
             codes.append(d.argmin(axis=1))
         return X, ids, books, np.stack(codes, axis=1)
 
+    def test_fit_codebooks_matches_spark_form(self, spark):
+        """The r15 driver-side Lloyd fit must be BIT-identical to the
+        r14 Spark-expression form it replaced (same rounding, same
+        fold order; the avg sum-order difference must vanish under the
+        8-dp centroid rounding)."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from predictor_spark.operators.localrel import local_df
+        from predictor_spark.operators.similarity import as_double_vec
+        from predictor_spark.plans import catalog_r8_pq as pq
+        from predictor_spark.plans.catalog import _t
+
+        emb_v = (_t(spark, SF_DIR, "embeddings")
+                 .select("vec_id", as_double_vec("embedding").alias("v")))
+        fit_rows = pq._fit_sample(emb_v).collect()
+        _M, _SUB, _K, _ITER = pq._M, pq._SUB, pq._K, pq._ITER
+        init = sorted(fit_rows, key=lambda r: r["vec_id"])[:_K]
+        books = [[list(r["v"])[m * _SUB:(m + 1) * _SUB] for r in init]
+                 for m in range(_M)]
+        ex = local_df(
+            spark,
+            [(r["vec_id"], m, list(r["v"])[m * _SUB:(m + 1) * _SUB])
+             for r in fit_rows for m in range(_M)],
+            "vec_id long, m int, sv array<double>")
+        for _ in range(_ITER):
+            cb = local_df(
+                spark,
+                [(m, c, books[m][c]) for m in range(_M) for c in range(_K)],
+                "m int, c int, cv array<double>")
+            rows = (pq._assign(ex, cb).groupBy("m", "code")
+                    .agg(*[F.round(F.avg(F.element_at("sv", d + 1)), 8)
+                           .alias(f"c{d}") for d in range(_SUB)])
+                    .collect())
+            new = {(r["m"], r["code"]): [r[f"c{d}"] for d in range(_SUB)]
+                   for r in rows}
+            books = [[new.get((m, c), books[m][c]) for c in range(_K)]
+                     for m in range(_M)]
+        got = pq._fit_codebooks(spark, fit_rows)
+        assert all(
+            struct.pack("d", x) == struct.pack("d", y)
+            for mo, mn in zip(books, got) for co, cn in zip(mo, mn)
+            for x, y in zip(co, cn))
+
     def test_pq_topk_matches_numpy_adc_rerank(self, spark, pq_numpy):
         from predictor_spark.plans.catalog_r8_pq import (_M, _SHORT, _SUB,
                                                          pq_adc_topk)
