@@ -214,8 +214,14 @@ def minhash_lsh_pairs(
     if doc_shingles is not None:
         doc = doc_shingles
     else:
+        # LAZY cache (r15, guide §1.2): the first consuming job (the
+        # CC raw checkpoint / the candidate join) fills the cache for
+        # all three consumers — the old eager .count() was one full
+        # tokenize+shingle pass of pure overhead per invocation; at
+        # worst two concurrently scheduled stages compute a partition
+        # twice before the block lands, which the A/B shows is cheaper
+        # than the extra pass
         doc = _doc_shingles(df, id_col, text_col, n).cache()
-        doc.count()
     sig = doc.select(F.col(id_col), _sig_array(F.col("sh"), num_perm).alias("sig"))
 
     band_structs = F.array(*[

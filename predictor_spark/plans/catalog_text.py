@@ -727,8 +727,10 @@ def curation_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = q.join(keep_ids, "doc_id").filter(F.col("doc_id") % 50 != 0).cache()
     # shingle the corpus ONCE for both downstream consumers (LSH minhash
     # + contamination screen) — shingling is the scan-bound cost at scale
+    # LAZY cache (r15): the LSH candidate job is the first consumer and
+    # fills the cache for the contamination screen — the eager .count()
+    # was one full shingle pass of pure overhead per invocation
     corpus_sh = _doc_shingles(corpus, "doc_id", "text", 3).cache()
-    corpus_sh.count()
     pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text",
                                     n=3, num_perm=16, bands=4, threshold=0.1,
                                     doc_shingles=corpus_sh)
