@@ -793,11 +793,14 @@ EXPECT: dict[str, dict[str, list[str]]] = {
     "peak_concurrency": {
         # r14: the +1/-1 sweep points come from ONE explode generator
         # over iv (was a two-branch Union that re-scanned events).
-        # Match the operator name, not the nested expression spelling —
-        # the full "explode(array(struct(" fragment breaks across Spark
-        # formatting changes (ADVICE r14)
+        # Match the operator name and the generator function separately,
+        # not the nested expression spelling — the full
+        # "explode(array(struct(" fragment breaks across Spark
+        # formatting changes (ADVICE r14); in formatted mode the node
+        # line is ") Generate" and the Generator detail carries
+        # "explode("
         "must": ["InMemoryTableScan", "BroadcastHashJoin",
-                 "Generate explode"],
+                 ") Generate", "explode("],
         "not": ["CartesianProduct", "SortMergeJoin", "Union"],
     },
     "rfm_segments": {
