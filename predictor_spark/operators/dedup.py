@@ -139,6 +139,17 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+#: (applicationId, num_perm, str(sh_col)) -> built signature Column.
+#: An EXPRESSION-TREE memo, not a data/result cache: Columns are
+#: immutable unresolved trees, freshly analyzed by every query that
+#: uses them, so reuse is exactly "compile the regex once" (guide §1.2
+#: — the 16 transform-lambda constructions cost 0.4-0.8 s of py4j
+#: round-trips per LSH invocation, measured r15). Keyed by
+#: applicationId so a restarted session never sees another gateway's
+#: stale handles.
+_SIG_MEMO: dict = {}
+
+
 def _sig_array(sh_col, num_perm: int):
     """array<bigint> MinHash signature of a shingle-array column.
 
@@ -147,6 +158,14 @@ def _sig_array(sh_col, num_perm: int):
     array as a variable, so all ``num_perm`` permutation mins share one
     hash pass (16 sibling columns would each re-derive it — expression
     trees have no implicit sharing across projection columns)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (sc.applicationId if sc is not None else None,
+           num_perm, str(sh_col))
+    memo = _SIG_MEMO.get(key)
+    if memo is not None:
+        return memo
     hashes = F.transform(sh_col, lambda s: portable_hash(s))
 
     def mins(hs):
@@ -155,7 +174,9 @@ def _sig_array(sh_col, num_perm: int):
             for a, b in _perm_params(num_perm)
         ])
 
-    return F.element_at(F.transform(F.array(hashes), mins), 1)
+    built = F.element_at(F.transform(F.array(hashes), mins), 1)
+    _SIG_MEMO[key] = built
+    return built
 
 
 def minhash_signatures(
