@@ -245,13 +245,25 @@ def minhash_lsh_pairs(
         doc = _doc_shingles(df, id_col, text_col, n).cache()
     sig = doc.select(F.col(id_col), _sig_array(F.col("sh"), num_perm).alias("sig"))
 
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.element_at("sig", bi * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bkey"),
-        )
-        for bi in range(bands)
-    ])
+    # same expression-tree memo as _sig_array (the 4x4 struct/concat
+    # grid costs ~0.1 s of py4j per build; the tree only references the
+    # "sig" column by name, so it is caller-independent)
+    from pyspark import SparkContext as _SC
+
+    _sc = _SC._active_spark_context
+    _bkey = (_sc.applicationId if _sc is not None else None,
+             "bands", num_perm, bands)
+    band_structs = _SIG_MEMO.get(_bkey)
+    if band_structs is None:
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[F.element_at("sig", bi * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bkey"),
+            )
+            for bi in range(bands)
+        ])
+        _SIG_MEMO[_bkey] = band_structs
+
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("x")).select(
         id_col, "x.band", "x.bkey"
     )
