@@ -529,33 +529,44 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # cache the normalized edge frame: it is referenced once PER
-    # iteration, and without the cache Spark re-executes the whole
-    # fact-join edge aggregation each time (plan audit showed 22 scans /
-    # 3 WindowExecs before this) — at 100 TB that is 3 full corpus
-    # passes instead of the one the aggregate-then-iterate design calls
-    # for.  The cached state is ≤|nodes|² rows; the sweep harness clears
-    # caches between queries.
-    p = edges.select(
+    from predictor_spark.operators.localrel import local_df
+    from predictor_spark.plans.catalog_r8_pq import _Q9, _round_half_up
+
+    # r15 (guide §1.2, the pca/bt idiom): the normalized edge frame is
+    # ≤ |nations|² = 625 rows BOUNDED BY DESIGN (nation is a fixed
+    # 25-row dimension at any SF), so ONE collect replaces the r14
+    # cache pin + three nested broadcast-join iterations (each built a
+    # BroadcastExchange of the previous lazy rank frame inside the
+    # final action).  The 100 TB work — the single fact-join edge
+    # aggregation pass — is unchanged and is what the collect runs.
+    # Float semantics: per-dst contribution sums run in ascending-src
+    # order (Spark's partial-agg order over ≤ 25 terms was never
+    # pinned either) and every iteration re-rounds to 9 dp with
+    # Spark's exact double rounding (_round_half_up), the same
+    # engine-synchronization step as before; oracle-verified at
+    # sf0.001/0.01/0.1.
+    p_rows = edges.select(
         "src", "dst",
         (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p")
-    ).cache()
-    nodes = nat.select("n_name")
-    ranks = nodes.select("n_name", (F.lit(1.0) / 25.0).alias("rank"))
+    ).collect()
+    names = sorted(r["n_name"] for r in nat.select("n_name").collect())
+    in_edges: dict = {n: [] for n in names}
+    for r in p_rows:
+        in_edges[r["dst"]].append((r["src"], r["p"]))
+    ranks = {n: 1.0 / 25.0 for n in names}
+    base = (1 - _PR_DAMP) / 25.0
     for _ in range(_PR_ITERS):
-        contrib = (p.join(F.broadcast(ranks),
-                          F.col("src") == F.col("n_name"))
-                   .select("dst", (F.col("rank") * F.col("p")).alias("c")))
-        ranks = (
-            nodes.join(F.broadcast(contrib),
-                       F.col("n_name") == F.col("dst"), "left")
-            .groupBy("n_name")
-            .agg(F.round(
-                F.lit((1 - _PR_DAMP) / 25.0)
-                + _PR_DAMP * F.coalesce(F.sum("c"), F.lit(0.0)), 9)
-                .alias("rank"))
-        )
-    return ranks.select("n_name", F.round("rank", 6).alias("pagerank"))
+        new = {}
+        for n in names:
+            acc = 0.0
+            for src, pv in sorted(in_edges[n]):
+                acc += ranks[src] * pv
+            new[n] = _round_half_up(base + _PR_DAMP * acc, _Q9)
+        ranks = new
+    return (local_df(spark,
+                     [(n, ranks[n]) for n in names],
+                     "n_name string, rank double")
+            .select("n_name", F.round("rank", 6).alias("pagerank")))
 
 
 _RRF_K = 60

@@ -154,6 +154,7 @@ def _round_half_up(x: float, exp) -> float:
 
 _Q6 = decimal.Decimal("0.000001")
 _Q8 = decimal.Decimal("0.00000001")
+_Q9 = decimal.Decimal("0.000000001")
 
 
 def _fit_codebooks(spark: SparkSession, fit_rows: list) -> list:
